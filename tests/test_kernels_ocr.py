@@ -1,0 +1,132 @@
+"""Goldens ported verbatim from reference doctor/tests.py:577-727
+(TestRecapWhitespaceInsertions, TestOCRConfidenceTests), plus the OCR literal
+fixes (tasks.py:254-268) and mojibake map spot checks (lib/mojibake.py)."""
+
+from doctor_spark.kernels.mojibake import fix_mojibake, looks_mojibake
+from doctor_spark.kernels.ocr_assembly import (
+    assemble_page_text,
+    cleanup_ocr_text,
+    get_word,
+    group_words_into_blocks,
+    insert_whitespace,
+)
+
+
+def _w(line_num, par_num, left, top, width=10, height=20):
+    return {
+        "line_num": line_num,
+        "par_num": par_num,
+        "left": left,
+        "top": top,
+        "width": width,
+        "height": height,
+    }
+
+
+class TestWhitespaceInsertions:
+    def test_new_line(self):
+        assert (
+            insert_whitespace("foo", _w(2, 1, 50, 200), _w(1, 1, 10, 100, 30))
+            == "foo\n  "
+        )
+
+    def test_new_paragraph(self):
+        assert (
+            insert_whitespace("foo", _w(1, 2, 50, 200), _w(2, 1, 10, 100, 30))
+            == "foo\n  "
+        )
+
+    def test_vertical_gap(self):
+        assert (
+            insert_whitespace("foo", _w(2, 1, 50, 300), _w(1, 1, 10, 100, 30))
+            == "foo\n\n  "
+        )
+
+    def test_horizontal_gap(self):
+        assert (
+            insert_whitespace("foo", _w(1, 1, 200, 100), _w(1, 1, 10, 100, 30))
+            == "foo      "
+        )
+
+    def test_no_gap(self):
+        assert (
+            insert_whitespace("foo", _w(1, 1, 50, 100), _w(1, 1, 40, 100))
+            == "foo"
+        )
+
+
+class TestOCRConfidence:
+    def test_confidence_zero(self):
+        assert get_word({"text": "foo", "conf": 0, "left": 10, "width": 30}, 612, True) == "    "
+
+    def test_confidence_low_and_in_margin(self):
+        assert get_word({"text": "foo", "conf": 30, "left": 5, "width": 20}, 612, True) == "    "
+
+    def test_confidence_below_threshold_short_word(self):
+        assert get_word({"text": "foo", "conf": 3, "left": 200, "width": 20}, 612, True) == "□□□ "
+
+    def test_confidence_below_threshold_long_word(self):
+        word = {"text": "foobarbazfoobarbazfoobar", "conf": 3, "left": 200, "width": 200}
+        assert get_word(word, 612, True) == "□□□□□□□□□□□□□□□□□□□□□□□□ "
+
+    def test_confidence_below_threshold_in_right_margin(self):
+        assert get_word({"text": "foo", "conf": 30, "left": 580, "width": 10}, 612, True) == "□□□ "
+
+    def test_valid_word_high_confidence(self):
+        assert get_word({"text": "foo", "conf": 90, "left": 50, "width": 20}, 612, True) == "foo "
+
+    def test_word_on_left_edge(self):
+        assert get_word({"text": "foo", "conf": 50, "left": 0, "width": 20}, 612, True) == "    "
+
+
+class TestOcrTextFixes:
+    def test_literal_fixes(self):
+        assert cleanup_ocr_text("Fi|ed 12/01") == "Filed 12/01"
+        assert cleanup_ocr_text("part Il of") == "part II of"
+
+    def test_untouched(self):
+        assert cleanup_ocr_text("Ilium filed") == "Ilium filed"
+
+
+class TestMojibake:
+    def test_spot_checks(self):
+        # lib/mojibake.py:7 (¿→a), :66 (ð→0), :80 (‰→--)
+        assert fix_mojibake("¿") == "a"
+        assert fix_mojibake("ð") == "0"
+        assert fix_mojibake("‰") == "--"
+        assert fix_mojibake("¬¸·-") == "this"
+
+    def test_passthrough(self):
+        assert fix_mojibake("plain text 123") == "plain text 123"
+
+    def test_gate(self):
+        assert looks_mojibake("¬¸·- ·-")  # no 'e'
+        assert not looks_mojibake("the content")
+
+
+class TestBlockGrouping:
+    def test_blocks_ordered_by_top_and_conf_filter(self):
+        words = [
+            {"block_num": 2, "par_num": 1, "line_num": 1, "left": 0, "top": 50,
+             "width": 10, "height": 10, "conf": 90, "text": "lower"},
+            {"block_num": 2, "par_num": 1, "line_num": 1, "left": 20, "top": 50,
+             "width": 10, "height": 10, "conf": -1, "text": "layout-row"},
+            {"block_num": 1, "par_num": 1, "line_num": 1, "left": 0, "top": 500,
+             "width": 10, "height": 10, "conf": 90, "text": "upper"},
+        ]
+        blocks = group_words_into_blocks(words)
+        assert [[w["text"] for w in b] for b in blocks] == [["lower"], ["upper"]]
+
+    def test_assemble_simple_page(self):
+        words = [
+            {"block_num": 1, "par_num": 1, "line_num": 1, "left": 100, "top": 10,
+             "width": 75, "height": 20, "conf": 95, "text": "Hello"},
+            {"block_num": 1, "par_num": 1, "line_num": 1, "left": 200, "top": 10,
+             "width": 75, "height": 20, "conf": 95, "text": "world"},
+            {"block_num": 1, "par_num": 1, "line_num": 2, "left": 100, "top": 40,
+             "width": 75, "height": 20, "conf": 95, "text": "line2"},
+        ]
+        # first word: new "line" vs empty prev -> \n, pad (100-0)/25 = 4
+        # second: same line, prev_end=175, pad (200-175)/25 = 1 extra space
+        # third: new line, pad 4 — then cleanup_content left-shifts by 4
+        assert assemble_page_text(words, 612.0, 2, False) == "Hello  world \nline2 \n"
