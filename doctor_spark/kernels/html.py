@@ -1,0 +1,195 @@
+"""From-scratch HTML boilerplate stripper (stdlib-only).
+
+Reimplements the observable semantics of the reference's HTML cleaning
+(reference doctor/tasks.py:337-370: lxml ``Cleaner(style=True,
+remove_tags=["a", "body", "font", "noscript", "img"])`` over the
+first-decoding encoding in the utf-8→ISO8859→cp1252→latin-1 ladder):
+
+- **killed** (tag AND content dropped): script, style, head, title, meta,
+  link, base, iframe, frame, frameset, noframes, object, embed, applet,
+  param, form + form controls, blink, marquee — the union of lxml Cleaner's
+  default ``scripts/javascript/comments/style/links/meta/page_structure/
+  embedded/frames/forms/annoying_tags`` behavior;
+- **unwrapped** (tag dropped, children hoisted): html, a, body, font,
+  noscript, img — ``remove_tags`` + ``page_structure``'s html;
+- comments, doctypes and processing instructions dropped;
+- ``style`` and ``on*`` attributes dropped, ``javascript:`` URLs dropped;
+- everything else re-serialized with lowercase tag names, original
+  attribute order, minimal escaping.
+
+lxml is not available in this environment, so exact-output parity with lxml
+serialization is *defined* by this module and frozen as goldens
+(tests/test_kernels_html.py); divergences from lxml (entity normalization,
+tag-soup recovery details) are documented there.
+"""
+
+from __future__ import annotations
+
+import re
+from html import escape
+from html.parser import HTMLParser
+
+from .textfile import decode_html_ladder
+
+KILL_TAGS = frozenset(
+    """script style head title meta link base basefont iframe frame frameset
+    noframes object embed applet param form input button select option
+    optgroup textarea label fieldset legend datalist output blink
+    marquee""".split()
+)
+
+UNWRAP_TAGS = frozenset("html a body font noscript img".split())
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+_JS_URL = re.compile(r"^\s*javascript\s*:", re.IGNORECASE)
+_URL_ATTRS = frozenset("href src action formaction background".split())
+
+
+class _CleaningParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out: list[str] = []
+        # stack frames: (tagname, emitted: bool, kills: bool)
+        self.stack: list[tuple[str, bool, bool]] = []
+        self.killed = 0
+
+    # -- helpers ---------------------------------------------------------
+    def _clean_attrs(self, attrs: list[tuple[str, str | None]]) -> str:
+        parts: list[str] = []
+        for name, value in attrs:
+            lname = name.lower()
+            if lname == "style" or lname.startswith("on"):
+                continue
+            if lname in _URL_ATTRS and value and _JS_URL.match(value):
+                continue
+            if value is None:
+                parts.append(f" {lname}")
+            else:
+                parts.append(f' {lname}="{escape(value, quote=True)}"')
+        return "".join(parts)
+
+    # -- tag events ------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if tag in VOID_TAGS:
+            # voids never open a frame
+            if self.killed or tag in KILL_TAGS or tag in UNWRAP_TAGS:
+                return
+            self.out.append(f"<{tag}{self._clean_attrs(attrs)}>")
+            return
+        kills = tag in KILL_TAGS
+        if kills:
+            self.killed += 1
+            self.stack.append((tag, False, True))
+            return
+        if self.killed or tag in UNWRAP_TAGS:
+            self.stack.append((tag, False, False))
+            return
+        self.out.append(f"<{tag}{self._clean_attrs(attrs)}>")
+        self.stack.append((tag, True, False))
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if self.killed or tag in KILL_TAGS or tag in UNWRAP_TAGS:
+            return
+        if tag in VOID_TAGS:
+            self.out.append(f"<{tag}{self._clean_attrs(attrs)}>")
+        else:
+            self.out.append(f"<{tag}{self._clean_attrs(attrs)}></{tag}>")
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in VOID_TAGS:
+            return
+        # find the matching open frame (tag-soup tolerant)
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i][0] == tag:
+                # close everything above it implicitly
+                for name, emitted, kills in reversed(self.stack[i:]):
+                    if kills:
+                        self.killed -= 1
+                    elif emitted:
+                        self.out.append(f"</{name}>")
+                del self.stack[i:]
+                return
+        # stray end tag: drop
+
+    # -- data events -----------------------------------------------------
+    def handle_data(self, data: str) -> None:
+        if not self.killed and data:
+            self.out.append(escape(data, quote=False))
+
+    def handle_comment(self, data: str) -> None:
+        pass
+
+    def handle_decl(self, decl: str) -> None:
+        pass
+
+    def handle_pi(self, data: str) -> None:
+        pass
+
+    def unknown_decl(self, data: str) -> None:
+        pass
+
+    def finish(self) -> str:
+        self.close()
+        # close any frames left open by malformed markup
+        for name, emitted, kills in reversed(self.stack):
+            if kills:
+                self.killed -= 1
+            elif emitted:
+                self.out.append(f"</{name}>")
+        self.stack.clear()
+        return "".join(self.out)
+
+
+def clean_html(content: str) -> str:
+    """Boilerplate-strip an HTML string; returns cleaned *markup* (tags
+    retained except killed/unwrapped ones), mirroring the reference's
+    ``get_clean_body_content`` (tasks.py:361-370) which returns lxml-cleaned
+    HTML rather than plain text."""
+    p = _CleaningParser()
+    p.feed(content)
+    return p.finish()
+
+
+def extract_from_html_bytes(raw: bytes) -> tuple[str, str, int]:
+    """(content, err, returncode) — the reference's full HTML path
+    (tasks.py:337-358): encoding ladder, then clean."""
+    decoded = decode_html_ladder(raw)
+    if decoded is None:
+        return "", "Could not encode content properly", 1
+    text, _enc = decoded
+    try:
+        return clean_html(text), "", 0
+    except Exception as exc:  # tag-soup beyond recovery
+        return "", f"HTML parse failure: {exc}", 1
+
+
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RE = re.compile(r"\n{3,}")
+
+_BLOCK_TAGS = frozenset(
+    """p div br li ul ol table tr td th h1 h2 h3 h4 h5 h6 blockquote pre
+    section article header footer hr""".split()
+)
+_BLOCK_RE = re.compile(
+    r"</?(?:" + "|".join(sorted(_BLOCK_TAGS)) + r")\b[^>]*>", re.IGNORECASE
+)
+
+
+def html_to_text(cleaned_markup: str) -> str:
+    """Plain-text rendering of cleaned markup (engine extension for
+    training-data pipelines, not a reference behavior): block tags become
+    newlines, remaining tags vanish, whitespace collapses."""
+    text = _BLOCK_RE.sub("\n", cleaned_markup)
+    text = _TAG_RE.sub("", text)
+    text = text.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    text = _WS_RE.sub(" ", text)
+    text = "\n".join(line.strip() for line in text.split("\n"))
+    text = _NL_RE.sub("\n\n", text)
+    return text.strip()
