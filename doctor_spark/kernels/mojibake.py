@@ -17,6 +17,8 @@ _PAIRS: tuple[tuple[str, str], ...] = (
     # lowercase a-z: ¿ down through ¦ (with two irregulars: k=μ, s=-)
     ("¿", "a"), ("¾", "b"), ("½", "c"), ("¼", "d"), ("»", "e"), ("º", "f"),
     ("¹", "g"), ("¸", "h"), ("·", "i"), ("¶", "j"), ("μ", "k"), ("´", "l"),
+    ("µ", "k"),  # U+00B5 micro sign — the cp1252 byte behind the reference's
+                 # U+03BC entry (lib/mojibake.py:18); both map to k
     ("³", "m"), ("²", "n"), ("±", "o"), ("°", "p"), ("¯", "q"), ("®", "r"),
     ("-", "s"), ("¬", "t"), ("«", "u"), ("ª", "v"), ("©", "w"), ("¨", "x"),
     ("§", "y"), ("¦", "z"),

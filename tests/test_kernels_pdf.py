@@ -1,0 +1,273 @@
+"""Round-trip goldens for the from-scratch PDF reader: fixtures authored by
+our own writer (kernels/pdfwriter.py), expected text byte-identical by
+construction.  Fixture classes mirror the reference test-asset inventory
+(FIXTURES.md §3, doctor/tests.py:114-190, 416-465)."""
+
+from doctor_spark.kernels.extract import (
+    extract_document,
+    extract_from_pdf_bytes,
+    extract_recap_pdf_bytes,
+)
+from doctor_spark.kernels.pdf import (
+    get_document_number,
+    get_page_count,
+    layout_page_text,
+    ocr_needed,
+    page_needs_ocr,
+    parse_pdf,
+    pdf_has_images,
+)
+from doctor_spark.kernels.pdfwriter import (
+    Line,
+    PageSpec,
+    build_pdf,
+    text_to_lines,
+)
+
+
+def _layout_doc() -> bytes:
+    page1 = PageSpec(
+        lines=text_to_lines(
+            "IN THE SUPREME COURT\n"
+            "\n"
+            "    Plaintiff alleges breach\n"
+            "        of contract terms\n"
+            "Footnote text here"
+        )
+    )
+    page2 = PageSpec(lines=[Line(row=0, col=0, text="Second page content")])
+    return build_pdf([page1, page2])
+
+
+class TestLayoutRoundTrip:
+    def test_text_grid_roundtrip(self):
+        doc = parse_pdf(_layout_doc())
+        assert doc.page_count == 2
+        expected_p1 = (
+            "IN THE SUPREME COURT\n"
+            "\n"
+            "    Plaintiff alleges breach\n"
+            "        of contract terms\n"
+            "Footnote text here"
+        )
+        assert layout_page_text(doc.pages[0]) == expected_p1
+        assert layout_page_text(doc.pages[1]) == "Second page content"
+
+    def test_two_column_layout(self):
+        # two runs on one row, columns 0 and 40
+        page = PageSpec(
+            lines=[
+                Line(row=0, col=0, text="left column"),
+                Line(row=0, col=40, text="right column"),
+            ]
+        )
+        doc = parse_pdf(build_pdf([page]))
+        expected = "left column" + " " * (40 - len("left column")) + "right column"
+        assert layout_page_text(doc.pages[0]) == expected
+
+    def test_td_and_tj_and_quote_operators(self):
+        page = PageSpec(
+            lines=[
+                Line(row=0, col=0, text="via Td op", op_style="Td"),
+                Line(row=1, col=0, text="gap here via TJ", op_style="TJ"),
+                Line(row=2, col=0, text="via quote op", op_style="quote"),
+            ]
+        )
+        doc = parse_pdf(build_pdf([page]))
+        assert layout_page_text(doc.pages[0]) == (
+            "via Td op\ngap here via TJ\nvia quote op"
+        )
+
+    def test_uncompressed_streams(self):
+        page = PageSpec(lines=[Line(row=0, col=0, text="plain stream")])
+        doc = parse_pdf(build_pdf([page], compress=False))
+        assert layout_page_text(doc.pages[0]) == "plain stream"
+
+    def test_skewed_text_dropped_only_with_strip_margin(self):
+        page = PageSpec(
+            lines=[
+                Line(row=2, col=0, text="normal text line"),
+                Line(row=3, col=10, text="STAMP", skew=True),
+            ]
+        )
+        raw = build_pdf([page])
+        # plain flow keeps the skewed stamp
+        content, _, _, _ = extract_from_pdf_bytes(raw)
+        assert "STAMP" in content
+        # recap strip_margin flow drops it
+        content, by_ocr, _ = extract_recap_pdf_bytes(raw, strip_margin=True)
+        assert "STAMP" not in content
+        assert "normal text line" in content
+        assert by_ocr is False
+
+    def test_strip_margin_crops_header_and_footer(self):
+        page = PageSpec(
+            lines=[
+                Line(row=0, col=0, text="in-band text", y_override=792 - 200),
+                Line(row=0, col=0, text="TOP EDGE", y_override=792 - 30),
+                Line(row=0, col=0, text="BOTTOM EDGE", y_override=20),
+            ]
+        )
+        raw = build_pdf([page])
+        content, _, _ = extract_recap_pdf_bytes(raw, strip_margin=True)
+        assert content == "in-band text"
+
+
+class TestPageCount:
+    def test_count(self):
+        assert get_page_count(_layout_doc(), "pdf") == 2
+
+    def test_non_pdf_none(self):
+        assert get_page_count(b"hello", "txt") is None
+
+    def test_corrupt_pdf_zero(self):
+        assert get_page_count(b"%PDF-1.4 garbage with no objects", "pdf") == 0
+
+
+class TestOcrGates:
+    def test_image_only_page_triggers_ocr(self):
+        words = [
+            {"text": "Scanned", "conf": 93, "left": 300, "top": 100,
+             "width": 200, "height": 40, "line_num": 1, "par_num": 1,
+             "block_num": 1},
+            {"text": "text", "conf": 91, "left": 525, "top": 100,
+             "width": 100, "height": 40, "line_num": 1, "par_num": 1,
+             "block_num": 1},
+        ]
+        page = PageSpec(lines=[], image=(1700, 2200), ocr_words=words)
+        raw = build_pdf([page])
+        assert pdf_has_images(raw)
+        assert ocr_needed(raw, "")
+        content, err, rc, by_ocr = extract_from_pdf_bytes(raw, ocr_available=True)
+        assert by_ocr is True
+        assert content == "Scanned text"
+
+    def test_recap_ocr_page(self):
+        words = [
+            {"text": "OCRWORD", "conf": 95, "left": 500, "top": 120,
+             "width": 175, "height": 40, "line_num": 1, "par_num": 1,
+             "block_num": 1},
+        ]
+        page = PageSpec(lines=[], image=(1700, 2200), ocr_words=words)
+        content, by_ocr, ocr_pages = extract_recap_pdf_bytes(build_pdf([page]))
+        assert by_ocr is True and ocr_pages == [1]
+        assert "OCRWORD" in content
+
+    def test_cid_garbage_triggers_page_ocr(self):
+        page = PageSpec(lines=[Line(row=0, col=0, text="(cid:12)(cid:40)")])
+        doc = parse_pdf(build_pdf([page]))
+        text = layout_page_text(doc.pages[0])
+        assert page_needs_ocr(doc.pages[0], text)
+
+    def test_annotations_trigger_ocr(self):
+        page = PageSpec(lines=[Line(row=0, col=0, text="some text")],
+                        annots=["FreeText"])
+        doc = parse_pdf(build_pdf([page]))
+        assert page_needs_ocr(doc.pages[0], "some text")
+
+    def test_curves_trigger_ocr(self):
+        page = PageSpec(lines=[Line(row=0, col=0, text="t")], curves=11)
+        doc = parse_pdf(build_pdf([page]))
+        assert doc.pages[0].curve_count == 11
+        assert page_needs_ocr(doc.pages[0], "t")
+
+    def test_text_page_no_ocr(self):
+        page = PageSpec(lines=[Line(row=0, col=0, text="clean text page")])
+        doc = parse_pdf(build_pdf([page]))
+        assert not page_needs_ocr(doc.pages[0], "clean text page")
+
+
+class TestOcrTakeLonger:
+    def test_short_ocr_not_taken(self):
+        # text layer longer than the OCR table -> keep text layer
+        words = [{"text": "x", "conf": 90, "left": 300, "top": 100,
+                  "width": 20, "height": 30, "line_num": 1, "par_num": 1,
+                  "block_num": 1}]
+        page = PageSpec(
+            lines=text_to_lines("a long extracted text layer wins here"),
+            image=(20, 20), ocr_words=words,
+        )
+        content, _, _, by_ocr = extract_from_pdf_bytes(
+            build_pdf([page]), ocr_available=True
+        )
+        assert by_ocr is False
+        # pdftotext-style output: form feed terminates every page
+        assert content == "a long extracted text layer wins here\f"
+
+
+class TestMojibake:
+    def test_mojibake_fixed_without_ocr(self):
+        # '¬¸·- ·- ³±¶·¾¿µ»' decodes to 'this is mojibake' (µ = micro sign,
+        # the cp1252-encodable byte 0xB5)
+        page = PageSpec(lines=[Line(row=0, col=0, text="¬¸·- ·- ³±¶·¾¿µ»")])
+        content, _, _, _ = extract_from_pdf_bytes(build_pdf([page]))
+        assert content.startswith("this is mojibake")
+
+    def test_normal_text_not_remapped(self):
+        page = PageSpec(lines=[Line(row=0, col=0, text="the regular text")])
+        content, _, _, _ = extract_from_pdf_bytes(build_pdf([page]))
+        assert content.startswith("the regular text")
+
+
+class TestDocumentNumber:
+    def test_header_stamp_number(self):
+        page = PageSpec(
+            lines=[
+                Line(row=0, col=0, text="Case: 21-55555 Document: 1-1 Page: 1",
+                     header_stamp=True),
+                Line(row=2, col=0, text="body text"),
+            ]
+        )
+        assert get_document_number(build_pdf([page])) == "1-1"
+
+    def test_dktentry(self):
+        page = PageSpec(
+            lines=[Line(row=0, col=0, text="Case 9-88, DktEntry: 7-2",
+                        header_stamp=True)]
+        )
+        assert get_document_number(build_pdf([page])) == "7-2"
+
+    def test_no_stamp(self):
+        page = PageSpec(lines=[Line(row=2, col=0, text="no stamp here")])
+        assert get_document_number(build_pdf([page])) == ""
+
+
+class TestBrokenMagic:
+    def test_broken_magic_dispatch(self):
+        page = PageSpec(lines=[Line(row=0, col=0, text="rescued pdf body")])
+        raw = build_pdf([page], broken_magic=True)
+        res = extract_document("https://a.test/download/broken.bin", raw)
+        assert res.extension == "pdf"
+        assert res.content.startswith("rescued pdf body")
+        assert res.page_count == 1
+
+
+class TestExtractDocumentDispatch:
+    def test_html(self):
+        res = extract_document(
+            "https://a.test/p.html", b"<body><p>hi there</p></body>"
+        )
+        assert (res.content, res.extension, res.page_count) == (
+            "<p>hi there</p>", "html", None
+        )
+
+    def test_txt(self):
+        res = extract_document("https://a.test/f.txt", b"plain body")
+        assert (res.content, res.extension) == ("plain body", "txt")
+
+    def test_docx(self):
+        from doctor_spark.kernels.docx import build_docx
+
+        raw = build_docx(["First paragraph", "Second one"])
+        res = extract_document("https://a.test/d.docx", raw)
+        assert res.content == "First paragraph\nSecond one"
+        assert res.extension == "docx"
+
+    def test_unknown_junk(self):
+        res = extract_document("https://a.test/blob", bytes(range(256)) * 4)
+        assert res.err != "" and res.content == ""
+
+    def test_poison_never_raises(self):
+        res = extract_document("https://a.test/x.pdf", b"%PDF-1.4\xff\xfe\x00trunc")
+        assert res.err == "" or isinstance(res.err, str)  # no exception
+        assert res.content == ""
