@@ -1,0 +1,154 @@
+"""The batch extraction pipeline: scan → classify → skew-repartition →
+extract (Arrow UDF) → write + metrics + lineage, resumable by url.
+
+Topology (north_star): explicit salted size-bucketed repartition isolates
+giant documents; AQE handles residual skew; extraction is embarrassingly
+parallel (no shuffle after the repartition); metrics/lineage are built-in
+hash aggregates over the written results.
+
+Resume: re-running with the same ``out_dir`` anti-joins the input against
+already-extracted urls — idempotent, manifest-free (the written parquet IS
+the manifest), exactly-once per url.
+
+CLI (the verify surface)::
+
+    python -m doctor_spark.pipeline --n-docs 2000 --out /tmp/out [--verify]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .corpus import pages_dataframe
+from .operators.classify import skew_repartition, with_classification
+from .operators.extract import extract_operator
+
+
+def run_extraction_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    *,
+    run_id: str = "r0",
+    ocr_available: bool = True,
+    strip_margin: bool = False,
+    recap_mode: bool = False,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> dict:
+    """Run the full pipeline; returns summary counters."""
+    out = Path(out_dir)
+    results_path = str(out / "extracted")
+    metrics_path = str(out / "metrics")
+    lineage_path = str(out / "lineage")
+
+    classified = with_classification(pages)
+
+    already = 0
+    if resume and (out / "extracted" / "_SUCCESS").exists():
+        done = spark.read.parquet(results_path).select("url")
+        already = done.count()
+        classified = classified.join(done, "url", "left_anti")
+
+    staged = skew_repartition(classified, num_partitions)
+    extracted = (
+        extract_operator(
+            staged,
+            ocr_available=ocr_available,
+            strip_margin=strip_margin,
+            recap_mode=recap_mode,
+        )
+        .withColumn("partition_id", F.spark_partition_id())
+        .withColumn("run_id", F.lit(run_id))
+    )
+    extracted.write.mode("append").parquet(results_path)
+
+    # metrics + lineage from the written results: columnar scan, payloads
+    # never re-read, pure built-in aggregates (partial + final hash agg)
+    results = spark.read.parquet(results_path)
+    metrics = results.groupBy("run_id", "extension").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("extracted_by_ocr").cast("int")).alias("n_ocr"),
+        F.sum((F.col("err") != "").cast("int")).alias("n_err"),
+        F.avg(F.length("content")).alias("avg_content_chars"),
+        F.sum("size_bytes").alias("input_bytes"),
+    )
+    metrics.write.mode("overwrite").parquet(metrics_path)
+
+    lineage = results.groupBy("run_id", "partition_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("size_bytes").alias("bytes_in"),
+        F.sum(F.length("content")).alias("chars_out"),
+        F.min("warc_ts").alias("min_ts"),
+        F.max("warc_ts").alias("max_ts"),
+    )
+    lineage.write.mode("overwrite").parquet(lineage_path)
+
+    total = results.count()
+    return {
+        "run_id": run_id,
+        "total_rows": total,
+        "resumed_skip": already,
+        "results_path": results_path,
+    }
+
+
+def verify_extraction(
+    spark: SparkSession, pages: DataFrame, results_path: str
+) -> int:
+    """Byte-identical check: count of urls whose extracted content differs
+    from the golden ``text`` column (the corpus generator emits payload and
+    expectation together, FIXTURES.md §1)."""
+    results = spark.read.parquet(results_path).select("url", "content")
+    golden = pages.select("url", F.col("text").alias("expected"))
+    return (
+        results.join(golden, "url")
+        .where(
+            ~(
+                F.col("content").eqNullSafe(F.col("expected"))
+            )
+        )
+        .count()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="doctor_spark extraction pipeline")
+    ap.add_argument("--n-docs", type=int, default=1000)
+    ap.add_argument("--corpus", help="existing pages parquet (overrides --n-docs)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--run-id", default="r0")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from .session import get_spark
+
+    spark = get_spark("doctor_spark.pipeline", cores=args.cores)
+    if args.corpus:
+        pages = spark.read.parquet(args.corpus)
+    else:
+        pages = pages_dataframe(spark, args.n_docs)
+
+    t0 = time.monotonic()
+    summary = run_extraction_pipeline(
+        spark, pages, args.out, run_id=args.run_id, resume=not args.no_resume
+    )
+    summary["wall_sec"] = round(time.monotonic() - t0, 2)
+    if args.verify:
+        summary["golden_mismatches"] = verify_extraction(
+            spark, pages, summary["results_path"]
+        )
+    metrics = spark.read.parquet(str(Path(args.out) / "metrics"))
+    metrics.orderBy("extension").show(truncate=False)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""The byte-identical contract over the synthetic corpus: for every record,
+``extract_document(url, payload)`` must equal the golden ``text`` column —
+this is the pure-Python version of the join the Spark pipeline performs."""
+
+import pytest
+
+from doctor_spark.corpus import generate_page, generate_pages
+from doctor_spark.kernels.extract import extract_document
+
+N = 300  # covers all 100 format buckets 3×
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pages(0, N)
+
+
+def test_deterministic():
+    a, b = generate_page(7), generate_page(7)
+    assert a == b
+
+
+def test_unique_urls(corpus):
+    assert len({r["url"] for r in corpus}) == N
+
+
+def test_byte_identical_extraction(corpus):
+    mismatches = []
+    for rec in corpus:
+        res = extract_document(rec["url"], rec["html"], ocr_available=True)
+        if res.content != rec["text"]:
+            mismatches.append((rec["url"], res.content[:80], rec["text"][:80]))
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
+
+
+def test_error_rows_carry_err(corpus):
+    for rec in corpus:
+        if rec["text"] == "":
+            res = extract_document(rec["url"], rec["html"], ocr_available=True)
+            assert res.err != "", rec["url"]
+
+
+def test_mojibake_fixed_on_no_ocr_path():
+    # bucket 65-66: with ocr_available=False the reference's no-'e' gate
+    # fires and the map repairs the text (tasks.py:217-221)
+    rec = generate_page(65)
+    res = extract_document(rec["url"], rec["html"], ocr_available=False)
+    assert "е" not in rec["text"]
+    # repaired text is plain ascii words, the corrupt golden is not
+    assert res.content != rec["text"]
+    assert all(c.isascii() for c in res.content)
+
+
+def test_size_skew_exists(corpus):
+    sizes = sorted(len(r["html"]) for r in corpus)
+    assert sizes[-1] > 20 * sizes[len(sizes) // 2]  # giants exist
+
+
+def test_format_mix(corpus):
+    exts = {}
+    for rec in corpus:
+        res = extract_document(rec["url"], rec["html"])
+        exts[res.extension] = exts.get(res.extension, 0) + 1
+    assert set(exts) >= {"pdf", "html", "txt", "docx"}

@@ -1,0 +1,62 @@
+"""Spark end-to-end: corpus → classify → skew repartition → extract UDF →
+write/metrics/lineage → byte-identical verify → resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doctor_spark.corpus import pages_dataframe
+from doctor_spark.operators.classify import with_classification
+from doctor_spark.pipeline import run_extraction_pipeline, verify_extraction
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_dataframe(spark, N, partitions=4).cache()
+
+
+def test_corpus_schema(pages):
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang"
+    ]
+    assert pages.count() == N
+
+
+def test_classification_stage(pages):
+    c = with_classification(pages)
+    buckets = {r["size_bucket"] for r in c.select("size_bucket").distinct().collect()}
+    assert "s" in buckets
+    exts = dict(
+        c.groupBy("url_ext").count().collect()
+    )
+    assert exts.get("html", 0) > 0 and exts.get("pdf", 0) > 0
+
+
+def test_pipeline_end_to_end(spark, pages, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    summary = run_extraction_pipeline(spark, pages, out, run_id="t1")
+    assert summary["total_rows"] == N
+    assert verify_extraction(spark, pages, summary["results_path"]) == 0
+
+    # metrics and lineage written and consistent
+    metrics = spark.read.parquet(f"{out}/metrics")
+    assert metrics.agg(F.sum("n_docs")).first()[0] == N
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.agg(F.sum("n_docs")).first()[0] == N
+
+    # resume: second run extracts nothing new, no duplicates
+    summary2 = run_extraction_pipeline(spark, pages, out, run_id="t2")
+    assert summary2["resumed_skip"] == N
+    assert summary2["total_rows"] == N
+    results = spark.read.parquet(summary2["results_path"])
+    assert results.select("url").distinct().count() == N
+
+
+def test_no_python_in_relational_plan(spark, pages):
+    """The classify stage must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes) so it whole-stage-codegens."""
+    plan = with_classification(pages).select(
+        "url_ext", "size_bucket", "salt"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
