@@ -1,0 +1,103 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting, and
+document fingerprinting — each a pure Column expression over built-in
+functions so Catalyst codegens the whole thing (no Python in the plan).
+Every function has an exact ANSI-SQL mirror used as the DuckDB oracle in
+``__spark_entry__.py``; keep the two in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# stopword inventories for the language-ID heuristic (tiny by design: this
+# is an n-gram/stopword-hit scorer, not a model)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that"),
+    "fr": ("le", "la", "les", "et", "de", "un", "est"),
+    "es": ("el", "los", "y", "de", "que", "es", "una"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+}
+
+_PUNCT_CLASS = r"[.,;:!?'\"()\[\]-]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of lower-cased trimmed text."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation (rounded 4dp — per-row
+    arithmetic, so exact across engines)."""
+    n = F.length(col)
+    stripped = F.length(F.regexp_replace(col, _PUNCT_CLASS, ""))
+    return F.round(
+        F.when(n == 0, F.lit(0.0)).otherwise((n - stripped) / n), 4
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    words = LANG_STOPWORDS[lang]
+    toks = tokens(col)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*words))
+    )
+    return F.round(
+        F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks)), 4
+    )
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    )
+    return F.round(
+        F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(total / F.size(toks)), 4
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: length factor, low punctuation,
+    reasonable stopword density — the shape of C4-style web-text quality
+    filters, deterministic and SQL-mirrorable."""
+    n_tok = token_count(col)
+    len_factor = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5)
+    stop = stopword_ratio(col, "en")
+    stop_factor = F.least(stop * 4, F.lit(1.0))
+    return F.round((len_factor + punct_pen + stop_factor) / 3, 4)
+
+
+def lang_stop_hits(col: Column, lang: str) -> Column:
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))
+
+
+def lang_guess(col: Column) -> Column:
+    """argmax over per-language stopword hits; ties break in the fixed
+    order en > fr > es > de; zero hits everywhere → 'und' (undetermined)."""
+    hits = {lg: lang_stop_hits(col, lg) for lg in LANG_STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lg in LANG_STOPWORDS:  # insertion order = tie-break order
+        expr = expr.when(hits[lg] == best, F.lit(lg))
+    return expr.otherwise(F.lit("und"))
+
+
+def normalized_text(col: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lower-cased text (the exact-dedup key)."""
+    return F.md5(normalized_text(col).cast("binary"))

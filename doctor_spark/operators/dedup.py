@@ -1,0 +1,223 @@
+"""Deduplication operators for training-data pipelines.
+
+All four families from the task brief, composed from built-in DataFrame ops
+(no Python UDFs — hashing via ``md5``, set algebra via higher-order array
+functions, candidate generation via hash-key self-joins):
+
+- exact:            md5-of-normalized-text groupBy
+- MinHash + LSH:    k seeded min-hashes → bands → bucket self-join
+- SimHash:          per-token hash bits majority-voted into a signature
+- n-gram Jaccard:   3-token shingles, shingle-inverted-index join, exact
+                    Jaccard on candidate pairs
+
+Scale notes: every self-join is on a hash key (band/bucket/shingle), so the
+shuffle is keyed and AQE-skew-splittable; the quadratic blow-up of pairwise
+comparison is bounded to same-bucket candidates, which is the point of
+MinHash-LSH at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint, tokens
+
+DEFAULT_SEEDS = ("s0", "s1", "s2", "s3")
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: groups with >1 member, keeper = min id.
+
+    Columns: text_hash, n_dups, keep_id."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row summary: n_total, n_unique (distinct fingerprints)."""
+    return df.select(
+        F.count("*").alias("n_total"),
+        F.countDistinct(fingerprint(F.col(text_col))).alias("n_unique"),
+    )
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", seeds: tuple[str, ...] = DEFAULT_SEEDS
+) -> DataFrame:
+    """k seeded min-hashes over the token set: mh_i = min(md5(seed_i || t)).
+
+    String-min over hex digests — portable bit-for-bit to any engine with
+    md5 (the DuckDB oracle mirrors it exactly)."""
+    toks = tokens(F.col(text_col))
+    out = df
+    for i, seed in enumerate(seeds):
+        # closure factory: a 2-parameter lambda would be treated by
+        # F.transform as (element, index) and silently swallow the seed
+        def seeded(s):
+            return lambda t: F.md5(F.concat(F.lit(s), t))
+
+        out = out.withColumn(
+            f"mh{i}", F.array_min(F.transform(toks, seeded(seed)))
+        )
+    return out
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Adds band_0..band_{b-1}: md5 of the concatenated row hashes."""
+    out = with_minhash(df, text_col, seeds)
+    n_bands = len(seeds) // rows_per_band
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        out = out.withColumn(
+            f"band_{b}", F.md5(F.concat_ws("|", *cols).cast("binary"))
+        )
+    return out
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: ids sharing any band bucket (id_a < id_b).
+
+    The band self-join is a keyed equi-join — at scale each bucket is tiny,
+    so this avoids any pairwise cross product."""
+    n_bands = len(seeds) // rows_per_band
+    banded = minhash_band_keys(df, text_col, seeds, rows_per_band)
+    stacked = None
+    for b in range(n_bands):
+        part = banded.select(
+            F.col(id_col).alias("id"),
+            F.lit(b).alias("band_no"),
+            F.col(f"band_{b}").alias("band_key"),
+        )
+        stacked = part if stacked is None else stacked.unionAll(part)
+    left = stacked.select(
+        F.col("band_no"), F.col("band_key"), F.col("id").alias("id_a")
+    )
+    right = stacked.select(
+        F.col("band_no"), F.col("band_key"), F.col("id").alias("id_b")
+    )
+    return (
+        left.join(right, ["band_no", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash signature: per-token 60-bit hash (hex→int of md5 prefix),
+    each bit majority-voted over the token multiset; ``bits`` low bits kept.
+
+    Pure built-in expression: explode-free (higher-order aggregate over the
+    token array), so it needs no shuffle at all."""
+    toks = tokens(F.col(text_col))
+    tok_hash = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10)
+        .cast("bigint"),
+    )
+    def vote_for_bit(b):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(tok_hash, F.lit(0), vote_for_bit(b))
+        bit_cols.append(
+            F.when(votes >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        )
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.withColumn("simhash", sig.cast("bigint"))
+
+
+def simhash_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Docs grouped by identical simhash: (simhash, n_docs, keep_id)."""
+    return (
+        with_simhash(df, text_col, bits)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingles(col, n: int = 3):
+    """n-token shingle strings (higher-order expression)."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array()).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over shingle-sharing candidate pairs.
+
+    inverted-index join on shingle → per-pair intersection counts →
+    |A∪B| = |A|+|B|-|A∩B|.  Columns: id_a, id_b, jaccard (4dp)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = exploded.select(
+        F.col("shingle"),
+        F.col("id").alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = exploded.select(
+        F.col("shingle"),
+        F.col("id").alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline — broadcast the (small) query
+  set against all candidates; dot product via zip_with/aggregate in double
+  (JVM-side, codegen'd; no Python)
+- LSH-bucketed ANN: sign-random-projection buckets from deterministic
+  md5-seeded hyperplane hashes — the scale path: candidates meet only
+  inside a bucket, turning the N×Q cross product into a keyed join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine_sim(a, b):
+    """Cosine similarity of two array columns, computed in double with a
+    fixed sequential fold (bit-identical to the DuckDB oracle's mirror)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (neighbors drawn from
+    the non-query rows).  Columns: query_id, neighbor_id, score, rank.
+
+    The query side is a handful of rows → broadcast hash join, single pass
+    over candidates, per-query top-k via window."""
+    vec_d = F.col(vec_col).cast("array<double>")
+    queries = (
+        df.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), vec_d.alias("qv"))
+    )
+    candidates = df.where(~F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("neighbor_id"), vec_d.alias("cv")
+    )
+    scored = candidates.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("qv"), F.col("cv")), 4).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_no: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j from the md5 of
+    (plane_no, j) — reproducible across runs/engines with no RNG state."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = hashlib.md5(f"plane{plane_no}:{j}".encode()).hexdigest()
+        comps.append((int(h[:15], 16) / float(16 ** 15)) * 2.0 - 1.0)
+    return comps
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    table_no: int = 0,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Sign-random-projection bucket id: bit p = sign(v · plane_p).  Each
+    ``table_no`` uses an independent plane family (OR-amplification)."""
+    vec_d = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        plane = F.array(
+            *[F.lit(c) for c in _hyperplane(dim, table_no * 1000 + p)]
+        )
+        bit = F.when(_dot(vec_d, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit * F.lit(2 ** p)).cast("bigint")
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    dim: int,
+    k: int = 3,
+    n_planes: int = 4,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only among candidates sharing a
+    bucket with the query in at least one of ``n_tables`` independent LSH
+    tables (standard OR-amplified sign-random-projection).
+
+    Columns: query_id, neighbor_id, score, rank.  At scale, each table join
+    is a keyed equi-join on the bucket id — the N×Q cross product never
+    materializes."""
+    bucketed = df
+    for t in range(n_tables):
+        bucketed = with_lsh_bucket(
+            bucketed, dim, n_planes, vec_col, table_no=t, out_col=f"lsh_b{t}"
+        )
+    vec_d = F.col(vec_col).cast("array<double>")
+    is_query = F.col(id_col).isin(query_ids)
+
+    pair_union = None
+    for t in range(n_tables):
+        queries = bucketed.where(is_query).select(
+            F.col(f"lsh_b{t}").alias("bk"), F.col(id_col).alias("query_id")
+        )
+        candidates = bucketed.where(~is_query).select(
+            F.col(f"lsh_b{t}").alias("bk"), F.col(id_col).alias("neighbor_id")
+        )
+        pairs = candidates.join(F.broadcast(queries), "bk").select(
+            "query_id", "neighbor_id"
+        )
+        pair_union = pairs if pair_union is None else pair_union.unionAll(pairs)
+    pair_union = pair_union.distinct()
+
+    qv = df.where(is_query).select(
+        F.col(id_col).alias("query_id"), vec_d.alias("qv")
+    )
+    cv = df.where(~is_query).select(
+        F.col(id_col).alias("neighbor_id"), vec_d.alias("cv")
+    )
+    scored = (
+        pair_union.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qv"), F.col("cv")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

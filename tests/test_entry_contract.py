@@ -1,0 +1,97 @@
+"""Replicates the driver's correctness gate: every ``queries()`` entry run
+via Spark at sf0.01 must match its ``oracle_sql()`` DuckDB result —
+row count, column names, and order-insensitive values."""
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _oracle_df(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.sql(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(entry.oracle_sql().keys()))
+def test_query_matches_oracle(spark, name):
+    q = entry.queries()[name]
+    spark_pdf = _normalize(q(spark, SF_DIR).toPandas())
+    oracle_pdf = _normalize(_oracle_df(entry.oracle_sql()[name]))
+
+    assert list(spark_pdf.columns) == list(oracle_pdf.columns), (
+        f"{name}: columns {list(spark_pdf.columns)} vs {list(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: rows {len(spark_pdf)} vs {len(oracle_pdf)}"
+    )
+    for col in spark_pdf.columns:
+        sv, ov = spark_pdf[col].tolist(), oracle_pdf[col].tolist()
+        bad = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(sv, ov))
+            if not _values_equal(a, b)
+        ]
+        assert not bad, f"{name}.{col}: {len(bad)} diffs, first 3: {bad[:3]}"
+
+
+def test_every_query_has_oracle_or_documented_exception():
+    qs, os_ = set(entry.queries()), set(entry.oracle_sql())
+    assert os_ <= qs
+    # the only rows-only queries are the documented engine-side ones
+    assert qs - os_ == {"lsh_ann_topk"}
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    rows = df.count()
+    assert rows == 200
+    assert "content" in df.columns and "url" in df.columns
+
+
+def test_lsh_ann_recall(spark):
+    """LSH ANN must find a decent fraction of the true top-3 neighbors."""
+    brute = entry.q_ann_cosine_topk(spark, SF_DIR).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    approx = entry.q_lsh_ann_topk(spark, SF_DIR).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"recall {recall}"
