@@ -366,15 +366,22 @@ SELECT doc_id::BIGINT AS doc_id, ({sig_terms})::BIGINT AS simhash FROM t
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(n: int = 3) -> str:
+    # 3-gram shingles, mirroring doctor_spark.operators.dedup.shingles()
+    shingle = (
+        f"list_distinct(list_transform(range(1, len({_TOKS}) - {n - 2}), "
+        f"i -> array_to_string(({_TOKS})[i:i+{n - 1}], ' ')))"
+    )
     mh = {
-        i: f"list_aggregate(list_transform({_TOKS}, tk -> md5('s{i}' || tk)), 'min')"
+        i: f"list_aggregate(list_transform(sh, s -> md5('s{i}' || s)), 'min')"
         for i in range(4)
     }
     return f"""
-WITH sigs AS (
+WITH sh_t AS (
+  SELECT doc_id, {shingle} AS sh FROM documents WHERE len({_TOKS}) >= {n}
+), sigs AS (
   SELECT doc_id, {mh[0]} AS mh0, {mh[1]} AS mh1, {mh[2]} AS mh2, {mh[3]} AS mh3
-  FROM documents
+  FROM sh_t
 ), banded AS (
   SELECT doc_id, 0 AS band_no, md5(mh0 || '|' || mh1) AS band_key FROM sigs
   UNION ALL

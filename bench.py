@@ -1,0 +1,148 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``:
+
+- ``extract``      — the flagship pipeline (classify → skew repartition →
+  Arrow-UDF extraction) over the deterministic pages corpus sized by sf
+  (sf0.1 → 8,000 docs), reading a materialized parquet corpus so timing
+  isolates extraction, not generation
+- dedup / similarity / text-analysis / relational queries from
+  ``__spark_entry__`` over the driver tables
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {...per-query sec...}, "sf": <sf>, "docs_per_sec": ...}
+
+Scaling evidence (BASELINE.json: N vs 4N executors → local[8] vs local[32]):
+    SPARK_GRAFT_CPUS=8 python bench.py
+    SPARK_GRAFT_CPUS=32 python bench.py
+See BENCH/BASELINE.md for recorded results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+DOCS_PER_SF = 80_000  # sf0.1 -> 8k docs, sf0.01 -> 800
+MIN_DOCS = 400
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _materialize_corpus(spark, n_docs: int, cpus: int) -> str:
+    path = Path(f"/tmp/doctor_spark_corpus/n{n_docs}")
+    if not (path / "_SUCCESS").exists():
+        from doctor_spark.corpus import pages_dataframe
+
+        pages_dataframe(spark, n_docs, partitions=cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(str(path))
+    return str(path)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_docs = max(MIN_DOCS, int(DOCS_PER_SF * sf))
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    import __spark_entry__ as entry
+    from doctor_spark.operators.classify import (
+        skew_repartition,
+        with_classification,
+    )
+    from doctor_spark.operators.extract import extract_operator
+    from doctor_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("doctor_spark-bench", cores=cpus, extra_conf={
+        # CPU-bound Python extraction wants many small byte-balanced input
+        # splits and fat Arrow batches (see BENCH/BASELINE.md)
+        "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    })
+    corpus_path = _materialize_corpus(spark, n_docs, cpus)
+
+    # warmup: JIT/codegen + table file-listing, so per-query timings measure
+    # the operators rather than first-query JVM warmup
+    for t in ("documents", "embeddings", "events", "lineitem", "orders"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    spark.range(1_000_000).agg(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        fn()  # warmup run: codegen/JIT compile of this query shape
+        t0 = time.monotonic()
+        fn()  # timed run: steady-state operator cost
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # flagship: full extraction, forced end-to-end by an aggregate over the
+    # extracted content (nothing can be pruned away).  Map-only plan: the
+    # byte-balanced parquet splits already spread cost (pipeline "auto"
+    # behavior); see classify.skew_repartition for the pathological-input
+    # shuffle path, exercised by extract_shuffled below.
+    def run_extract():
+        pages = spark.read.parquet(corpus_path)
+        extracted = extract_operator(pages, ocr_available=True)
+        extracted.agg(
+            F.count("*"), F.sum(F.length("content")),
+            F.sum(F.col("extracted_by_ocr").cast("int")),
+        ).collect()
+
+    timed("extract", run_extract)
+
+    def run_extract_shuffled():
+        pages = spark.read.parquet(corpus_path)
+        staged = skew_repartition(with_classification(pages), cpus * 3)
+        extracted = extract_operator(staged, ocr_available=True)
+        extracted.agg(F.count("*"), F.sum(F.length("content"))).collect()
+
+    timed("extract_shuffled", run_extract_shuffled)
+
+    qs = entry.queries()
+    for name in (
+        "dedup_exact",
+        "dedup_minhash_pairs",
+        "dedup_simhash",
+        "text_quality",
+        "lang_id",
+        "fingerprint",
+        "ann_cosine_topk",
+        "lsh_ann_topk",
+        "events_daily",
+        "events_user_topk",
+        "lineitem_pricing",
+        "order_revenue_topk",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "doctor_spark headline ops wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "cpus": cpus,
+                "docs_per_sec": round(n_docs / timings["extract"], 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

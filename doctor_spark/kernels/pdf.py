@@ -285,6 +285,9 @@ class Page:
     images: list[ImageInfo] = field(default_factory=list)
     annot_subtypes: list[str] = field(default_factory=list)
     curve_count: int = 0
+    black_rects: list[tuple[float, float, float, float]] = field(
+        default_factory=list
+    )
 
 
 @dataclass
@@ -402,14 +405,22 @@ _CONTENT_TOKEN = re.compile(
 )
 
 
-def _interpret_content(content: bytes, fonts: dict[str, str]) -> tuple[list[TextRun], int]:
+def _interpret_content(
+    content: bytes, fonts: dict[str, str]
+) -> tuple[list[TextRun], int, list[tuple[float, float, float, float]]]:
     """Execute the text-positioning subset of a content stream.
 
-    Returns (runs, curve_op_count).  Unknown operators are ignored; operand
-    stack is cleared per operator like a real interpreter.
+    Returns (runs, curve_op_count, black_filled_rects).  Unknown operators
+    are ignored; operand stack is cleared per operator like a real
+    interpreter.  Filled near-black rectangles are tracked for the
+    bad-redaction detector (reference tasks.py:134-152, the x-ray lib's
+    core heuristic: a black box drawn over recoverable text).
     """
     runs: list[TextRun] = []
     curves = 0
+    black_rects: list[tuple[float, float, float, float]] = []
+    pending_rects: list[tuple[float, float, float, float]] = []
+    fill_black = False
     tm = _Matrix()
     lm = _Matrix()
     leading = 0.0
@@ -508,11 +519,24 @@ def _interpret_content(content: bytes, fonts: dict[str, str]) -> tuple[list[Text
                 show_tj_array(stack[-1])
             elif op in (b"c", b"v", b"y"):
                 curves += 1
+            elif op == b"rg" and len(stack) >= 3:
+                fill_black = sum(float(v) for v in stack[-3:]) < 0.3
+            elif op == b"g" and stack:
+                fill_black = float(stack[-1]) < 0.1
+            elif op == b"re" and len(stack) >= 4:
+                x, y, w, h = (float(v) for v in stack[-4:])
+                pending_rects.append((x, y, w, h))
+            elif op in (b"f", b"F", b"b", b"B"):
+                if fill_black:
+                    black_rects.extend(pending_rects)
+                pending_rects.clear()
+            elif op in (b"n", b"S", b"s"):
+                pending_rects.clear()
         except (TypeError, ValueError):
             pass
         stack.clear()
 
-    return runs, curves
+    return runs, curves, black_rects
 
 
 def parse_pdf(data: bytes) -> PdfDocument:
@@ -554,7 +578,9 @@ def parse_pdf(data: bytes) -> PdfDocument:
                     content_parts.append(cobj.data())
                 except (PdfParseError, zlib.error):
                     pass
-        runs, curves = _interpret_content(b"\n".join(content_parts), fonts)
+        runs, curves, black_rects = _interpret_content(
+            b"\n".join(content_parts), fonts
+        )
 
         # images (XObjects in resources)
         images: list[ImageInfo] = []
@@ -586,7 +612,7 @@ def parse_pdf(data: bytes) -> PdfDocument:
         pages.append(
             Page(number=idx, width=width, height=height, runs=runs,
                  images=images, annot_subtypes=annot_subtypes,
-                 curve_count=curves)
+                 curve_count=curves, black_rects=black_rects)
         )
     return PdfDocument(pages=pages)
 
@@ -780,6 +806,38 @@ def tesseract_ocr_backend(page: Page, strip_margin: bool) -> list[dict] | None:
 # --------------------------------------------------------------------------
 # document-level extraction flows
 # --------------------------------------------------------------------------
+
+
+def get_xray(data: bytes) -> dict:
+    """Bad-redaction detection (reference ``get_xray``, tasks.py:134-152 and
+    README.md:145-179): black filled rectangles with recoverable text runs
+    underneath.  Returns ``{"error": bool, "results": {page -> [{bbox:
+    [x0, y0, x1, y1], text}]}}`` — the reference's response shape; any
+    parse failure yields ``{"error": True}`` like its broad except.
+    """
+    try:
+        doc = parse_pdf(data)
+        results: dict[int, list[dict]] = {}
+        for page in doc.pages:
+            hits = []
+            for (rx, ry, rw, rh) in page.black_rects:
+                x0, y0, x1, y1 = rx, ry, rx + rw, ry + rh
+                under = [
+                    r for r in sorted(page.runs, key=lambda r: (-r.y, r.x))
+                    if x0 <= r.x <= x1 and y0 <= r.y + 0.5 * r.size <= y1
+                ]
+                if under:
+                    hits.append(
+                        {
+                            "bbox": [x0, y0, x1, y1],
+                            "text": " ".join(r.text for r in under),
+                        }
+                    )
+            if hits:
+                results[page.number] = hits
+        return {"error": False, "results": results}
+    except Exception:
+        return {"error": True, "results": {}}
 
 
 def extract_pdf_layout_text(data: bytes) -> tuple[str, str, int]:

@@ -48,6 +48,9 @@ class PageSpec:
     annots: list[str] = field(default_factory=list)  # e.g. ["FreeText"]
     curves: int = 0
     landscape: bool = False
+    # bad-redaction fixtures: black rect drawn over grid rows/cols
+    # (row, col, n_cols) — the text it covers goes in `lines` as usual
+    redactions: list[tuple[int, int, int]] = field(default_factory=list)
 
 
 def _esc(text: str) -> bytes:
@@ -134,6 +137,14 @@ def build_pdf(
         for i in range(spec.curves):
             content += b"%d %d m %d %d %d %d %d %d c S\n" % (
                 i, i, i + 1, i + 1, i + 2, i + 2, i + 3, i + 3
+            )
+        for (r_row, r_col, r_ncols) in spec.redactions:
+            rx = r_col * X_DENSITY - 1
+            ry = h - (TOP_MARGIN + r_row * Y_DENSITY) - 3
+            rw = r_ncols * X_DENSITY + 2
+            rh = FONT_SIZE + 4
+            content += b"q 0 0 0 rg %.2f %.2f %.2f %.2f re f Q\n" % (
+                rx, ry, rw, rh
             )
 
         xobj_entries = b""

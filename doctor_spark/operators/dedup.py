@@ -18,6 +18,7 @@ MinHash-LSH at 10^12 rows.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import fingerprint, tokens
@@ -53,13 +54,23 @@ def dedup_stats(
 
 
 def with_minhash(
-    df: DataFrame, text_col: str = "text", seeds: tuple[str, ...] = DEFAULT_SEEDS
+    df: DataFrame,
+    text_col: str = "text",
+    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """k seeded min-hashes over the token set: mh_i = min(md5(seed_i || t)).
+    """k seeded min-hashes over the ``shingle_n``-gram shingle set:
+    mh_i = min(md5(seed_i || shingle)).
 
-    String-min over hex digests — portable bit-for-bit to any engine with
-    md5 (the DuckDB oracle mirrors it exactly)."""
-    toks = tokens(F.col(text_col))
+    Shingles (not unigram tokens) are the textbook MinHash unit: over a
+    small vocabulary every document shares most unigrams, so token-level
+    signatures collide for everything (observed: ~all-pairs candidates at
+    sf0.1).  String-min over hex digests — portable bit-for-bit to any
+    engine with md5 (the DuckDB oracle mirrors it exactly).
+
+    Documents with fewer than ``shingle_n`` tokens get NULL signatures and
+    never band-join (filtered downstream)."""
+    sh = shingles(F.col(text_col), shingle_n)
     out = df
     for i, seed in enumerate(seeds):
         # closure factory: a 2-parameter lambda would be treated by
@@ -68,7 +79,7 @@ def with_minhash(
             return lambda t: F.md5(F.concat(F.lit(s), t))
 
         out = out.withColumn(
-            f"mh{i}", F.array_min(F.transform(toks, seeded(seed)))
+            f"mh{i}", F.array_min(F.transform(sh, seeded(seed)))
         )
     return out
 
@@ -90,6 +101,39 @@ def minhash_band_keys(
     return out
 
 
+def _minhash_bands_udf(seeds: tuple[str, ...], rows_per_band: int, n: int = 3):
+    """Arrow-batched band-key kernel: tokens → 3-gram shingle set → seeded
+    min-md5 signatures → per-band md5 keys.  Docs with < n tokens return an
+    empty list (posexplode then emits no rows, matching the oracle's
+    WHERE len(tokens) >= n)."""
+    n_bands = len(seeds) // rows_per_band
+
+    @F.pandas_udf("array<string>")
+    def bands(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        def _md5(s: str) -> str:
+            return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+        out = []
+        for text in texts:
+            toks = (text or "").lower().split()
+            if len(toks) < n:
+                out.append([])
+                continue
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            mh = [min(_md5(seed + s) for s in sh) for seed in seeds]
+            out.append(
+                [
+                    _md5("|".join(mh[b * rows_per_band : (b + 1) * rows_per_band]))
+                    for b in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return bands
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -101,16 +145,20 @@ def minhash_candidate_pairs(
 
     The band self-join is a keyed equi-join — at scale each bucket is tiny,
     so this avoids any pairwise cross product."""
-    n_bands = len(seeds) // rows_per_band
-    banded = minhash_band_keys(df, text_col, seeds, rows_per_band)
-    stacked = None
-    for b in range(n_bands):
-        part = banded.select(
-            F.col(id_col).alias("id"),
-            F.lit(b).alias("band_no"),
-            F.col(f"band_{b}").alias("band_key"),
-        )
-        stacked = part if stacked is None else stacked.unionAll(part)
+    # Band keys via an Arrow-batched pandas UDF: the pure-builtin expression
+    # (see with_minhash) is semantically identical but Catalyst evaluates
+    # nested higher-order functions interpreted (no codegen, no CSE) at
+    # ~1 ms/row; hashlib in an Arrow batch is ~100× faster and md5-of-utf8
+    # is bit-identical across Spark / Python / DuckDB, so the oracle holds.
+    bands_udf = _minhash_bands_udf(seeds, rows_per_band)
+    stacked = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .select("id", F.posexplode(bands_udf(F.col("__t"))).alias("band_no", "band_key"))
+    )
+    # Materialize the (tiny) banded table through ONE exchange and self-join
+    # it; identical exchange subtrees on both sides become a ReusedExchange,
+    # so signatures are computed exactly once per row.
+    stacked = stacked.repartition(F.col("band_no"), F.col("band_key"))
     left = stacked.select(
         F.col("band_no"), F.col("band_key"), F.col("id").alias("id_a")
     )
@@ -139,21 +187,31 @@ def with_simhash(
         lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10)
         .cast("bigint"),
     )
-    def vote_for_bit(b):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_cols = []
-    for b in range(bits):
-        votes = F.aggregate(tok_hash, F.lit(0), vote_for_bit(b))
-        bit_cols.append(
-            F.when(votes >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        )
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
-    return df.withColumn("simhash", sig.cast("bigint"))
+    # single pass over the token array: one md5 per token, all `bits` vote
+    # counters updated in a zip_with — a per-bit aggregate would re-hash
+    # every token `bits` times (higher-order exprs don't codegen or CSE;
+    # observed 16× cost at sf0.1)
+    masks = F.array(*[F.lit(2 ** b).cast("bigint") for b in range(bits)])
+    votes = F.aggregate(
+        tok_hash,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v >= 0, m).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return df.withColumn("simhash", sig)
 
 
 def simhash_buckets(

@@ -1,0 +1,165 @@
+"""From-scratch WARC (Web ARChive, ISO 28500) source.
+
+Common-Crawl ships pages as ``.warc``/``.warc.gz`` files; this module turns
+them into the engine's pages table ``(url, warc_ts, html)`` with a
+stdlib-only parser:
+
+- record grammar: ``WARC/1.x`` version line, CRLF headers,
+  ``Content-Length`` payload, blank-line separators;
+- ``response`` records carry an HTTP response as payload — the HTTP status
+  line + headers are stripped to yield the raw body bytes;
+- ``.warc.gz`` is per-record gzip members (the CC convention) — handled by
+  a multi-member zlib loop.
+
+Scale model: one WARC file = one unit of parallelism (CC files are ~1 GB,
+so a 100 TB crawl is ~100k files — ample).  The Spark reader uses the
+built-in ``binaryFile`` source, so file listing/distribution is Catalyst's
+problem, and record parsing is an Arrow-batched ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import io
+import zlib
+
+CRLF = b"\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the .warc.gz layout)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        out += d.decompress(data[pos:])
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = len(data) - len(tail)
+    return bytes(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.decode("latin-1").strip().lower()] = v.decode(
+                "latin-1"
+            ).strip()
+    return headers
+
+
+def _http_body(payload: bytes) -> bytes:
+    """Strip the HTTP status line + headers from a response payload."""
+    sep = payload.find(CRLF + CRLF)
+    if sep == -1 or not payload[:5] in (b"HTTP/",):
+        return payload
+    return payload[sep + 4 :]
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """All ``response`` records of a WARC file →
+    ``[{url, warc_ts, html}]``.  Tolerant: malformed records are skipped."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start == -1:
+            break
+        head_end = data.find(CRLF + CRLF, start)
+        if head_end == -1:
+            break
+        headers = _parse_headers(data[start:head_end])
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = 0
+        payload = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts_raw = headers.get("warc-date", "")
+        try:
+            ts = dt.datetime.fromisoformat(ts_raw.replace("Z", "+00:00"))
+        except ValueError:
+            ts = None
+        records.append({"url": url, "warc_ts": ts, "html": _http_body(payload)})
+    return records
+
+
+def build_warc(
+    records: list[dict], *, gzip_per_record: bool = False
+) -> bytes:
+    """Fixture writer: serialize ``[{url, warc_ts, html}]`` into a WARC
+    file (optionally per-record-gzipped, the .warc.gz convention)."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        body: bytes = rec["html"]
+        http = (
+            b"HTTP/1.1 200 OK" + CRLF
+            + b"Content-Type: text/html" + CRLF
+            + b"Content-Length: " + str(len(body)).encode() + CRLF
+            + CRLF + body
+        )
+        ts = rec["warc_ts"]
+        ts_s = (
+            ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if ts is not None
+            else "2024-01-01T00:00:00Z"
+        )
+        head = (
+            b"WARC/1.0" + CRLF
+            + b"WARC-Type: response" + CRLF
+            + b"WARC-Record-ID: <urn:uuid:rec-" + str(i).encode() + b">" + CRLF
+            + b"WARC-Target-URI: " + rec["url"].encode() + CRLF
+            + b"WARC-Date: " + ts_s.encode() + CRLF
+            + b"Content-Type: application/http; msgtype=response" + CRLF
+            + b"Content-Length: " + str(len(http)).encode() + CRLF
+            + CRLF
+        )
+        record = head + http + CRLF + CRLF
+        if gzip_per_record:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(record)
+            out += buf.getvalue()
+        else:
+            out += record
+    return bytes(out)
+
+
+PAGES_FROM_WARC_DDL = "url string, warc_ts timestamp, html binary"
+
+
+def read_warc_pages(spark, path: str):
+    """Distributed WARC ingest: ``binaryFile`` scan → per-file record parse
+    in an Arrow-batched UDF → pages(url, warc_ts, html)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    ts = rec["warc_ts"]
+                    rows.append(
+                        {
+                            "url": rec["url"],
+                            "warc_ts": ts.replace(tzinfo=None) if ts else None,
+                            "html": rec["html"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html"]
+            )
+
+    return files.mapInPandas(parse, schema=PAGES_FROM_WARC_DDL)

@@ -271,3 +271,35 @@ class TestExtractDocumentDispatch:
         res = extract_document("https://a.test/x.pdf", b"%PDF-1.4\xff\xfe\x00trunc")
         assert res.err == "" or isinstance(res.err, str)  # no exception
         assert res.content == ""
+
+
+class TestXray:
+    def test_redaction_with_recoverable_text(self):
+        page = PageSpec(
+            lines=[
+                Line(row=0, col=0, text="public heading"),
+                Line(row=2, col=4, text="SECRET NAME"),
+                Line(row=4, col=0, text="public footer"),
+            ],
+            redactions=[(2, 4, 11)],
+        )
+        from doctor_spark.kernels.pdf import get_xray
+
+        xr = get_xray(build_pdf([page]))
+        assert xr["error"] is False
+        assert list(xr["results"].keys()) == [1]
+        hit = xr["results"][1][0]
+        assert hit["text"] == "SECRET NAME"
+        assert len(hit["bbox"]) == 4
+
+    def test_clean_page_no_hits(self):
+        from doctor_spark.kernels.pdf import get_xray
+
+        page = PageSpec(lines=[Line(row=0, col=0, text="nothing hidden")])
+        xr = get_xray(build_pdf([page]))
+        assert xr == {"error": False, "results": {}}
+
+    def test_corrupt_pdf_error_flag(self):
+        from doctor_spark.kernels.pdf import get_xray
+
+        assert get_xray(b"not a pdf at all")["error"] is True
