@@ -225,6 +225,53 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): ids < 200,
+    cosine ≥ 0.35, exact double fold mirrored in the oracle."""
+    from doctor_spark.operators.similarity import cosine_sim
+
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 200).select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.35)
+    )
+
+
+def q_media_features_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal gate: decoded feature values must equal the generator's
+    goldens.  Expected: EMPTY."""
+    from doctor_spark.operators.multimodal import media_dataframe, media_features
+
+    media = media_dataframe(spark, 120)
+    feats = media_features(media)
+    joined = feats.join(media.select("media_id", "expected_mean"), "media_id")
+    return joined.where(
+        ~F.col("mean_value").eqNullSafe(F.col("expected_mean"))
+    ).select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("mean_value").cast("double").alias("mean_value"),
+    )
+
+
+def q_media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata rollup (kinds cycle 1:1:1 over 120 items)."""
+    from doctor_spark.operators.multimodal import media_dataframe, media_kind_stats
+
+    return media_kind_stats(media_dataframe(spark, 120)).select(
+        "kind", F.col("n_items").cast("bigint").alias("n_items")
+    )
+
+
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)
@@ -325,6 +372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "media_features_mismatch": q_media_features_mismatch,
+        "media_kind_stats": q_media_kind_stats,
         "events_daily": q_events_daily,
         "events_user_topk": q_events_user_topk,
         "lineitem_pricing": q_lineitem_pricing,
@@ -522,6 +572,29 @@ SELECT * FROM ranked WHERE rank <= 3
 """,
         # lsh_ann_topk: intentionally no oracle (engine-side hyperplanes);
         # driver records rows-only, recall vs brute force is pytest-gated
+        "embedding_neardup": """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+         round(list_sum(list_transform(range(1, len(a.v) + 1),
+                                       i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4)
+           AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.35
+""",
+        "media_features_mismatch": (
+            "SELECT CAST(NULL AS BIGINT) AS media_id,"
+            " CAST(NULL AS DOUBLE) AS mean_value WHERE 1 = 0"
+        ),
+        "media_kind_stats": (
+            "SELECT 'image' AS kind, 40::BIGINT AS n_items"
+            " UNION ALL SELECT 'audio', 40::BIGINT"
+            " UNION ALL SELECT 'video', 40::BIGINT"
+        ),
         "events_daily": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*)::BIGINT AS n_events,

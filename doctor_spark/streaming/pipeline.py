@@ -1,0 +1,92 @@
+"""Streaming extraction: the same Arrow-UDF operators over an unbounded
+pages source.
+
+The reference is strictly request/response (SURVEY.md §2.7) — streaming is
+this engine's extension for continuous crawl ingestion: new parquet/WARC
+drops land in a directory, Structured Streaming picks them up, the
+extraction operator (identical code path to batch) emits result rows, and
+checkpointing gives exactly-once file-level resume — the streaming analog
+of the batch pipeline's url anti-join.
+
+``trigger(availableNow=True)`` drains everything pending and stops, which
+is both the test mode and the sensible cron-driven production mode;
+removing the trigger gives a continuous micro-batch job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..corpus import PAGES_SCHEMA_DDL
+from ..operators.extract import extract_operator
+
+
+def read_pages_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+
+def streaming_extract(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    ocr_available: bool = True,
+    await_termination: bool = True,
+):
+    """File-source pages stream → extraction → parquet sink.
+
+    Exactly-once per input file via the checkpoint; re-running with the
+    same checkpoint processes only new files."""
+    pages = read_pages_stream(spark, source_dir)
+    extracted = extract_operator(pages, ocr_available=ocr_available)
+    query = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+def streaming_metrics(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    query_name: str = "pages_metrics",
+):
+    """Windowed per-crawl-day metrics over the stream: watermarked event
+    time (warc_ts), tumbling windows, late data beyond the watermark
+    dropped.  Complete-mode memory sink (driver-side table) — swap for a
+    kafka/parquet sink in production."""
+    pages = read_pages_stream(spark, source_dir)
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("html")).alias("bytes_in"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("n_pages"),
+            F.col("bytes_in"),
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,60 @@
+"""Plan-quality gates: pushdown, pruning, JVM-only relational stages, and
+shuffle counts — regressions here are silent 100×-scale costs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doctor_spark.functions.text import fingerprint, quality_score
+from doctor_spark.operators.dedup import exact_duplicate_groups
+from doctor_spark.plans.checks import (
+    assert_jvm_only,
+    count_exchanges,
+    pushed_filters,
+    read_schema_columns,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_filter_pushdown(spark, docs):
+    q = docs.where(F.col("lang") == "en").select("doc_id")
+    filters = pushed_filters(q)
+    assert any("lang" in f for f in filters), filters
+
+
+def test_column_pruning(spark, docs):
+    q = docs.groupBy("lang").count()
+    cols = read_schema_columns(q)
+    assert cols == {"lang"}, cols
+
+
+def test_text_functions_are_jvm_only(spark, docs):
+    q = docs.select(
+        fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    assert_jvm_only(q)
+
+
+def test_exact_dedup_single_shuffle(spark, docs):
+    q = exact_duplicate_groups(docs)
+    assert_jvm_only(q)
+    # one exchange for the groupBy, nothing else
+    assert count_exchanges(q) == 1
+
+
+def test_lineitem_agg_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+    )
+    assert any("l_shipdate" in f for f in pushed_filters(q))
+    assert read_schema_columns(q) == {"l_returnflag", "l_quantity", "l_shipdate"}
+    assert_jvm_only(q)
