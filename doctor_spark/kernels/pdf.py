@@ -725,13 +725,16 @@ def page_needs_ocr(page: Page, page_text: str) -> bool:
     )
 
 
-def get_page_count(data: bytes, extension: str) -> int | None:
+def get_page_count(
+    data: bytes, extension: str, doc: "PdfDocument | None" = None
+) -> int | None:
     """Page count for PDFs; 0 on parse error; None for other formats
-    (reference tasks.py:158-191)."""
+    (reference tasks.py:158-191).  Pass a pre-parsed ``doc`` to avoid
+    re-parsing (the document flows parse once and share it)."""
     if extension != "pdf":
         return None
     try:
-        doc = parse_pdf(data)
+        doc = doc or parse_pdf(data)
         if doc.page_count:
             return doc.page_count
     except Exception:
@@ -840,11 +843,13 @@ def get_xray(data: bytes) -> dict:
         return {"error": True, "results": {}}
 
 
-def extract_pdf_layout_text(data: bytes) -> tuple[str, str, int]:
+def extract_pdf_layout_text(
+    data: bytes, doc: "PdfDocument | None" = None
+) -> tuple[str, str, int]:
     """The ``pdftotext -layout`` analog (reference tasks.py:75-89):
     whole-document layout text, pages joined by form-feed."""
     try:
-        doc = parse_pdf(data)
+        doc = doc or parse_pdf(data)
     except Exception as exc:
         return "", f"pdf parse failure: {exc}", 1
     pages = [layout_page_text(p) for p in doc.pages]

@@ -62,11 +62,24 @@ def run_extraction_pipeline(
     metrics_path = str(out / "metrics")
     lineage_path = str(out / "lineage")
 
+    # a crashed run can leave a footer-less in-flight part file in the
+    # results dir; every read of our own output must skip it (the option
+    # form isn't honored during footer/schema reads, so set the conf)
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+
     classified = with_classification(pages)
 
     already = 0
-    if resume and (out / "extracted" / "_SUCCESS").exists():
-        done = spark.read.parquet(results_path).select("url")
+    if resume and any(Path(results_path).glob("*.parquet")):
+        # resumability is file-granular: every fully-written part file holds
+        # complete rows, so anti-joining against them is exactly-once per
+        # url; an in-flight file from a crashed run has no parquet footer
+        # and is skipped via ignoreCorruptFiles rather than failing resume
+        done = (
+            spark.read.option("ignoreCorruptFiles", "true")
+            .parquet(results_path)
+            .select("url")
+        )
         already = done.count()
         classified = classified.join(done, "url", "left_anti")
 

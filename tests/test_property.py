@@ -1,0 +1,130 @@
+"""Property-based kernel invariants (hypothesis) — the reference has no
+property tests (SURVEY.md §5); these guard the from-scratch kernels against
+the input space the goldens can't enumerate."""
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from doctor_spark.kernels.extract import extract_document
+from doctor_spark.kernels.html import clean_html, html_to_text
+from doctor_spark.kernels.mojibake import fix_mojibake
+from doctor_spark.kernels.pdf import layout_page_text, parse_pdf
+from doctor_spark.kernels.pdfwriter import Line, PageSpec, build_pdf
+from doctor_spark.kernels.sniff import classify
+from doctor_spark.kernels.whitespace import remove_excess_whitespace
+from doctor_spark.sources.warc import build_warc, parse_warc
+
+MAX_EX = 150
+
+text_lines = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=MAX_EX, deadline=None)
+@given(st.text(max_size=500))
+def test_remove_excess_whitespace_idempotent(s):
+    once = remove_excess_whitespace(s)
+    assert remove_excess_whitespace(once) == once
+
+
+@settings(max_examples=MAX_EX, deadline=None)
+@given(st.text(max_size=300))
+def test_mojibake_preserves_unmapped(s):
+    # single-pass remap (NOT idempotent: the reference maps '-' -> 's', so
+    # a produced dash re-maps on a second pass — fix is applied once,
+    # tasks.py:218-221); unmapped chars must pass through verbatim
+    from doctor_spark.kernels.mojibake import TRANSLATE_TABLE
+
+    out = fix_mojibake(s)
+    expected = "".join(TRANSLATE_TABLE.get(ord(c), c) for c in s)
+    assert out == expected
+
+
+@settings(max_examples=MAX_EX, deadline=None)
+@given(st.binary(max_size=4096))
+def test_classify_total(payload):
+    mime, ext = classify("https://x.test/blob", payload)
+    assert isinstance(mime, str) and isinstance(ext, str)
+
+
+@settings(max_examples=MAX_EX, deadline=None)
+@given(st.text(max_size=2000))
+def test_clean_html_never_raises_and_strips_scripts(s):
+    out = clean_html(s)
+    assert "<script" not in out.lower()
+    html_to_text(out)  # also total
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2048), st.sampled_from(["pdf", "html", "txt", "docx", "bin"]))
+def test_extract_document_poison_safe(payload, ext):
+    res = extract_document(f"https://x.test/f.{ext}", payload, ocr_available=True)
+    assert isinstance(res.content, str)
+    assert isinstance(res.err, str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=18),  # row
+            st.integers(min_value=0, max_value=50),  # col
+            text_lines,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_pdf_layout_roundtrip(lines):
+    # one run per row: keep the lowest-col entry per row (overlaps are
+    # writer-author errors, not reader bugs)
+    by_row: dict[int, tuple[int, str]] = {}
+    for row, col, text in lines:
+        if row not in by_row or col < by_row[row][0]:
+            by_row[row] = (col, text)
+    specs = [
+        Line(row=row, col=col, text=text.rstrip())
+        for row, (col, text) in by_row.items()
+        if text.rstrip()
+    ]
+    if not specs:
+        return
+    doc = parse_pdf(build_pdf([PageSpec(lines=specs)]))
+    got = layout_page_text(doc.pages[0])
+
+    rows = sorted(by_row)
+    expected_lines: list[str] = []
+    prev = None
+    for row in rows:
+        col, text = by_row[row]
+        if not text.rstrip():
+            continue
+        if prev is not None:
+            expected_lines.extend("" for _ in range(row - prev - 1))
+        expected_lines.append(" " * col + text.rstrip())
+        prev = row
+    assert got == "\n".join(expected_lines)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=30),
+            st.binary(max_size=500),
+        ),
+        min_size=1, max_size=5,
+    ),
+    st.booleans(),
+)
+def test_warc_roundtrip(items, gz):
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    records = [
+        {"url": f"https://t.test/{i}/{u}", "warc_ts": ts, "html": body}
+        for i, (u, body) in enumerate(items)
+    ]
+    parsed = parse_warc(build_warc(records, gzip_per_record=gz))
+    assert [r["html"] for r in parsed] == [r["html"] for r in records]
+    assert [r["url"] for r in parsed] == [r["url"] for r in records]
