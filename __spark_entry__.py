@@ -93,6 +93,108 @@ def q_extract_ocr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pdf_metadata_fixtures() -> list[tuple[str, bytes]]:
+    """Deterministic header-stamp + redaction PDF fixtures (built by our own
+    writer; pure function, safe to call on executors)."""
+    from doctor_spark.kernels.pdfwriter import Line, PageSpec, build_pdf
+
+    fixtures = []
+    for i, docnum in enumerate(["1-1", "7-2", "12-3", "", "9"]):
+        lines = [Line(row=2, col=0, text=f"Body of document {i}")]
+        if docnum:
+            lines.append(
+                Line(row=0, col=0, header_stamp=True,
+                     text=f"Case: 2{i}-5555 Document: {docnum} Page: 1")
+            )
+        spec = PageSpec(lines=lines)
+        if i % 2 == 0:
+            spec.redactions = [(2, 0, len(f"Body of document {i}"))]
+        fixtures.append((f"https://pacer.test/doc{i}.pdf", build_pdf([spec])))
+    return fixtures
+
+
+def q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACER doc-number (P8) + bad-redaction x-ray (P9) + page count (P7)
+    over deterministic stamp/redaction fixtures.  Literal oracle."""
+    import pandas as pd
+
+    def run(batches):
+        from doctor_spark.kernels.pdf import (
+            get_document_number,
+            get_page_count,
+            get_xray,
+        )
+
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                data = bytes(payload)
+                xr = get_xray(data)
+                n_red = sum(len(v) for v in xr["results"].values())
+                recovered = " | ".join(
+                    h["text"] for v in xr["results"].values() for h in v
+                )
+                rows.append(
+                    (url, get_document_number(data),
+                     get_page_count(data, "pdf"), n_red, recovered)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "doc_number", "page_count", "n_redactions",
+                         "recovered_text"],
+            )
+
+    fixtures = _pdf_metadata_fixtures()
+    df = spark.createDataFrame(fixtures, "url string, payload binary")
+    return df.mapInPandas(
+        run,
+        schema="url string, doc_number string, page_count int, "
+               "n_redactions int, recovered_text string",
+    ).select(
+        "url", "doc_number",
+        F.col("page_count").cast("bigint").alias("page_count"),
+        F.col("n_redactions").cast("bigint").alias("n_redactions"),
+        "recovered_text",
+    )
+
+
+def q_extract_recap_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECAP-mode gate (P4-P6): strip-margin extraction over fixtures whose
+    goldens are authored alongside.  Expected: EMPTY."""
+    import pandas as pd
+
+    def run(batches):
+        from doctor_spark.kernels.extract import extract_recap_pdf_bytes
+
+        for pdf in batches:
+            rows = []
+            for url, payload, expected in zip(
+                pdf["url"], pdf["payload"], pdf["expected"]
+            ):
+                content, _by_ocr, _pages = extract_recap_pdf_bytes(
+                    bytes(payload), strip_margin=True
+                )
+                if content != expected:
+                    rows.append((url, content))
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    from doctor_spark.kernels.pdfwriter import Line, PageSpec, build_pdf
+
+    fixtures = []
+    for i in range(6):
+        body = [f"paragraph {j} of recap doc {i}" for j in range(3)]
+        lines = [Line(row=j * 2, col=4, text=t) for j, t in enumerate(body)]
+        lines.append(Line(row=1, col=40, text="STAMP", skew=True))
+        lines.append(Line(row=0, col=0, text="HEADER EDGE", y_override=792 - 30))
+        # strip_margin crops header+skew; per-page left-shift removes the
+        # 4-col indent; blank rows between paragraphs survive
+        golden = "\n\n".join(body)
+        fixtures.append((f"https://recap.test/{i}.pdf", build_pdf([PageSpec(lines=lines)]), golden))
+
+    df = spark.createDataFrame(fixtures, "url string, payload binary, expected string")
+    return df.mapInPandas(run, schema="url string, content string")
+
+
 def q_doc_metrics_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -361,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_mismatches": q_extract_mismatches,
         "extract_format_metrics": q_extract_format_metrics,
         "extract_ocr_stats": q_extract_ocr_stats,
+        "pdf_metadata": q_pdf_metadata,
+        "extract_recap_mismatch": q_extract_recap_mismatch,
         "doc_metrics_by_lang": q_doc_metrics_by_lang,
         "dedup_exact": q_dedup_exact,
         "dedup_stats": q_dedup_stats,
@@ -526,6 +630,20 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {CORPUS_N // 100 * 5}::BIGINT AS n_ocr,"
             f" {CORPUS_N // 100 * 6}::BIGINT AS n_err,"
             f" {CORPUS_N}::BIGINT AS n_total"
+        ),
+        "pdf_metadata": """
+SELECT 'https://pacer.test/doc0.pdf' AS url, '1-1' AS doc_number,
+       1::BIGINT AS page_count, 1::BIGINT AS n_redactions,
+       'Body of document 0' AS recovered_text
+UNION ALL SELECT 'https://pacer.test/doc1.pdf', '7-2', 1::BIGINT, 0::BIGINT, ''
+UNION ALL SELECT 'https://pacer.test/doc2.pdf', '12-3', 1::BIGINT, 1::BIGINT,
+       'Body of document 2'
+UNION ALL SELECT 'https://pacer.test/doc3.pdf', '', 1::BIGINT, 0::BIGINT, ''
+UNION ALL SELECT 'https://pacer.test/doc4.pdf', '9', 1::BIGINT, 1::BIGINT,
+       'Body of document 4'
+""",
+        "extract_recap_mismatch": (
+            "SELECT ''::VARCHAR AS url, ''::VARCHAR AS content WHERE 1 = 0"
         ),
         "doc_metrics_by_lang": """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,

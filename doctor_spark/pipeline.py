@@ -159,6 +159,9 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--run-id", default="r0")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--recap", action="store_true",
+                    help="pdfplumber+per-page-OCR hybrid flow (P6)")
+    ap.add_argument("--strip-margin", action="store_true")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
@@ -173,7 +176,8 @@ def main() -> None:
 
     t0 = time.monotonic()
     summary = run_extraction_pipeline(
-        spark, pages, args.out, run_id=args.run_id, resume=not args.no_resume
+        spark, pages, args.out, run_id=args.run_id, resume=not args.no_resume,
+        recap_mode=args.recap, strip_margin=args.strip_margin,
     )
     summary["wall_sec"] = round(time.monotonic() - t0, 2)
     if args.verify:
