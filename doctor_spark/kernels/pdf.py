@@ -101,13 +101,13 @@ class _Lexer:
         self.data = data
         self.pos = pos
 
+    _WS_RE = re.compile(rb"[\x00\t\n\x0c\r ]*")
+
     def _skip_ws(self) -> None:
         d, n = self.data, len(self.data)
-        while self.pos < n:
-            c = self.data[self.pos]
-            if c in _WS:
-                self.pos += 1
-            elif c == 0x25:  # % comment
+        while True:
+            self.pos = self._WS_RE.match(d, self.pos).end()
+            if self.pos < n and d[self.pos] == 0x25:  # % comment
                 while self.pos < n and d[self.pos] not in b"\r\n":
                     self.pos += 1
             else:
@@ -140,13 +140,13 @@ class _Lexer:
             return None
         return self._parse_number_or_ref()
 
+    _NAME_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+
     def _parse_name(self) -> Name:
         self.pos += 1
-        start = self.pos
-        d = self.data
-        while self.pos < len(d) and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
-            self.pos += 1
-        raw = d[start : self.pos]
+        m = self._NAME_RE.match(self.data, self.pos)
+        self.pos = m.end()
+        raw = m.group()
         # #xx escapes
         if b"#" in raw:
             raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw)
@@ -183,9 +183,17 @@ class _Lexer:
     def _parse_string(self) -> bytes:
         # returns raw latin-1 bytes of the literal, escapes resolved
         self.pos += 1
+        d = self.data
+        # fast path: no escapes / no nesting before the closing paren
+        # (the overwhelmingly common case in real content streams)
+        end = d.find(b")", self.pos)
+        if end != -1:
+            chunk = d[self.pos : end]
+            if b"\\" not in chunk and b"(" not in chunk:
+                self.pos = end + 1
+                return chunk
         out = bytearray()
         depth = 1
-        d = self.data
         while self.pos < len(d):
             c = d[self.pos]
             if c == 0x5C:  # backslash
