@@ -413,6 +413,37 @@ def q_events_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window functions —
+    the relational form of the stateful-streaming operator; per-session
+    stats with decimal-exact totals."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))  # NTZ: interpreted in UTC session
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0),
+    ).withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    ).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_no").cast("bigint").alias("session_no"),
+        "n_events", "session_start", "total_value",
+    )
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (relational/agg capability proof)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -481,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_kind_stats": q_media_kind_stats,
         "events_daily": q_events_daily,
         "events_user_topk": q_events_user_topk,
+        "events_sessionize": q_events_sessionize,
         "lineitem_pricing": q_lineitem_pricing,
         "order_revenue_topk": q_order_revenue_topk,
     }
@@ -727,6 +759,26 @@ SELECT event_type, user_id::BIGINT AS user_id, total_value, rnk FROM (
                                      user_id ASC)::BIGINT AS rnk
   FROM events GROUP BY event_type, user_id
 ) WHERE rnk <= 5
+""",
+        "events_sessionize": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts)::BIGINT
+                   - lag(epoch(ts)::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id::BIGINT AS user_id, session_no::BIGINT AS session_no,
+       count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value
+FROM sessions GROUP BY user_id, session_no
 """,
         "lineitem_pricing": """
 SELECT l_returnflag, l_linestatus,

@@ -58,6 +58,44 @@ def test_clean_html_never_raises_and_strips_scripts(s):
     html_to_text(out)  # also total
 
 
+_tag = st.sampled_from(
+    "p div span a b i body html font img script style form head title "
+    "table tr td h1 ul li noscript iframe br hr input".split()
+)
+_attr = st.sampled_from(
+    ['', ' class="k"', " id=x", " style='c:red'", ' onclick="e()"',
+     ' href="/a"', ' href="javascript:x()"', ' title="a&amp;b"',
+     " data-x='q>r'"]
+)
+_fragment = st.recursive(
+    st.one_of(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                       exclude_characters="<>"), max_size=20),
+        # note: no bare "<" leaves — for markup like "<A</p>" CPython's
+        # HTMLParser invents tag names containing '<' ("<a<"); the shipped
+        # fast path instead treats unparseable '<' as text (saner, frozen
+        # in test_kernels_html goldens), so the two diverge there by design
+        st.sampled_from(["&amp;", "&lt;", "&#65;", "<!-- c -->", "<br>",
+                         "<img src=x>", "</p>", "<p/>",
+                         "<!DOCTYPE html>", "<?pi ?>"]),
+    ),
+    lambda inner: st.builds(
+        lambda tag, attr, kids: f"<{tag}{attr}>" + "".join(kids) + f"</{tag}>",
+        _tag, _attr, st.lists(inner, max_size=4),
+    ),
+    max_leaves=25,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_fragment, max_size=6))
+def test_clean_html_fast_matches_event_parser(frags):
+    from doctor_spark.kernels.html import _clean_html_fast, clean_html_eventparser
+
+    doc = "".join(frags)
+    assert _clean_html_fast(doc) == clean_html_eventparser(doc)
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.binary(max_size=2048), st.sampled_from(["pdf", "html", "txt", "docx", "bin"]))
 def test_extract_document_poison_safe(payload, ext):
