@@ -421,10 +421,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.unix_timestamp(F.col("ts"))  # NTZ: interpreted in UTC session
+    # interval arithmetic on TIMESTAMP_NTZ is session-TZ-free and
+    # microsecond-exact (unix_timestamp would depend on the driver's TZ)
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
     flagged = ev.withColumn(
         "new_session",
-        F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0),
+        F.when(gap > F.expr("INTERVAL 30 MINUTES"), 1).otherwise(0),
     ).withColumn(
         "session_no",
         F.sum("new_session").over(
@@ -763,8 +765,7 @@ SELECT event_type, user_id::BIGINT AS user_id, total_value, rnk FROM (
         "events_sessionize": """
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
-         CASE WHEN epoch(ts)::BIGINT
-                   - lag(epoch(ts)::BIGINT) OVER w > 1800
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
