@@ -261,7 +261,9 @@ def generate_page(doc_id: int) -> dict:
             break
     category = suffix if suffix != "bin" else "blob"
     url = f"https://example{doc_id % 50}.test/{category}/{doc_id}.{suffix}"
-    ts = _BASE_TS + dt.timedelta(seconds=(doc_id * 137) % (30 * 86400))
+    # ~1-day stride (co-prime with 30 d) so even small corpora span several
+    # crawl days — partition-pruning tests need >1 date
+    ts = _BASE_TS + dt.timedelta(seconds=(doc_id * 86171) % (30 * 86400))
     return {
         "url": url,
         "warc_ts": ts,

@@ -58,3 +58,25 @@ def test_lineitem_agg_pushdown_and_pruning(spark):
     assert any("l_shipdate" in f for f in pushed_filters(q))
     assert read_schema_columns(q) == {"l_returnflag", "l_quantity", "l_shipdate"}
     assert_jvm_only(q)
+
+
+def test_output_partition_pruning(spark, tmp_path_factory):
+    """Hive-partitioned results by crawl_date: a date-filtered read must
+    prune partitions (scan only the matching directories)."""
+    from doctor_spark.corpus import pages_dataframe
+    from doctor_spark.pipeline import run_extraction_pipeline
+
+    out = str(tmp_path_factory.mktemp("pruned"))
+    pages = pages_dataframe(spark, 120, partitions=2)
+    run_extraction_pipeline(spark, pages, out, run_id="pp")
+    results = spark.read.parquet(f"{out}/extracted")
+    dates = sorted(r.crawl_date for r in results.select("crawl_date").distinct().collect())
+    assert len(dates) > 1
+    one_day = results.where(F.col("crawl_date") == dates[0])
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # partition filter must appear as a PartitionFilters entry, not a scan
+    got = spark._jvm.PythonSQLUtils.explainString(
+        one_day._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in got and "crawl_date" in got.split("PartitionFilters", 1)[1][:200]
+    assert one_day.count() > 0
