@@ -1,0 +1,139 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The batch form of this operator (lag/cumsum window functions) lives in
+``__spark_entry__.q_events_sessionize`` with an exact SQL oracle; this is
+the unbounded-stream form: per-user state carries (current session id,
+last event time, running aggregates) across micro-batches, a >30-min gap
+closes the session, and closed sessions are emitted exactly once.
+
+State schema: (session_no, last_ts_us, start_ts_us, n_events, total_value)
+Output: one row per CLOSED session; the open session flushes when the
+group times out (ProcessingTimeTimeout) or the stream ends.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_US = 30 * 60 * 1_000_000
+
+OUTPUT_DDL = (
+    "user_id long, session_no long, n_events long, "
+    "session_start timestamp, session_end timestamp, total_value double"
+)
+STATE_DDL = (
+    "session_no long, last_ts long, start_ts long, n_events long, "
+    "total_value double"
+)
+
+
+def _make_sessionize_group(flush_idle_ms: int | None):
+    def _sessionize_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                sess_no, last_ts, start_ts, n, total = state.get
+                state.remove()
+                yield _row(user_id, sess_no, n, start_ts, last_ts, total)
+            return
+
+        if state.exists:
+            sess_no, last_ts, start_ts, n, total = state.get
+        else:
+            sess_no, last_ts, start_ts, n, total = 0, None, None, 0, 0.0
+
+        closed: list[pd.DataFrame] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                ts_us = int(ts.value // 1000)  # pandas ns -> us
+                if last_ts is not None and ts_us - last_ts > GAP_US:
+                    closed.append(
+                        _row(user_id, sess_no, n, start_ts, last_ts, total)
+                    )
+                    sess_no += 1
+                    start_ts, n, total = ts_us, 0, 0.0
+                if start_ts is None:
+                    start_ts = ts_us
+                last_ts = ts_us
+                n += 1
+                total += float(value)
+
+        state.update((sess_no, last_ts, start_ts, n, total))
+        if flush_idle_ms is not None:
+            state.setTimeoutDuration(flush_idle_ms)
+        yield from closed
+
+    return _sessionize_group
+
+
+def _row(user_id, sess_no, n, start_us, end_us, total) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_no": [sess_no],
+            "n_events": [n],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(end_us, unit="us")],
+            "total_value": [round(total, 2)],
+        }
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    query_name: str = "sessions",
+    checkpoint: str | None = None,
+    flush_idle_ms: int | None = None,
+    out_dir: str | None = None,
+):
+    """events stream (user_id, ts, value, ...) → closed-session stream.
+
+    ``flush_idle_ms``: in continuous production streams, set it (e.g.
+    3_600_000) so idle users' open sessions flush via
+    ProcessingTimeTimeout.  Leave None for drain-and-stop
+    (``availableNow``) runs — with a timeout configured, availableNow
+    keeps running empty "cleaning up state" batches until every timeout
+    fires and the query never terminates (observed live).
+
+    Returns the started query (memory sink for tests; swap for parquet in
+    production)."""
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_idle_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    # note: checkpoint RECOVERY (state carried across restarts) requires a
+    # recoverable sink — pass out_dir for parquet; the memory sink is for
+    # single-run tests only
+    sessions = events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        _make_sessionize_group(flush_idle_ms),
+        outputStructType=OUTPUT_DDL,
+        stateStructType=STATE_DDL,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+    if out_dir:
+        writer = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+        )
+    else:
+        writer = (
+            sessions.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+        )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

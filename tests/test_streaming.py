@@ -41,3 +41,45 @@ def test_streaming_windowed_metrics(spark, dirs):
     assert rows
     assert sum(r.n_pages for r in rows) == 80
     assert all(r.bytes_in > 0 for r in rows)
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization must agree with the batch
+    window-function sessionization on CLOSED sessions."""
+    from doctor_spark.streaming.sessionize import streaming_sessionize
+
+    src = str(tmp_path / "events_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+    )
+    q = streaming_sessionize(stream, query_name="sess_t")
+    q.awaitTermination()
+    got = spark.sql(
+        "select user_id, session_no, n_events from sess_t"
+    ).collect()
+    assert got, "no closed sessions emitted"
+
+    # batch truth (same gap rule); streaming emits all but each user's
+    # final (still-open) session in a single availableNow batch
+    import __spark_entry__ as e
+
+    batch = e.q_events_sessionize(spark, "/root/testdata/sf0.001").collect()
+    batch_sessions = {(r.user_id, r.session_no): r.n_events for r in batch}
+    open_sessions = {}
+    for r in batch:
+        k = r.user_id
+        if k not in open_sessions or r.session_no > open_sessions[k]:
+            open_sessions[k] = r.session_no
+
+    for r in got:
+        assert (r.user_id, r.session_no) in batch_sessions
+        assert r.n_events == batch_sessions[(r.user_id, r.session_no)]
+    # every non-final batch session must have been emitted
+    expected_closed = {
+        k for k in batch_sessions if k[1] < open_sessions[k[0]]
+    }
+    assert {(r.user_id, r.session_no) for r in got} == expected_closed
