@@ -179,8 +179,16 @@ def _build_skew_pdf(doc_id: int, r: random.Random) -> tuple[bytes, str]:
     lines = [Line(row=i, col=0, text=t) for i, t in enumerate(body)]
     lines.append(Line(row=1, col=45, text="FILED", skew=True))
     page = PageSpec(lines=lines)
-    # flagship (non-strip) flow keeps the skewed stamp at its column
-    row1 = body[1] + " " * (45 - len(body[1])) + "FILED"
+    # flagship (non-strip) flow keeps the skewed stamp at its column;
+    # golden mirrors the reader's overlap rule exactly (layout_page_text):
+    # pad to the stamp column if the line is shorter, single separating
+    # space if it overruns, nothing if it lands exactly
+    if len(body[1]) < 45:
+        row1 = body[1] + " " * (45 - len(body[1])) + "FILED"
+    elif len(body[1]) > 45:
+        row1 = body[1] + " FILED"
+    else:
+        row1 = body[1] + "FILED"
     golden = "\n".join([body[0], row1, body[2]]) + "\f"
     return build_pdf([page]), golden
 

@@ -56,6 +56,19 @@ def test_size_skew_exists(corpus):
     assert sizes[-1] > 20 * sizes[len(sizes) // 2]  # giants exist
 
 
+def test_byte_identical_high_id_tail():
+    """Strided sweep deep into the id space: scale-only bugs (skew-stamp
+    column overlap, random junk passing the text sniff) only appeared past
+    id ~50k in a 240k-doc run."""
+    bad = []
+    for i in range(0, 240_000, 1999):
+        rec = generate_page(i)
+        res = extract_document(rec["url"], rec["html"], ocr_available=True)
+        if res.content != rec["text"]:
+            bad.append(rec["url"])
+    assert not bad, bad[:5]
+
+
 def test_format_mix(corpus):
     exts = {}
     for rec in corpus:
