@@ -279,6 +279,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document (token-budget
+    accounting for training pipelines)."""
+    from doctor_spark.functions.text import bpe_token_count, token_count
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        token_count(t).cast("bigint").alias("ws_tokens"),
+        bpe_token_count(t).cast("bigint").alias("bpe_tokens"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.functions.text import lang_guess
 
@@ -505,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_quality": q_text_quality,
+        "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -698,6 +712,15 @@ FROM documents
         "dedup_simhash": _simhash_sql(),
         "dedup_ngram_jaccard": _jaccard_sql(),
         "text_quality": _quality_sql(),
+        "token_stats": f"""
+SELECT doc_id::BIGINT AS doc_id,
+       (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)::BIGINT
+         AS ws_tokens,
+       len(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+       ))::BIGINT AS bpe_tokens
+FROM documents
+""",
         "lang_id": _lang_id_sql(),
         "fingerprint": f"SELECT doc_id::BIGINT AS doc_id, {_FP} AS fp FROM documents",
         "ann_cosine_topk": """

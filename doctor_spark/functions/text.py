@@ -93,6 +93,21 @@ def lang_guess(col: Column) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
+# GPT-2-style pre-tokenizer shape (public pattern family): contractions,
+# letter runs, digit runs, punctuation runs, whitespace runs — expressed in
+# RE2/Java-compatible syntax so the DuckDB oracle matches byte-for-byte
+BPE_TOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish pre-tokens (the approximation of tokenizer cost a
+    training-data pipeline budgets by)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
 def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
