@@ -95,8 +95,14 @@ def minhash_band_keys(
     n_bands = len(seeds) // rows_per_band
     for b in range(n_bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        # NULL signatures (sub-shingle-length docs) must yield NULL band
+        # keys: concat_ws silently drops NULLs, which would collide every
+        # short document into the shared md5('') bucket (k² false pairs)
         out = out.withColumn(
-            f"band_{b}", F.md5(F.concat_ws("|", *cols).cast("binary"))
+            f"band_{b}",
+            F.when(
+                cols[0].isNull(), F.lit(None).cast("string")
+            ).otherwise(F.md5(F.concat_ws("|", *cols).cast("binary"))),
         )
     return out
 

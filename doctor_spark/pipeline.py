@@ -18,6 +18,7 @@ CLI (the verify surface)::
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import time
 from pathlib import Path
@@ -27,6 +28,22 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .corpus import pages_dataframe
 from .operators.classify import skew_repartition, with_classification
 from .operators.extract import extract_operator
+
+
+@contextlib.contextmanager
+def _tolerate_own_output_corruption(spark: SparkSession):
+    """Scope ignoreCorruptFiles to reads of the engine's OWN output (a
+    crashed run can leave a footer-less in-flight part file there).  It
+    must NOT apply to input scans — a corrupt INPUT file should fail
+    loudly, not silently drop documents.  (The per-read option form is not
+    honored during parquet footer/schema reads, hence the conf dance.)"""
+    key = "spark.sql.files.ignoreCorruptFiles"
+    old = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def run_extraction_pipeline(
@@ -63,11 +80,6 @@ def run_extraction_pipeline(
     metrics_path = str(out / "metrics")
     lineage_path = str(out / "lineage")
 
-    # a crashed run can leave a footer-less in-flight part file in the
-    # results dir; every read of our own output must skip it (the option
-    # form isn't honored during footer/schema reads, so set the conf)
-    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
-
     classified = with_classification(pages)
 
     already = 0
@@ -75,13 +87,18 @@ def run_extraction_pipeline(
         # resumability is file-granular: every fully-written part file holds
         # complete rows, so anti-joining against them is exactly-once per
         # url; an in-flight file from a crashed run has no parquet footer
-        # and is skipped via ignoreCorruptFiles rather than failing resume
-        done = (
-            spark.read.option("ignoreCorruptFiles", "true")
-            .parquet(results_path)
-            .select("url")
-        )
-        already = done.count()
+        # and is skipped rather than failing resume
+        with _tolerate_own_output_corruption(spark):
+            # localCheckpoint materializes the url set NOW (inside the
+            # conf scope); the anti-join executes later, during the main
+            # write, where the corruption-tolerant conf must not apply to
+            # input scans
+            done = (
+                spark.read.parquet(results_path)
+                .select("url")
+                .localCheckpoint(eager=True)
+            )
+            already = done.count()
         classified = classified.join(done, "url", "left_anti")
 
     target = num_partitions or max(
@@ -120,27 +137,31 @@ def run_extraction_pipeline(
         writer.write.mode("append").parquet(results_path)
 
     # metrics + lineage from the written results: columnar scan, payloads
-    # never re-read, pure built-in aggregates (partial + final hash agg)
-    results = spark.read.parquet(results_path)
-    metrics = results.groupBy("run_id", "extension").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.col("extracted_by_ocr").cast("int")).alias("n_ocr"),
-        F.sum((F.col("err") != "").cast("int")).alias("n_err"),
-        F.avg(F.length("content")).alias("avg_content_chars"),
-        F.sum("size_bytes").alias("input_bytes"),
-    )
-    metrics.write.mode("overwrite").parquet(metrics_path)
+    # never re-read, pure built-in aggregates (partial + final hash agg).
+    # These jobs scan only the engine's own output, so they run inside the
+    # corruption-tolerant scope (a stale in-flight file from a previous
+    # crash must not block metrics).
+    with _tolerate_own_output_corruption(spark):
+        results = spark.read.parquet(results_path)
+        metrics = results.groupBy("run_id", "extension").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("extracted_by_ocr").cast("int")).alias("n_ocr"),
+            F.sum((F.col("err") != "").cast("int")).alias("n_err"),
+            F.avg(F.length("content")).alias("avg_content_chars"),
+            F.sum("size_bytes").alias("input_bytes"),
+        )
+        metrics.write.mode("overwrite").parquet(metrics_path)
 
-    lineage = results.groupBy("run_id", "partition_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("size_bytes").alias("bytes_in"),
-        F.sum(F.length("content")).alias("chars_out"),
-        F.min("warc_ts").alias("min_ts"),
-        F.max("warc_ts").alias("max_ts"),
-    )
-    lineage.write.mode("overwrite").parquet(lineage_path)
+        lineage = results.groupBy("run_id", "partition_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("size_bytes").alias("bytes_in"),
+            F.sum(F.length("content")).alias("chars_out"),
+            F.min("warc_ts").alias("min_ts"),
+            F.max("warc_ts").alias("max_ts"),
+        )
+        lineage.write.mode("overwrite").parquet(lineage_path)
 
-    total = results.count()
+        total = results.count()
     return {
         "run_id": run_id,
         "total_rows": total,

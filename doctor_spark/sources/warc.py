@@ -28,12 +28,19 @@ CRLF = b"\r\n"
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (the .warc.gz layout)."""
+    """Decompress concatenated gzip members (the .warc.gz layout).
+
+    Poison-tolerant: a truncated/garbage member (or trailing junk after
+    the last member) ends decompression with whatever decoded cleanly —
+    one bad record must not abort a whole-file ingest task."""
     out = bytearray()
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out += d.decompress(data[pos:])
+        try:
+            out += d.decompress(data[pos:])
+        except zlib.error:
+            break
         tail = d.unused_data
         if not tail:
             break

@@ -40,8 +40,16 @@ def _make_sessionize_group(flush_idle_ms: int | None):
         if state.hasTimedOut:
             if state.exists:
                 sess_no, last_ts, start_ts, n, total = state.get
-                state.remove()
-                yield _row(user_id, sess_no, n, start_ts, last_ts, total)
+                if n > 0:
+                    # flush the open session but KEEP a tombstone carrying
+                    # the next session number — removing state outright
+                    # would restart session_no at 0 for this user's next
+                    # event and emit duplicate (user_id, session_no) keys
+                    state.update((sess_no + 1, None, None, 0, 0.0))
+                    state.setTimeoutDuration(24 * 3600 * 1000)
+                    yield _row(user_id, sess_no, n, start_ts, last_ts, total)
+                else:
+                    state.remove()  # empty tombstone: eventual cleanup
             return
 
         if state.exists:
@@ -49,10 +57,22 @@ def _make_sessionize_group(flush_idle_ms: int | None):
         else:
             sess_no, last_ts, start_ts, n, total = 0, None, None, 0, 0.0
 
+        # one global sort: a group's micro-batch data can arrive as several
+        # Arrow chunks, and chunk-local sorting would interleave timestamps
+        # across chunk boundaries (wrong gaps -> wrong session splits)
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            merged = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values("ts")
+        else:
+            merged = None
+
         closed: list[pd.DataFrame] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
+        if merged is not None:
+            for ts, value in zip(merged["ts"], merged["value"]):
                 ts_us = int(ts.value // 1000)  # pandas ns -> us
                 if last_ts is not None and ts_us - last_ts > GAP_US:
                     closed.append(
@@ -121,6 +141,10 @@ def streaming_sessionize(
         timeoutConf=timeout_conf,
     )
     if out_dir:
+        if checkpoint is None:
+            # the parquet sink REQUIRES a checkpoint; default it next to
+            # the output so the documented production call just works
+            checkpoint = f"{out_dir}/_checkpoint"
         writer = (
             sessions.writeStream.format("parquet")
             .option("path", out_dir)

@@ -80,3 +80,22 @@ def test_output_partition_pruning(spark, tmp_path_factory):
     )
     assert "PartitionFilters" in got and "crawl_date" in got.split("PartitionFilters", 1)[1][:200]
     assert one_day.count() > 0
+
+
+def test_minhash_null_band_keys(spark):
+    """Sub-shingle-length docs must get NULL band keys (not a shared
+    md5('') bucket) and produce zero candidate pairs."""
+    from doctor_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_candidate_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x"), (3, ""), (4, "one two three four five")],
+        "doc_id long, text string",
+    )
+    bands = minhash_band_keys(df).select("doc_id", "band_0").collect()
+    keys = {r.doc_id: r.band_0 for r in bands}
+    assert keys[1] is None and keys[2] is None and keys[3] is None
+    assert keys[4] is not None
+    assert minhash_candidate_pairs(df).count() == 0

@@ -57,3 +57,14 @@ def test_spark_ingest(spark, tmp_path):
     assert "https://a.test/page1.html" in urls
     byurl = {r["url"]: r for r in rows}
     assert bytes(byurl["https://a.test/doc.pdf"]["html"]) == b"%PDF-1.4 fake"
+
+
+def test_poison_gzip_member_tolerated():
+    good = build_warc(RECORDS[:1], gzip_per_record=True)
+    poisoned = good + b"\x1f\x8b\x08garbage-not-a-member" + build_warc(
+        RECORDS[1:2], gzip_per_record=True
+    )
+    # the good leading member still parses; the poison ends the stream
+    parsed = parse_warc(poisoned)
+    assert len(parsed) >= 1
+    assert parsed[0]["html"] == RECORDS[0]["html"]
