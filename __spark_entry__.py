@@ -340,6 +340,22 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (scale path #2) — no SQL oracle (engine-side centroid
+    assignment); recall vs brute force is pytest-gated."""
+    from doctor_spark.operators.similarity import ivf_ann_topk
+
+    t = ivf_ann_topk(
+        _emb(spark, sf_dir), query_ids=list(range(10)), k=3,
+        n_centroids=16, nprobe=6,
+    )
+    return t.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family): ids < 200,
     cosine ≥ 0.35, exact double fold mirrored in the oracle."""
@@ -523,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,

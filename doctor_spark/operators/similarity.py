@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve by name
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -96,6 +97,96 @@ def with_lsh_bucket(
         bit = F.when(_dot(vec_d, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + (bit * F.lit(2 ** p)).cast("bigint")
     return df.withColumn(out_col, bucket)
+
+
+def _ivf_centroids(df, n_centroids: int, id_col: str, vec_col: str):
+    """Deterministic coarse quantizer: centroids are the embeddings of the
+    ``n_centroids`` smallest ids (IVF-flat with sampled centers — no
+    iterative k-means, so runs are reproducible with no RNG state)."""
+    import numpy as np
+
+    rows = (
+        df.orderBy(id_col).limit(n_centroids)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _ivf_assign_udf(centroids):
+    """Arrow-batched bucket assignment: argmax cosine against the (tiny,
+    closure-captured) centroid matrix — one numpy matmul per batch."""
+    import numpy as np
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype("int32"))
+
+    return assign
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: candidates assigned to their nearest
+    centroid's inverted list; each query probes its ``nprobe`` nearest
+    lists; exact cosine inside.  Columns: query_id, neighbor_id, score,
+    rank.
+
+    Scale shape: centroid matrix is broadcast (KB), assignment is one
+    vectorized matmul per Arrow batch, and the probe join is a keyed
+    equi-join on the bucket id — the N×Q cross product never materializes.
+    """
+    import numpy as np
+
+    cents = _ivf_centroids(df, n_centroids, id_col, vec_col)
+    assign = _ivf_assign_udf(cents)
+    is_query = F.col(id_col).isin(query_ids)
+
+    candidates = df.where(~is_query).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        assign(F.col(vec_col)).alias("bucket"),
+    )
+
+    # queries: nprobe nearest centroid buckets, computed on the driver
+    # (the query set is small by contract)
+    qrows = df.where(is_query).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r.qv, dtype=np.float64)
+        sims = (qv / np.linalg.norm(qv)) @ cents.T
+        for b in np.argsort(-sims)[:nprobe]:
+            probe_rows.append((r.query_id, int(b), [float(x) for x in r.qv]))
+    spark = df.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, bucket int, qv array<double>"
+    )
+
+    scored = candidates.join(F.broadcast(probes), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("qv"), F.col("cv")), 4).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def lsh_ann_topk(

@@ -73,7 +73,7 @@ def test_every_query_has_oracle_or_documented_exception():
     qs, os_ = set(entry.queries()), set(entry.oracle_sql())
     assert os_ <= qs
     # the only rows-only queries are the documented engine-side ones
-    assert qs - os_ == {"lsh_ann_topk"}
+    assert qs - os_ == {"lsh_ann_topk", "ivf_ann_topk"}
 
 
 def test_entry_smoke(spark):
@@ -95,3 +95,17 @@ def test_lsh_ann_recall(spark):
     got = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.3, f"recall {recall}"
+
+
+def test_ivf_ann_recall(spark):
+    """IVF with nprobe=6 of 16 lists must recover most true neighbors."""
+    brute = entry.q_ann_cosine_topk(spark, SF_DIR).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    approx = entry.q_ivf_ann_topk(spark, SF_DIR).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"recall {recall}"
