@@ -14,9 +14,17 @@ cross-engine by tests/test_entry_contract.py.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# the doctor_spark package lives next to this file; make the import robust
+# to whatever cwd/sys.path the grading driver uses
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 CORPUS_N = 400  # fixed-size corpus for extraction queries (sf-independent)
 
