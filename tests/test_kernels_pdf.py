@@ -303,3 +303,22 @@ class TestXray:
         from doctor_spark.kernels.pdf import get_xray
 
         assert get_xray(b"not a pdf at all")["error"] is True
+
+
+class TestLandscapePages:
+    def test_strip_margin_skips_landscape(self):
+        # reference get_page_text: crop+skew-filter branch only when
+        # height > width (text_extraction.py:45-53); landscape pages keep
+        # margins AND skewed text even with strip_margin=True
+        page = PageSpec(
+            lines=[
+                Line(row=0, col=0, text="landscape body"),
+                Line(row=1, col=10, text="SKEWSTAMP", skew=True),
+            ],
+            landscape=True,
+        )
+        raw = build_pdf([page])
+        content, by_ocr, _ = extract_recap_pdf_bytes(raw, strip_margin=True)
+        assert "landscape body" in content
+        assert "SKEWSTAMP" in content  # skew filter not applied
+        assert by_ocr is False
