@@ -18,9 +18,13 @@ MASTER="${MASTER:-local[${NUM_EXECUTORS}]}"
 ZIP="$(mktemp -d)/doctor_spark.zip"
 (cd "$REPO" && zip -qr "$ZIP" doctor_spark)
 
+# --driver-memory must be set HERE: once spark-submit has started the JVM,
+# the session factory's spark.driver.memory conf is ignored (default 1g
+# OOMs local-mode runs, where the driver hosts all executor threads)
 exec spark-submit \
   --master "$MASTER" \
   --name doctor_spark-extraction \
+  --driver-memory "${DRIVER_MEM:-32g}" \
   --py-files "$ZIP" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.adaptive.skewJoin.enabled=true \
