@@ -192,11 +192,15 @@ def extract_document(
             res.content, res.err, _rc = decode_txt(data)
         elif extension == "docx":
             res.content, res.err, _rc = extract_from_docx_bytes(data)
-        elif extension in ("doc", "wpd"):
-            # antiword / wpd2html equivalents need binaries absent from this
-            # sandbox; pluggable like the OCR backend (reference
-            # tasks.py:307-319, 410-433)
-            res.err = f"No backend available for {extension} extraction."
+        elif extension == "wpd":
+            from .wpd import extract_from_wpd_bytes
+
+            res.content, res.err, _rc = extract_from_wpd_bytes(data)
+        elif extension == "doc":
+            # an antiword equivalent needs OLE/Word97 binary parsing that is
+            # out of v1 scope; pluggable like the OCR backend (reference
+            # tasks.py:307-319)
+            res.err = "No backend available for doc extraction."
         else:
             res.err = UNKNOWN_EXT_MSG
         res.page_count = get_page_count(data, res.extension, doc)
