@@ -197,10 +197,9 @@ def extract_document(
 
             res.content, res.err, _rc = extract_from_wpd_bytes(data)
         elif extension == "doc":
-            # an antiword equivalent needs OLE/Word97 binary parsing that is
-            # out of v1 scope; pluggable like the OCR backend (reference
-            # tasks.py:307-319)
-            res.err = "No backend available for doc extraction."
+            from .msdoc import extract_from_doc_bytes
+
+            res.content, res.err, _rc = extract_from_doc_bytes(data)
         else:
             res.err = UNKNOWN_EXT_MSG
         res.page_count = get_page_count(data, res.extension, doc)
