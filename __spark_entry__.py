@@ -29,8 +29,10 @@ if _REPO not in sys.path:
 CORPUS_N = 400  # fixed-size corpus for extraction queries (sf-independent)
 
 # per 100 doc_ids (corpus.py _FORMAT_TABLE): html 55, pdf 10+2+3+5+4=24,
-# txt 10, docx 5, doc 3 (legacy), bin 3 (junk)
-_FORMAT_COUNTS = {"bin": 3, "doc": 3, "docx": 5, "html": 55, "pdf": 24, "txt": 10}
+# txt 10, docx 5, doc 2, wpd 1, bin 3 (junk)
+_FORMAT_COUNTS = {
+    "bin": 3, "doc": 2, "docx": 5, "html": 55, "pdf": 24, "txt": 10, "wpd": 1,
+}
 
 
 def _corpus(spark: SparkSession, n: int = CORPUS_N) -> DataFrame:
@@ -700,8 +702,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extract_format_metrics": fmt_rows,
         "extract_ocr_stats": (
+            # 5% image-only PDFs (OCR), 3% junk (err rows)
             f"SELECT {CORPUS_N // 100 * 5}::BIGINT AS n_ocr,"
-            f" {CORPUS_N // 100 * 6}::BIGINT AS n_err,"
+            f" {CORPUS_N // 100 * 3}::BIGINT AS n_err,"
             f" {CORPUS_N}::BIGINT AS n_total"
         ),
         "pdf_metadata": """

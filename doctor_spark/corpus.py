@@ -26,8 +26,9 @@ Format mix per 100 ids — chosen to mirror the reference's fixture corpus
 - 75-84  plain text (cp1252 / utf-8)
 - 85-89  DOCX
 - 90-93  broken-magic PDF (%PDF not at offset 0)
-- 94-96  legacy doc/wpd payloads (no backend -> err row, golden "")
-- 97-99  binary junk (golden "")
+- 94-95  legacy Word .doc (OLE2 + FIB text run)
+- 96     WordPerfect .wpd
+- 97-99  binary junk (golden "", err row)
 
 ~1 % of HTML ids carry a 100×-length payload (size-skew bucket tests).
 """
@@ -232,12 +233,18 @@ def _build_broken_magic_pdf(doc_id: int, r: random.Random) -> tuple[bytes, str]:
     return pdf, _pdf_page_golden(block) + "\f"
 
 
-def _build_legacy(doc_id: int, r: random.Random) -> tuple[bytes, str]:
-    if doc_id % 2:
-        payload = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + bytes(r.getrandbits(8) for _ in range(256))
-    else:
-        payload = b"\xffWPC" + bytes(r.getrandbits(8) for _ in range(256))
-    return payload, ""
+def _build_msdoc(doc_id: int, r: random.Random) -> tuple[bytes, str]:
+    from .kernels.msdoc import build_doc
+
+    text = "\n".join(_sentence(r, r.randint(5, 12)) for _ in range(r.randint(2, 6)))
+    return build_doc(text), text
+
+
+def _build_wpd_doc(doc_id: int, r: random.Random) -> tuple[bytes, str]:
+    from .kernels.wpd import build_wpd
+
+    text = "\n".join(_sentence(r, r.randint(4, 10)) for _ in range(r.randint(2, 5)))
+    return build_wpd(text), text
 
 
 def _build_junk(doc_id: int, r: random.Random) -> tuple[bytes, str]:
@@ -254,7 +261,8 @@ _FORMAT_TABLE = (
     (85, _build_txt, "txt"),
     (90, _build_docx_doc, "docx"),
     (94, _build_broken_magic_pdf, "bin"),
-    (97, _build_legacy, "doc"),
+    (96, _build_msdoc, "doc"),
+    (97, _build_wpd_doc, "wpd"),
     (100, _build_junk, "bin"),
 )
 
