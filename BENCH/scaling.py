@@ -60,7 +60,10 @@ spark.stop()
 
 
 def materialize(n_docs: int) -> str:
-    path = Path(f"/tmp/doctor_spark_corpus/n{n_docs}")
+    sys.path.insert(0, str(REPO))
+    from doctor_spark.corpus import CORPUS_VERSION
+
+    path = Path(f"/tmp/doctor_spark_corpus/v{CORPUS_VERSION}_n{n_docs}")
     if not (path / "_SUCCESS").exists():
         sys.path.insert(0, str(REPO))
         from doctor_spark.corpus import pages_dataframe

@@ -38,7 +38,9 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def _materialize_corpus(spark, n_docs: int, cpus: int) -> str:
-    path = Path(f"/tmp/doctor_spark_corpus/n{n_docs}")
+    from doctor_spark.corpus import CORPUS_VERSION
+
+    path = Path(f"/tmp/doctor_spark_corpus/v{CORPUS_VERSION}_n{n_docs}")
     if not (path / "_SUCCESS").exists():
         from doctor_spark.corpus import pages_dataframe
 

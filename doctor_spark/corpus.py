@@ -44,6 +44,10 @@ from .kernels.ocr_assembly import assemble_page_text_plain
 from .kernels.pdfwriter import Line, PageSpec, build_pdf, text_to_lines
 
 SEED = 42
+# bump whenever a generator change alters payloads or goldens — cache
+# directories (bench/scaling materializations) are keyed on it, so stale
+# corpora can never be verified against a newer extractor
+CORPUS_VERSION = 3
 _BASE_TS = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
 _WORDS = (
