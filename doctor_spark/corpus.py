@@ -47,7 +47,7 @@ SEED = 42
 # bump whenever a generator change alters payloads or goldens — cache
 # directories (bench/scaling materializations) are keyed on it, so stale
 # corpora can never be verified against a newer extractor
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 _BASE_TS = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
 _WORDS = (
@@ -228,7 +228,8 @@ def _build_txt(doc_id: int, r: random.Random) -> tuple[bytes, str]:
 
 def _build_docx_doc(doc_id: int, r: random.Random) -> tuple[bytes, str]:
     paras = [_sentence(r, r.randint(5, 20)) for _ in range(r.randint(1, 8))]
-    return build_docx(paras), "\n".join(paras)
+    # docx2txt semantics: each paragraph is newline-prefixed
+    return build_docx(paras), "\n" + "\n".join(paras)
 
 
 def _build_broken_magic_pdf(doc_id: int, r: random.Random) -> tuple[bytes, str]:

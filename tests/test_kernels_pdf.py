@@ -260,7 +260,7 @@ class TestExtractDocumentDispatch:
 
         raw = build_docx(["First paragraph", "Second one"])
         res = extract_document("https://a.test/d.docx", raw)
-        assert res.content == "First paragraph\nSecond one"
+        assert res.content == "\nFirst paragraph\nSecond one"
         assert res.extension == "docx"
 
     def test_unknown_junk(self):

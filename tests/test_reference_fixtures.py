@@ -1,0 +1,204 @@
+"""Correctness gate against doctor's REAL fixture suite.
+
+These tests run the kernels over `/root/reference/doctor/test_assets/*` and
+assert the literal goldens from the reference's own integration tests
+(doctor/tests.py:114-242, 301-378, 416-435, 438-465).  They are the
+north-star verification target: the synthetic corpus proves byte-identity
+against our own writer; these prove fidelity against the wild.
+
+OCR-dependent goldens (image-pdf content, the no-strip-margin recap first
+line) require a real tesseract backend and are out of scope — the OCR
+backend is pluggable by design (see kernels/pdf.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import unittest
+
+ASSETS = "/root/reference/doctor/test_assets"
+
+pytest_plugins: list[str] = []
+
+
+def _asset(name: str) -> bytes:
+    with open(os.path.join(ASSETS, name), "rb") as f:
+        return f.read()
+
+
+@unittest.skipUnless(os.path.isdir(ASSETS), "reference assets not present")
+class TestWordFixtures(unittest.TestCase):
+    def test_docx_golden(self):
+        """doctor/tests.py:192-214 — first 200 chars of word-docx.docx."""
+        from doctor_spark.kernels.docx import extract_from_docx_bytes
+
+        content, err, rc = extract_from_docx_bytes(_asset("word-docx.docx"))
+        assert err == "" and rc == 0
+        assert content[:200].replace("\n", "").strip() == (
+            "ex- Cpl,                                                      "
+            "                                           Current Discharge "
+            "and Applicant's RequestApplication R"
+        )
+
+    def test_doc_golden(self):
+        """doctor/tests.py:216-230 — first 100 chars of word-doc.doc."""
+        from doctor_spark.kernels.msdoc import extract_from_doc_bytes
+
+        content, err, rc = extract_from_doc_bytes(_asset("word-doc.doc"))
+        assert err == "" and rc == 0
+        assert content[:100].replace("\n", "").strip() == (
+            "Attorneys for Appellant                            "
+            "Attorneys for AppelleeSteve Carter"
+        )
+
+    def test_doc_page_count_none(self):
+        """doctor/tests.py:225-229 — .doc page_count is None."""
+        from doctor_spark.kernels.pdf import get_page_count
+
+        assert get_page_count(_asset("word-doc.doc"), "doc") is None
+
+    def test_doc_dispatch_end_to_end(self):
+        from doctor_spark.kernels.extract import extract_document
+
+        res = extract_document(
+            "https://court.test/word-doc.doc", _asset("word-doc.doc")
+        )
+        assert res.err == ""
+        assert res.content.startswith("Attorneys for Appellant")
+        assert "\x00" not in res.content
+
+
+@unittest.skipUnless(os.path.isdir(ASSETS), "reference assets not present")
+class TestMimeExtensionFixtures(unittest.TestCase):
+    def test_broken_mime_pdf(self):
+        """doctor/tests.py:326-343 — leading junk before %PDF still → pdf."""
+        from doctor_spark.kernels.sniff import classify
+
+        for name in ("broken-mime.pdf", "missouri.pdf"):
+            mime, ext = classify("https://x.test/blob.bin", _asset(name))
+            assert ext == "pdf", (name, mime, ext)
+
+    def test_plain_extensions(self):
+        from doctor_spark.kernels.sniff import classify
+
+        cases = {
+            "image-pdf.pdf": "pdf",
+            "word-docx.docx": "docx",
+            "word-doc.doc": "doc",
+            "word-perfect.wpd": "wpd",
+        }
+        for name, want in cases.items():
+            _mime, ext = classify(f"https://x.test/{name}", _asset(name))
+            assert ext == want, (name, ext)
+
+    def test_pdf_mime(self):
+        from doctor_spark.kernels.sniff import classify
+
+        mime, _ext = classify(
+            "https://x.test/image-pdf.pdf", _asset("image-pdf.pdf")
+        )
+        assert mime == "application/pdf"
+
+
+@unittest.skipUnless(os.path.isdir(ASSETS), "reference assets not present")
+class TestPdfFixtures(unittest.TestCase):
+    def test_vector_pdf_page_count(self):
+        """doctor/tests.py:146-150 — vector-pdf.pdf has 30 pages."""
+        from doctor_spark.kernels.pdf import get_page_count
+
+        assert get_page_count(_asset("vector-pdf.pdf"), "pdf") == 30
+
+    def test_image_pdf_page_count(self):
+        """doctor/tests.py:304-310 — image-pdf.pdf has 2 pages."""
+        from doctor_spark.kernels.pdf import get_page_count
+
+        assert get_page_count(_asset("image-pdf.pdf"), "pdf") == 2
+
+    def test_vector_pdf_layout_golden(self):
+        """doctor/tests.py:114-150 — first 100 chars, no OCR, 30 pages."""
+        from doctor_spark.kernels.extract import extract_document
+
+        res = extract_document(
+            "https://court.test/vector-pdf.pdf",
+            _asset("vector-pdf.pdf"),
+            ocr_available=False,
+        )
+        assert res.err == ""
+        assert res.extracted_by_ocr is False
+        assert res.page_count == 30
+        assert res.content[:100].replace("\n", "").strip() == (
+            "(Slip Opinion)              OCTOBER TERM, 2012               "
+            "                        1"
+        )
+
+
+@unittest.skipUnless(os.path.isdir(ASSETS), "reference assets not present")
+class TestRecapFixtures(unittest.TestCase):
+    def test_strip_margin_cand(self):
+        """doctor/tests.py:58-75 — cand.203070.27.0 strip_margin first line."""
+        from doctor_spark.kernels.extract import extract_recap_pdf_bytes
+
+        content, _by_ocr, _pages = extract_recap_pdf_bytes(
+            _asset("recap_extract/gov.uscourts.cand.203070.27.0.pdf"),
+            strip_margin=True,
+        )
+        assert content.splitlines()[0].strip() == (
+            "1  || DONALD W. CARLSON  [Bar No. 79258]"
+        )
+
+    def test_strip_margin_azd(self):
+        """doctor/tests.py:77-95 — azd.1085839.3.0 strip_margin first line."""
+        from doctor_spark.kernels.extract import extract_recap_pdf_bytes
+
+        content, _by_ocr, _pages = extract_recap_pdf_bytes(
+            _asset("recap_extract/gov.uscourts.azd.1085839.3.0.pdf"),
+            strip_margin=True,
+        )
+        assert content.splitlines()[0].strip() == "1   WO"
+
+    def test_strip_margin_cacd(self):
+        """doctor/tests.py:96-111 — cacd.652774.40.0 strip_margin first line."""
+        from doctor_spark.kernels.extract import extract_recap_pdf_bytes
+
+        content, _by_ocr, _pages = extract_recap_pdf_bytes(
+            _asset("recap_extract/gov.uscourts.cacd.652774.40.0.pdf"),
+            strip_margin=True,
+        )
+        assert content.splitlines()[0].strip() == "1"
+
+
+@unittest.skipUnless(os.path.isdir(ASSETS), "reference assets not present")
+class TestDocumentNumberFixtures(unittest.TestCase):
+    def test_pacer_document_numbers(self):
+        """doctor/tests.py:416-435 — doc number parsed from header stamp;
+        expected value is encoded in the fixture filename (ca2_1-1 → 1-1)."""
+        from doctor_spark.kernels.pdf import get_document_number
+
+        path = os.path.join(ASSETS, "recap_documents")
+        files = sorted(glob.glob(os.path.join(path, "*.pdf")))
+        assert files
+        failures = []
+        for file in files:
+            name = os.path.basename(file).split(".")[0]
+            want = name.split("_")[1]
+            with open(file, "rb") as f:
+                got = get_document_number(f.read())
+            if got != want:
+                failures.append((name, want, got))
+        assert not failures, failures
+
+
+@unittest.skipUnless(os.path.isdir(ASSETS), "reference assets not present")
+class TestXrayFixtures(unittest.TestCase):
+    def test_xray_yes_no(self):
+        """doctor/tests.py:438-465 — bad redactions found iff 'yes' file."""
+        from doctor_spark.kernels.pdf import get_xray
+
+        for name in ("rectangles_yes.pdf", "rectangles_yes_2.pdf"):
+            res = get_xray(_asset(os.path.join("x-ray", name)))
+            assert res["error"] is False, name
+            assert len(res["results"]) > 0, name
+        res = get_xray(_asset(os.path.join("x-ray", "rectangles_no.pdf")))
+        assert res["error"] is False
+        assert len(res["results"]) == 0
