@@ -30,6 +30,7 @@ from .pdf import (
     ocr_needed,
     page_needs_ocr,
     parse_pdf,
+    plumber_layout_text,
     strip_margin_band,
     synthetic_ocr_backend,
 )
@@ -128,9 +129,14 @@ def extract_recap_pdf_bytes(
     ocr_pages: list[int] = []
     for page in doc.pages:
         band = strip_margin_band(page) if strip_margin else None
-        page_text = layout_page_text(
-            page, drop_skewed=band is not None, crop_band=band
-        )
+        if page.chars:  # glyph-accurate (real-PDF) pdfplumber analog
+            page_text = plumber_layout_text(
+                page, drop_skewed=band is not None, crop_band=band
+            )
+        else:  # fixed-pitch synthetic contract
+            page_text = layout_page_text(
+                page, drop_skewed=band is not None, crop_band=band
+            )
         page_text = remove_excess_whitespace(page_text)
         if page_needs_ocr(page, page_text):
             extracted_by_ocr = True

@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import re
 import zlib
+from collections import Counter
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -71,6 +72,84 @@ class Ref:
         return hash((self.num, self.gen))
 
 
+def _png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    """Reverse PNG row filters (ISO 32000-1 §7.4.4.4 / RFC 2083)."""
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    n = len(data)
+    while pos + 1 <= n:
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if ft == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _apply_predictor(out: bytes, parms: dict | None) -> bytes:
+    if not isinstance(parms, dict):
+        return out
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred < 2:
+        return out
+    colors = int(parms.get("Colors", 1) or 1)
+    bpc = int(parms.get("BitsPerComponent", 8) or 8)
+    columns = int(parms.get("Columns", 1) or 1)
+    if pred >= 10:
+        return _png_predictor(out, colors, bpc, columns)
+    raise PdfParseError(f"unsupported predictor {pred}")
+
+
+_A85_RE = re.compile(rb"\s")
+
+
+def _ascii85(data: bytes) -> bytes:
+    import base64
+
+    body = _A85_RE.sub(b"", data)
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    return base64.a85decode(body)
+
+
+def _runlength(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
 @dataclass
 class StreamObj:
     attrs: dict
@@ -79,10 +158,31 @@ class StreamObj:
     def data(self) -> bytes:
         filt = self.attrs.get("Filter")
         filters = filt if isinstance(filt, list) else [filt] if filt else []
+        parms = self.attrs.get("DecodeParms") or self.attrs.get("DP")
+        parms_list = parms if isinstance(parms, list) else [parms]
         out = self.raw
-        for f in filters:
-            if f == "FlateDecode":
-                out = zlib.decompress(out)
+        for i, f in enumerate(filters):
+            p = parms_list[i] if i < len(parms_list) else None
+            if f == "FlateDecode" or f == "Fl":
+                try:
+                    out = zlib.decompress(out)
+                except zlib.error as exc:
+                    # tolerate trailing garbage after the deflate body
+                    try:
+                        d = zlib.decompressobj()
+                        out = d.decompress(out)
+                    except zlib.error:
+                        raise PdfParseError(f"bad deflate stream: {exc}")
+                out = _apply_predictor(out, p)
+            elif f == "ASCIIHexDecode" or f == "AHx":
+                hx = re.sub(rb"[\s>]", b"", out)
+                if len(hx) % 2:
+                    hx += b"0"
+                out = bytes.fromhex(hx.decode("latin-1"))
+            elif f == "ASCII85Decode" or f == "A85":
+                out = _ascii85(out)
+            elif f == "RunLengthDecode" or f == "RL":
+                out = _runlength(out)
             elif f is None:
                 continue
             else:
@@ -290,6 +390,7 @@ class Page:
     width: float
     height: float
     runs: list[TextRun] = field(default_factory=list)
+    chars: list["Char"] = field(default_factory=list)
     images: list[ImageInfo] = field(default_factory=list)
     annot_subtypes: list[str] = field(default_factory=list)
     curve_count: int = 0
@@ -310,8 +411,11 @@ class PdfDocument:
 def _scan_objects(data: bytes) -> dict[int, object]:
     """Discover objects by scanning for ``N G obj`` — deliberately not
     trusting the xref table (the reference's page-count path must survive
-    broken xrefs; tasks.py:166-182 returns 0 instead of raising)."""
+    broken xrefs; tasks.py:166-182 returns 0 instead of raising).  Streams
+    with an indirect /Length are fixed up in a second pass; objects living
+    inside /ObjStm compressed streams (PDF 1.5+) are expanded afterwards."""
     objects: dict[int, object] = {}
+    pending_lengths: list[tuple[int, int]] = []  # (obj num, stream start)
     covered_until = 0  # skip 'N G obj' byte patterns inside stream payloads
     for m in _OBJ_RE.finditer(data):
         if m.start() < covered_until:
@@ -337,11 +441,74 @@ def _scan_objects(data: bytes) -> dict[int, object]:
                 end = data.find(b"endstream", s)
                 raw = data[s : end if end != -1 else len(data)]
                 raw = raw.rstrip(b"\r\n")
+                if isinstance(length, Ref):
+                    pending_lengths.append((num, s))
             objects[num] = StreamObj(val, raw)
             covered_until = s + len(raw)
         else:
             objects[num] = val
+    # second pass: indirect /Length now resolvable
+    for num, s in pending_lengths:
+        obj = objects.get(num)
+        if not isinstance(obj, StreamObj):
+            continue
+        length = _resolve(obj.attrs.get("Length"), objects)
+        if isinstance(length, int) and 0 <= length <= len(data) - s:
+            obj.raw = data[s : s + length]
+    _expand_object_streams(objects)
     return objects
+
+
+def _expand_object_streams(objects: dict[int, object]) -> None:
+    """Expand /Type /ObjStm compressed object streams (ISO 32000-1 §7.5.7):
+    the stream begins with N (obj-number, byte-offset) pairs, followed at
+    /First by the serialized objects themselves."""
+    stms = [
+        o for o in list(objects.values())
+        if isinstance(o, StreamObj) and o.attrs.get("Type") == "ObjStm"
+    ]
+    for stm in stms:
+        try:
+            payload = stm.data()
+        except (PdfParseError, zlib.error, ValueError):
+            continue
+        n = _resolve(stm.attrs.get("N"), objects)
+        first = _resolve(stm.attrs.get("First"), objects)
+        if not (isinstance(n, int) and isinstance(first, int) and n > 0):
+            continue
+        lex = _Lexer(payload)
+        pairs: list[tuple[int, int]] = []
+        try:
+            for _ in range(n):
+                onum = lex.parse_value()
+                ooff = lex.parse_value()
+                if not (isinstance(onum, int) and isinstance(ooff, int)):
+                    raise PdfParseError("bad ObjStm header")
+                pairs.append((onum, ooff))
+        except (PdfParseError, IndexError, ValueError):
+            continue
+        for onum, ooff in pairs:
+            if onum in objects:  # top-level definitions win
+                continue
+            inner = _Lexer(payload, first + ooff)
+            try:
+                objects[onum] = inner.parse_value()
+            except (PdfParseError, IndexError, ValueError):
+                continue
+
+
+def _inherited(pdict: dict, key: str, objects) -> object:
+    """Resolve a page attribute, walking the /Parent chain (MediaBox and
+    Resources are inheritable; ISO 32000-1 §7.7.3.4)."""
+    node: object = pdict
+    for _ in range(64):
+        if not isinstance(node, dict):
+            return None
+        val = _resolve(node.get(key), objects)
+        if val is not None:
+            return val
+        node = _resolve(node.get("Parent"), objects)
+    return None
 
 
 def _resolve(obj, objects):
@@ -367,7 +534,13 @@ def _page_order(objects: dict[int, object]) -> list[int]:
         pages_ref = roots[0].get("Pages")
         ordered: list[int] = []
 
+        seen: set[int] = set()
+
         def walk(node_ref):
+            if isinstance(node_ref, Ref):
+                if node_ref.num in seen:  # cycle guard
+                    return
+                seen.add(node_ref.num)
             node = _resolve(node_ref, objects)
             if not isinstance(node, dict):
                 return
@@ -375,7 +548,8 @@ def _page_order(objects: dict[int, object]) -> list[int]:
                 if isinstance(node_ref, Ref):
                     ordered.append(node_ref.num)
                 return
-            for kid in node.get("Kids", []) or []:
+            kids = _resolve(node.get("Kids"), objects)
+            for kid in (kids if isinstance(kids, list) else []):
                 walk(kid)
 
         walk(pages_ref)
@@ -384,26 +558,47 @@ def _page_order(objects: dict[int, object]) -> list[int]:
     return sorted(page_nums)
 
 
-class _Matrix:
-    __slots__ = ("a", "b", "c", "d", "e", "f")
+_IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
-    def __init__(self, a=1.0, b=0.0, c=0.0, d=1.0, e=0.0, f=0.0):
-        self.a, self.b, self.c, self.d, self.e, self.f = a, b, c, d, e, f
 
-    def translated(self, tx: float, ty: float) -> "_Matrix":
-        return _Matrix(
-            self.a, self.b, self.c, self.d,
-            tx * self.a + ty * self.c + self.e,
-            tx * self.b + ty * self.d + self.f,
-        )
+def _mat_mul(m1, m2):
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
 
-    def clone(self) -> "_Matrix":
-        return _Matrix(self.a, self.b, self.c, self.d, self.e, self.f)
+
+def _mat_translate(m, tx, ty):
+    a, b, c, d, e, f = m
+    return (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+
+
+class Char:
+    """One positioned glyph in device space (real-PDF layout path)."""
+
+    __slots__ = ("text", "x0", "x1", "y", "size", "skewed", "fontname")
+
+    def __init__(self, text, x0, x1, y, size, skewed, fontname):
+        self.text = text
+        self.x0 = x0
+        self.x1 = x1
+        self.y = y          # device baseline, bottom-up
+        self.size = size
+        self.skewed = skewed
+        self.fontname = fontname
 
 
 _CONTENT_TOKEN = re.compile(
     rb"""
       (?P<str>\()                       # string start
+    | (?P<dict><<)                      # inline dict (BDC/DP operands)
+    | (?P<hex><)                        # hex string
     | (?P<arr>\[)                       # array start
     | (?P<name>/[^\s()<>\[\]{}/%]*)
     | (?P<num>[+-]?\d*\.?\d+)
@@ -412,46 +607,121 @@ _CONTENT_TOKEN = re.compile(
     re.VERBOSE,
 )
 
+_EI_RE = re.compile(rb"\sEI(?=[\s<\[/%(]|$)")
+
+
+class _FontSlot:
+    """Resolved font resource: metrics model + display name."""
+
+    __slots__ = ("font", "name")
+
+    def __init__(self, font, name: str):
+        self.font = font
+        self.name = name
+
 
 def _interpret_content(
-    content: bytes, fonts: dict[str, str]
-) -> tuple[list[TextRun], int, list[tuple[float, float, float, float]]]:
-    """Execute the text-positioning subset of a content stream.
+    content: bytes,
+    fonts: dict[str, _FontSlot],
+    *,
+    emit_chars: bool = False,
+    objects=None,
+    resources: dict | None = None,
+    depth: int = 0,
+    ctm0=_IDENT,
+) -> tuple[list[TextRun], list[Char], int, list[tuple[float, float, float, float]]]:
+    """Execute the text subset of a content stream.
 
-    Returns (runs, curve_op_count, black_filled_rects).  Unknown operators
-    are ignored; operand stack is cleared per operator like a real
-    interpreter.  Filled near-black rectangles are tracked for the
-    bad-redaction detector (reference tasks.py:134-152, the x-ray lib's
-    core heuristic: a black box drawn over recoverable text).
+    Returns (runs, chars, curve_op_count, black_filled_rects).  Unknown
+    operators are ignored; the operand stack is cleared per operator like a
+    real interpreter.  Filled near-black rectangles are tracked for the
+    bad-redaction detector (reference tasks.py:134-152).
+
+    Two text models coexist:
+
+    - runs (always): one TextRun per show op — the synthetic-corpus layout
+      and the stamp/x-ray heuristics consume these.  For metrics-less
+      fonts the advance is the fixed-pitch 0.6 em model shared with
+      pdfwriter (byte-identical corpus contract).
+    - chars (``emit_chars``): per-glyph device-space positions using real
+      font widths, Tc/Tw/Tz/Ts and the CTM — the real-PDF layout engines
+      (poppler/pdfplumber analogs) consume these.
+
+    Form XObjects (``Do``) are executed recursively with their /Matrix
+    composed into the CTM (bounded depth).
     """
     runs: list[TextRun] = []
+    chars: list[Char] = []
     curves = 0
     black_rects: list[tuple[float, float, float, float]] = []
     pending_rects: list[tuple[float, float, float, float]] = []
-    fill_black = False
-    tm = _Matrix()
-    lm = _Matrix()
+    fill_black = True  # initial fill color is black (ISO 32000-1 §8.6.8)
+    ctm = ctm0
+    ctm_stack: list = []
+    tm = _IDENT
+    lm = _IDENT
     leading = 0.0
     size = 12.0
+    t_c = 0.0
+    t_w = 0.0
+    t_h = 1.0
+    rise = 0.0
+    slot: _FontSlot | None = None
     fontname = ""
     stack: list = []
     pos = 0
     n = len(content)
     lex = _Lexer(content)
 
-    def show(sval) -> None:
+    def show(raw) -> None:
         nonlocal tm
-        if isinstance(sval, bytes):
-            text = sval.decode("cp1252", errors="replace")
-        else:
-            text = str(sval)
-        if not text:
+        if not isinstance(raw, bytes):
             return
-        runs.append(
-            TextRun(text=text, x=tm.e, y=tm.f, size=size,
-                    skewed=(tm.b != 0), fontname=fontname)
-        )
-        tm = tm.translated(len(text) * CHAR_WIDTH_FACTOR * size, 0.0)
+        font = slot.font if slot is not None else None
+        if not emit_chars or font is None or not font.has_metrics:
+            # fixed-pitch fast path (synthetic corpus contract)
+            if font is not None:
+                text = font.text_of(raw)
+            else:
+                text = raw.decode("cp1252", errors="replace")
+            if not text:
+                return
+            m = _mat_mul(tm, ctm)
+            runs.append(
+                TextRun(text=text, x=m[4], y=m[5], size=size,
+                        skewed=(m[1] != 0), fontname=fontname)
+            )
+            tm = _mat_translate(tm, len(text) * CHAR_WIDTH_FACTOR * size, 0.0)
+            return
+        # glyph-accurate path
+        pieces: list[str] = []
+        first_m = None
+        two_byte = font.two_byte
+        for text, w1000, code in font.decode(raw):
+            m = _mat_mul(tm, ctm)
+            if first_m is None:
+                first_m = m
+            w_text = w1000 / 1000.0 * size
+            disp = w_text + t_c
+            if code == 32 and not two_byte:
+                disp += t_w
+            if text:
+                scale = m[0]  # device x-scale for upright text
+                eff_size = size * abs(m[3]) if m[3] else size
+                x0 = m[4] + rise * m[2]
+                chars.append(
+                    Char(text, x0, x0 + w_text * t_h * scale,
+                         m[5] + rise * m[3], eff_size,
+                         m[1] != 0, fontname)
+                )
+                pieces.append(text)
+            tm = _mat_translate(tm, disp * t_h, 0.0)
+        if pieces and first_m is not None:
+            runs.append(
+                TextRun(text="".join(pieces), x=first_m[4], y=first_m[5],
+                        size=size, skewed=(first_m[1] != 0),
+                        fontname=fontname)
+            )
 
     def show_tj_array(arr) -> None:
         nonlocal tm
@@ -459,18 +729,35 @@ def _interpret_content(
             if isinstance(item, bytes):
                 show(item)
             elif isinstance(item, (int, float)):
-                tm = tm.translated(-item / 1000.0 * size, 0.0)
+                tm = _mat_translate(tm, -item / 1000.0 * size * t_h, 0.0)
 
     while pos < n:
         m = _CONTENT_TOKEN.search(content, pos)
         if not m:
             break
-        if m.lastgroup == "str":
+        g = m.lastgroup
+        if g == "str":
             lex.pos = m.start()
             stack.append(lex._parse_string())
             pos = lex.pos
             continue
-        if m.lastgroup == "arr":
+        if g == "dict":
+            lex.pos = m.start()
+            try:
+                stack.append(lex.parse_value())
+                pos = lex.pos
+            except (PdfParseError, IndexError, ValueError):
+                pos = m.end()
+            continue
+        if g == "hex":
+            lex.pos = m.start()
+            try:
+                stack.append(lex._parse_hex_string())
+                pos = lex.pos
+            except (PdfParseError, IndexError, ValueError):
+                pos = m.end()
+            continue
+        if g == "arr":
             lex.pos = m.start()
             try:
                 stack.append(lex._parse_array())
@@ -478,11 +765,11 @@ def _interpret_content(
             except (PdfParseError, IndexError):
                 pos = m.end()
             continue
-        if m.lastgroup == "name":
+        if g == "name":
             stack.append(m.group()[1:].decode("latin-1"))
             pos = m.end()
             continue
-        if m.lastgroup == "num":
+        if g == "num":
             tok = m.group()
             stack.append(float(tok) if b"." in tok else int(tok))
             pos = m.end()
@@ -493,35 +780,56 @@ def _interpret_content(
         try:
             if op == b"Tf" and len(stack) >= 2:
                 size = float(stack[-1])
-                fontname = fonts.get(str(stack[-2]), str(stack[-2]))
+                alias = str(stack[-2])
+                slot = fonts.get(alias)
+                fontname = slot.name if slot is not None else alias
             elif op == b"Tm" and len(stack) >= 6:
-                a, b_, c, d, e, f = (float(v) for v in stack[-6:])
-                tm = _Matrix(a, b_, c, d, e, f)
-                lm = tm.clone()
+                tm = tuple(float(v) for v in stack[-6:])
+                lm = tm
             elif op == b"Td" and len(stack) >= 2:
-                lm = lm.translated(float(stack[-2]), float(stack[-1]))
-                tm = lm.clone()
+                lm = _mat_translate(lm, float(stack[-2]), float(stack[-1]))
+                tm = lm
             elif op == b"TD" and len(stack) >= 2:
                 leading = -float(stack[-1])
-                lm = lm.translated(float(stack[-2]), float(stack[-1]))
-                tm = lm.clone()
+                lm = _mat_translate(lm, float(stack[-2]), float(stack[-1]))
+                tm = lm
             elif op == b"TL" and stack:
                 leading = float(stack[-1])
+            elif op == b"Tc" and stack:
+                t_c = float(stack[-1])
+            elif op == b"Tw" and stack:
+                t_w = float(stack[-1])
+            elif op == b"Tz" and stack:
+                t_h = float(stack[-1]) / 100.0
+            elif op == b"Ts" and stack:
+                rise = float(stack[-1])
             elif op == b"T*":
-                lm = lm.translated(0.0, -leading)
-                tm = lm.clone()
+                lm = _mat_translate(lm, 0.0, -leading)
+                tm = lm
             elif op == b"BT":
-                tm = _Matrix()
-                lm = _Matrix()
+                tm = _IDENT
+                lm = _IDENT
+            elif op == b"ET":
+                pass
+            elif op == b"q":
+                ctm_stack.append((ctm, fill_black))
+            elif op == b"Q":
+                if ctm_stack:
+                    ctm, fill_black = ctm_stack.pop()
+            elif op == b"cm" and len(stack) >= 6:
+                mat = tuple(float(v) for v in stack[-6:])
+                ctm = _mat_mul(mat, ctm)
             elif op == b"Tj" and stack:
                 show(stack[-1])
             elif op == b"'" and stack:
-                lm = lm.translated(0.0, -leading)
-                tm = lm.clone()
+                lm = _mat_translate(lm, 0.0, -leading)
+                tm = lm
                 show(stack[-1])
             elif op == b'"' and len(stack) >= 3:
-                lm = lm.translated(0.0, -leading)
-                tm = lm.clone()
+                t_w = float(stack[-3])
+                t_c = float(stack[-2])
+                lm = _mat_translate(lm, 0.0, -leading)
+                tm = lm
                 show(stack[-1])
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
                 show_tj_array(stack[-1])
@@ -533,93 +841,224 @@ def _interpret_content(
                 fill_black = float(stack[-1]) < 0.1
             elif op == b"re" and len(stack) >= 4:
                 x, y, w, h = (float(v) for v in stack[-4:])
-                pending_rects.append((x, y, w, h))
-            elif op in (b"f", b"F", b"b", b"B"):
+                if w < 0:
+                    x, w = x + w, -w
+                if h < 0:
+                    y, h = y + h, -h
+                # device space (rects drawn under a CTM must land where
+                # the text lands)
+                dx, dy = _mat_translate(ctm, x, y)[4:]
+                dx1, dy1 = _mat_translate(ctm, x + w, y + h)[4:]
+                pending_rects.append(
+                    (min(dx, dx1), min(dy, dy1), abs(dx1 - dx), abs(dy1 - dy))
+                )
+            elif op in (b"f", b"F", b"b", b"B", b"f*", b"b*", b"B*"):
                 if fill_black:
                     black_rects.extend(pending_rects)
                 pending_rects.clear()
             elif op in (b"n", b"S", b"s"):
                 pending_rects.clear()
+            elif op == b"BI":
+                ei = _EI_RE.search(content, pos)
+                pos = ei.end() if ei else n
+            elif op == b"Do" and stack and objects is not None and depth < 4:
+                _do_xobject(
+                    str(stack[-1]), resources, objects, ctm, emit_chars,
+                    depth, runs, chars, black_rects,
+                )
         except (TypeError, ValueError):
             pass
         stack.clear()
 
-    return runs, curves, black_rects
+    return runs, chars, curves, black_rects
+
+
+def _do_xobject(
+    alias, resources, objects, ctm, emit_chars, depth, runs, chars, black_rects
+) -> None:
+    """Execute a Form XObject's content with its /Matrix composed in."""
+    res = _resolve((resources or {}).get("XObject"), objects) or {}
+    xobj = _resolve(res.get(alias), objects)
+    if not isinstance(xobj, StreamObj) or xobj.attrs.get("Subtype") != "Form":
+        return
+    mat = _resolve(xobj.attrs.get("Matrix"), objects)
+    sub_ctm = ctm
+    if isinstance(mat, list) and len(mat) == 6:
+        try:
+            sub_ctm = _mat_mul(tuple(float(v) for v in mat), ctm)
+        except (TypeError, ValueError):
+            pass
+    sub_res = _resolve(xobj.attrs.get("Resources"), objects)
+    if not isinstance(sub_res, dict):
+        sub_res = resources or {}
+    try:
+        payload = xobj.data()
+    except (PdfParseError, zlib.error, ValueError):
+        return
+    sub_fonts = _build_fonts(sub_res, objects)
+    r, c, _curves, b = _interpret_content(
+        payload, sub_fonts, emit_chars=emit_chars, objects=objects,
+        resources=sub_res, depth=depth + 1, ctm0=sub_ctm,
+    )
+    runs.extend(r)
+    chars.extend(c)
+    black_rects.extend(b)
+
+
+def _build_fonts(resources: dict | None, objects) -> dict[str, _FontSlot]:
+    """Resolve a /Resources /Font dict into metric-aware Font models."""
+    from .pdf_fonts import Font, glyph_to_unicode, parse_tounicode, parse_w_array
+
+    out: dict[str, _FontSlot] = {}
+    res = resources or {}
+    font_dict = _resolve(res.get("Font"), objects) or {}
+    if not isinstance(font_dict, dict):
+        return out
+    for alias, fref in font_dict.items():
+        fobj = _resolve(fref, objects)
+        if not isinstance(fobj, dict):
+            continue
+        base = str(_resolve(fobj.get("BaseFont"), objects) or alias)
+        font = Font(name=base)
+        subtype = fobj.get("Subtype")
+        tu = _resolve(fobj.get("ToUnicode"), objects)
+        if isinstance(tu, StreamObj):
+            try:
+                font.to_unicode = parse_tounicode(tu.data())
+            except (PdfParseError, zlib.error, ValueError):
+                pass
+        if subtype == "Type0":
+            font.two_byte = True
+            desc = _resolve(fobj.get("DescendantFonts"), objects)
+            if isinstance(desc, list) and desc:
+                cid = _resolve(desc[0], objects)
+                if isinstance(cid, dict):
+                    dw = _resolve(cid.get("DW"), objects)
+                    font.default_width = float(dw) if isinstance(
+                        dw, (int, float)
+                    ) else 1000.0
+                    w = _resolve(cid.get("W"), objects)
+                    if isinstance(w, list):
+                        font.widths = parse_w_array(
+                            [_resolve(v, objects) for v in w]
+                        )
+                        font.has_metrics = True
+            if font.default_width and not font.has_metrics:
+                font.has_metrics = True  # DW-only CID font still positional
+        else:
+            first = _resolve(fobj.get("FirstChar"), objects)
+            widths = _resolve(fobj.get("Widths"), objects)
+            fd = _resolve(fobj.get("FontDescriptor"), objects)
+            if isinstance(fd, dict):
+                mw = _resolve(fd.get("MissingWidth"), objects)
+                if isinstance(mw, (int, float)):
+                    font.default_width = float(mw)
+            if isinstance(widths, list) and isinstance(first, int):
+                for off, w in enumerate(widths):
+                    w = _resolve(w, objects)
+                    if isinstance(w, (int, float)):
+                        font.widths[first + off] = float(w)
+                font.has_metrics = True
+            elif "Courier" in base or "Mono" in base:
+                font.default_width = 600.0
+                font.fixed_pitch_600 = True
+            enc = _resolve(fobj.get("Encoding"), objects)
+            if isinstance(enc, dict):
+                diffs = _resolve(enc.get("Differences"), objects)
+                if isinstance(diffs, list):
+                    code = 0
+                    for item in diffs:
+                        if isinstance(item, (int, float)):
+                            code = int(item)
+                        elif isinstance(item, str):
+                            uni = glyph_to_unicode(str(item))
+                            if uni:
+                                font.differences[code] = uni
+                            code += 1
+        out[str(alias)] = _FontSlot(font, base)
+    return out
 
 
 def parse_pdf(data: bytes) -> PdfDocument:
-    """Parse PDF bytes into pages of text runs + images + annotations."""
+    """Parse PDF bytes into pages of text runs/chars + images + annotations."""
     if not data.lstrip()[:5].startswith(b"%PDF-") and b"%PDF-" not in data[:1024]:
         raise PdfParseError("not a PDF")
     objects = _scan_objects(data)
     pages: list[Page] = []
     for idx, pnum in enumerate(_page_order(objects), start=1):
         pdict = objects[pnum]
-        media = _resolve(pdict.get("MediaBox"), objects)
-        if not media:
-            # inherit from any /Pages node
-            for o in objects.values():
-                if isinstance(o, dict) and o.get("Type") == "Pages" and o.get("MediaBox"):
-                    media = o["MediaBox"]
-                    break
+        media = _inherited(pdict, "MediaBox", objects)
+        if isinstance(media, list) and len(media) == 4:
+            media = [_resolve(v, objects) for v in media]
+        else:
+            media = None
         media = media or [0, 0, 612, 792]
-        width = float(media[2]) - float(media[0])
-        height = float(media[3]) - float(media[1])
+        try:
+            x0_m, y0_m = float(media[0]), float(media[1])
+            width = float(media[2]) - x0_m
+            height = float(media[3]) - y0_m
+        except (TypeError, ValueError):
+            x0_m = y0_m = 0.0
+            width, height = 612.0, 792.0
 
-        # fonts: resource alias -> BaseFont name
-        fonts: dict[str, str] = {}
-        res = _resolve(pdict.get("Resources"), objects) or {}
-        font_dict = _resolve(res.get("Font"), objects) or {}
-        for alias, fref in font_dict.items():
-            fobj = _resolve(fref, objects)
-            if isinstance(fobj, dict):
-                fonts[alias] = str(fobj.get("BaseFont", alias))
+        res = _inherited(pdict, "Resources", objects)
+        if not isinstance(res, dict):
+            res = {}
+        fonts = _build_fonts(res, objects)
+        # glyph-accurate layout only pays off when real metrics exist;
+        # metric-less (synthetic/fixed-pitch) documents keep the run model
+        emit_chars = any(s.font.has_metrics for s in fonts.values())
 
         # content
         content_parts: list[bytes] = []
-        contents = pdict.get("Contents")
+        contents = _resolve(pdict.get("Contents"), objects)
         refs = contents if isinstance(contents, list) else [contents]
         for cref in refs:
             cobj = _resolve(cref, objects)
             if isinstance(cobj, StreamObj):
                 try:
                     content_parts.append(cobj.data())
-                except (PdfParseError, zlib.error):
+                except (PdfParseError, zlib.error, ValueError):
                     pass
-        runs, curves, black_rects = _interpret_content(
-            b"\n".join(content_parts), fonts
+        # media-box translation: device origin at the box corner
+        ctm0 = (1.0, 0.0, 0.0, 1.0, -x0_m, -y0_m) if (x0_m or y0_m) else _IDENT
+        runs, chars, curves, black_rects = _interpret_content(
+            b"\n".join(content_parts), fonts, emit_chars=emit_chars,
+            objects=objects, resources=res, ctm0=ctm0,
         )
 
         # images (XObjects in resources)
         images: list[ImageInfo] = []
         xobjs = _resolve(res.get("XObject"), objects) or {}
-        for _alias, xref in xobjs.items():
-            xobj = _resolve(xref, objects)
-            if isinstance(xobj, StreamObj) and xobj.attrs.get("Subtype") == "Image":
-                synth = None
-                if xobj.attrs.get("SynthOCR"):
-                    try:
-                        synth = json.loads(xobj.data().decode("utf-8"))
-                    except (ValueError, PdfParseError, zlib.error):
-                        synth = None
-                images.append(
-                    ImageInfo(
-                        width=float(xobj.attrs.get("Width", 0)),
-                        height=float(xobj.attrs.get("Height", 0)),
-                        synth_ocr=synth,
+        if isinstance(xobjs, dict):
+            for _alias, xref in xobjs.items():
+                xobj = _resolve(xref, objects)
+                if isinstance(xobj, StreamObj) and xobj.attrs.get("Subtype") == "Image":
+                    synth = None
+                    if xobj.attrs.get("SynthOCR"):
+                        try:
+                            synth = json.loads(xobj.data().decode("utf-8"))
+                        except (ValueError, PdfParseError, zlib.error):
+                            synth = None
+                    images.append(
+                        ImageInfo(
+                            width=float(xobj.attrs.get("Width", 0)),
+                            height=float(xobj.attrs.get("Height", 0)),
+                            synth_ocr=synth,
+                        )
                     )
-                )
 
         # annotations
         annot_subtypes: list[str] = []
-        for aref in (pdict.get("Annots") or []):
+        annots = _resolve(pdict.get("Annots"), objects)
+        for aref in (annots if isinstance(annots, list) else []):
             aobj = _resolve(aref, objects)
             if isinstance(aobj, dict) and "Subtype" in aobj:
                 annot_subtypes.append(str(aobj["Subtype"]))
 
         pages.append(
             Page(number=idx, width=width, height=height, runs=runs,
-                 images=images, annot_subtypes=annot_subtypes,
+                 chars=chars, images=images, annot_subtypes=annot_subtypes,
                  curve_count=curves, black_rects=black_rects)
         )
     return PdfDocument(pages=pages)
@@ -686,6 +1125,214 @@ def layout_page_text(
             buf += r.text
         out.append(buf)
     return "\n".join(out)
+
+
+def _chars_to_lines(
+    chars: list[Char], page_height: float, tol_factor: float = 0.5,
+    abs_tol: float = 2.0,
+) -> list[tuple[float, list[Char]]]:
+    """Cluster chars into visual lines by baseline (top-based), tolerance
+    ``max(abs_tol, tol_factor * char size)`` — poppler's maxIntraLineDelta
+    analog."""
+    if not chars:
+        return []
+    items = sorted(chars, key=lambda c: (page_height - c.y, c.x0))
+    lines: list[tuple[float, list[Char]]] = []
+    for c in items:
+        top = page_height - c.y
+        if lines and top - lines[-1][0] <= max(abs_tol, tol_factor * c.size):
+            lines[-1][1].append(c)
+        else:
+            lines.append((top, [c]))
+    return lines
+
+
+def _split_words(line_chars: list[Char], gap_factor: float = 0.35):
+    """Split a line's chars (x-sorted) into words at positional gaps —
+    kerning-sized TJ offsets stay inside a word (the 'TARRA NT' class of
+    bug in naive run-based layout)."""
+    cs = sorted(line_chars, key=lambda c: c.x0)
+    words: list[list[Char]] = [[cs[0]]]
+    for prev, cur in zip(cs, cs[1:]):
+        if cur.x0 - prev.x1 > gap_factor * cur.size:
+            words.append([cur])
+        else:
+            words[-1].append(cur)
+    return words
+
+
+# pdftotext -layout column cell, as a fraction of the line's smallest
+# font size.  Empirical fit to poppler's output on the reference fixture
+# (vector-pdf: golden doctor/tests.py:114-128 constrains it to
+# [0.4906, 0.4964] at the header's 7.02 pt size); poppler's own pitch
+# estimate is ~half an em.
+POPPLER_CELL_EM = 0.4935
+
+
+def poppler_layout_text(page: Page) -> str:
+    """``pdftotext -layout`` analog over glyph-accurate chars (real-PDF
+    path; reference tasks.py:75-89).
+
+    Two-level model like poppler's TextLineFrag: words whose gaps look
+    like normal spacing join into one fragment with single spaces; larger
+    gaps (> 1.5 em, poppler's maxWordSpacing) break fragments, and each
+    fragment is column-positioned linearly in x (half-em cell, origin at
+    the page's minimum x).  Kerning-sized gaps (< 0.3 em) never split a
+    word — the 'TARRA NT' failure mode of run-based layout."""
+    all_chars = [c for c in page.chars if c.text]
+    solid = [c for c in all_chars if not c.text.isspace()]
+    if not solid:
+        return ""
+    x_min = min(c.x0 for c in solid)
+    lines = _chars_to_lines(all_chars, page.height)
+    out: list[str] = []
+    prev_top: float | None = None
+    prev_size = 12.0
+    for top, line_chars in lines:
+        cs = [c for c in sorted(line_chars, key=lambda c: c.x0)]
+        sizes = [c.size for c in cs if not c.text.isspace()]
+        if not sizes:
+            continue
+        if prev_top is not None:
+            gap = top - prev_top
+            blanks = max(0, int(gap / (2.8 * prev_size)))
+            out.extend("" for _ in range(blanks))
+        # smallest char size on the line sets the pitch (a header mixing
+        # 7 pt and 9 pt text columnizes on the 7 pt cell in poppler)
+        size = min(sizes) or 12.0
+        cell = POPPLER_CELL_EM * size
+
+        # tokenize into words (break at explicit spaces or gap > 0.3 em),
+        # then group words into fragments (break at gap > 1.5 em)
+        frags: list[tuple[float, list[str]]] = []
+        space_pending = False
+        prev = None
+        for cur2 in cs:
+            if cur2.text.isspace():
+                space_pending = True
+                continue
+            if not frags:
+                frags.append((cur2.x0, [cur2.text]))
+            else:
+                gap_x = cur2.x0 - prev.x1 if prev is not None else 0.0
+                if gap_x > 1.5 * cur2.size:
+                    frags.append((cur2.x0, [cur2.text]))
+                elif space_pending or gap_x > 0.3 * cur2.size:
+                    frags[-1][1].append(" ")
+                    frags[-1][1].append(cur2.text)
+                else:
+                    frags[-1][1].append(cur2.text)
+            prev = cur2
+            space_pending = False
+
+        buf: list[str] = []
+        cur_col = 0
+        for fx, pieces in frags:
+            text = "".join(pieces)
+            col = int((fx - x_min) / cell + 0.5)
+            pad = col - cur_col
+            if pad < 1 and cur_col > 0:
+                pad = 1
+            elif pad < 0:
+                pad = 0
+            buf.append(" " * pad)
+            buf.append(text)
+            cur_col += pad + len(text)
+        out.append("".join(buf))
+        prev_top = top
+        prev_size = size
+    return "\n".join(out)
+
+
+# pdfplumber layout-mode defaults (pdfplumber utils/text.py); the reference
+# overrides y_density=25 and y_tolerance=5 (text_extraction.py:56-67)
+PLUMBER_X_DENSITY = 7.25
+PLUMBER_X_TOLERANCE = 3.0
+
+
+def _plumber_round(x: float) -> int:
+    return int(round(x))  # banker's rounding, as in pdfplumber's round()
+
+
+def plumber_layout_text(
+    page: Page,
+    *,
+    drop_skewed: bool = False,
+    crop_band: tuple[float, float] | None = None,
+    y_density: float = Y_DENSITY,
+    y_tolerance: float = Y_TOLERANCE,
+) -> str:
+    """pdfplumber ``extract_text(layout=True, keep_blank_chars=True,
+    y_tolerance=5, y_density=25)`` analog over glyph-accurate chars (the
+    RECAP path; reference text_extraction.py:32-69).
+
+    Word column = ``round((x0 - x_shift) / 7.25)``; words cluster into
+    lines by top with tolerance 5; blank lines per 25 pt of vertical gap;
+    a word placed at-or-before the current column gets a single space.
+    """
+    chars = page.chars
+    if drop_skewed:
+        chars = [c for c in chars if not c.skewed]
+    y_shift = 0.0
+    if crop_band is not None:
+        lo, hi = crop_band
+        chars = [c for c in chars if lo <= (page.height - c.y) <= hi]
+        y_shift = lo
+    if not chars:
+        return ""
+
+    # words: pdfplumber WordExtractor(keep_blank_chars=True) — split on
+    # x-gaps > x_tolerance or vertical jumps; blanks stay inside words
+    items = sorted(chars, key=lambda c: (page.height - c.y, c.x0))
+    words: list[list[Char]] = []
+    cur: list[Char] = []
+    for c in items:
+        if cur:
+            prev = cur[-1]
+            same_line = abs((page.height - c.y) - (page.height - prev.y)) <= y_tolerance
+            if not same_line or c.x0 > prev.x1 + PLUMBER_X_TOLERANCE or c.x0 < prev.x0:
+                words.append(cur)
+                cur = []
+        cur.append(c)
+    if cur:
+        words.append(cur)
+
+    # drop whitespace-only words (pdfplumber keeps blank chars inside
+    # words, but a bare run of spaces produces no visible word)
+    words = [w for w in words if any(not c.text.isspace() for c in w)]
+    if not words:
+        return ""
+
+    # cluster words into lines by doctop of the word's first char
+    words.sort(key=lambda w: (page.height - w[0].y, w[0].x0))
+    lines: list[tuple[float, list[list[Char]]]] = []
+    for w in words:
+        top = page.height - w[0].y
+        if lines and top - lines[-1][0] <= y_tolerance:
+            lines[-1][1].append(w)
+        else:
+            lines.append((top, [w]))
+
+    out: list[str] = []
+    num_newlines = 0
+    for i, (top, line_words) in enumerate(lines):
+        y_dist = (top - y_shift) / y_density
+        prepend = max(min(1, i), _plumber_round(y_dist) - num_newlines)
+        if i > 0:
+            out.append("\n" * max(1, prepend))
+        num_newlines += max(min(1, i), prepend)
+        line_len = 0
+        buf: list[str] = []
+        for w in sorted(line_words, key=lambda w: w[0].x0):
+            x_dist = w[0].x0 / PLUMBER_X_DENSITY
+            n_sp = max(min(1, line_len), _plumber_round(x_dist) - line_len)
+            buf.append(" " * n_sp)
+            line_len += n_sp
+            text = "".join(c.text for c in w)
+            buf.append(text)
+            line_len += len(text)
+        out.append("".join(buf))
+    return "".join(out)
 
 
 def strip_margin_band(page: Page) -> tuple[float, float] | None:
@@ -860,5 +1507,11 @@ def extract_pdf_layout_text(
         doc = doc or parse_pdf(data)
     except Exception as exc:
         return "", f"pdf parse failure: {exc}", 1
-    pages = [layout_page_text(p) for p in doc.pages]
+    # glyph-accurate pages (real fonts with metrics) take the poppler-
+    # analog engine; metric-less pages keep the fixed-pitch run engine
+    # (the synthetic-corpus byte-identical contract)
+    pages = [
+        poppler_layout_text(p) if p.chars else layout_page_text(p)
+        for p in doc.pages
+    ]
     return "\f".join(pages) + ("\f" if pages else ""), "", 0

@@ -1,0 +1,191 @@
+"""PDF font model: glyph widths, encodings, ToUnicode CMaps.
+
+Built from the public PDF 1.7 spec (ISO 32000-1 §9) to support the real-
+world PDF path — the reference gets all of this for free via poppler/
+pdfplumber (doctor/tasks.py:75-89, doctor/lib/text_extraction.py:32-69).
+
+Covers:
+- simple fonts (Type1/TrueType/Type3): /FirstChar + /Widths +
+  /MissingWidth, /Encoding base + /Differences (glyph-name → unicode via a
+  compact Adobe-Glyph-List subset), cp1252/WinAnsi fallback;
+- composite Type0/CID fonts with Identity two-byte codes, /W width ranges
+  and /DW default width;
+- /ToUnicode CMaps (bfchar + bfrange, both scalar and array forms).
+
+Width units are em/1000 as in the spec; ``Font.decode`` yields
+(unicode_text, width_em1000, code) per glyph.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# Adobe Glyph List subset: names that appear in /Differences arrays of
+# Latin-text documents (letters map to themselves and are generated).
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ", "ffi": "ﬃ",
+    "ffl": "ﬄ", "perthousand": "‰", "trademark": "™",
+    "copyright": "©", "registered": "®", "degree": "°",
+    "section": "§", "paragraph": "¶", "cent": "¢",
+    "sterling": "£", "yen": "¥", "florin": "ƒ",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "guillemotleft": "«", "guillemotright": "»",
+    "exclamdown": "¡", "questiondown": "¿",
+    "nbspace": " ", "minus": "−", "multiply": "×",
+    "divide": "÷", "plusminus": "±", "mu": "µ",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "aacute": "á", "eacute": "é", "iacute": "í",
+    "oacute": "ó", "uacute": "ú", "ntilde": "ñ",
+    "agrave": "à", "egrave": "è", "ccedilla": "ç",
+    "germandbls": "ß", "oslash": "ø", "aring": "å",
+    "ae": "æ", "oe": "œ", "AE": "Æ", "OE": "Œ",
+}
+for _c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _AGL[_c] = _c
+
+
+def glyph_to_unicode(name: str) -> str:
+    if name in _AGL:
+        return _AGL[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    # gXX / cidXX / unnamed glyphs: unknown
+    return ""
+
+
+@dataclass
+class Font:
+    name: str = ""
+    two_byte: bool = False
+    widths: dict[int, float] = field(default_factory=dict)  # code → em/1000
+    default_width: float = 500.0
+    to_unicode: dict[int, str] = field(default_factory=dict)
+    differences: dict[int, str] = field(default_factory=dict)  # code → char
+    has_metrics: bool = False  # real /Widths (or /W) present
+    fixed_pitch_600: bool = False  # Courier-family / synthetic-corpus model
+
+    def decode(self, raw: bytes):
+        """Yield (text, width_em1000, code) per glyph code in ``raw``."""
+        if self.two_byte:
+            for i in range(0, len(raw) - 1, 2):
+                code = (raw[i] << 8) | raw[i + 1]
+                text = self.to_unicode.get(code)
+                if text is None:
+                    text = "" if code == 0 else "�"
+                yield text, self.widths.get(code, self.default_width), code
+            return
+        for code in raw:
+            text = self.to_unicode.get(code)
+            if text is None:
+                text = self.differences.get(code)
+            if text is None:
+                text = bytes([code]).decode("cp1252", errors="replace")
+                if text == "�":
+                    text = ""
+            yield text, self.widths.get(code, self.default_width), code
+
+    def text_of(self, raw: bytes) -> str:
+        return "".join(t for t, _w, _c in self.decode(raw))
+
+
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_RANGE_ITEM_RE = re.compile(
+    rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f\s]+>)"
+)
+
+
+def _hex_bytes(s: bytes) -> bytes:
+    hx = re.sub(rb"\s", b"", s)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode())
+
+
+def _dst_text(b: bytes) -> str:
+    if len(b) % 2:
+        b += b"\x00"
+    return b.decode("utf-16-be", errors="replace")
+
+
+def parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap's bfchar/bfrange sections → code → text."""
+    out: dict[int, str] = {}
+    for block in _BFCHAR_RE.findall(cmap):
+        toks = _HEX_RE.findall(block)
+        for i in range(0, len(toks) - 1, 2):
+            src = _hex_bytes(toks[i])
+            dst = _hex_bytes(toks[i + 1])
+            out[int.from_bytes(src, "big")] = _dst_text(dst)
+    for block in _BFRANGE_RE.findall(cmap):
+        for m in _RANGE_ITEM_RE.finditer(block):
+            lo = int.from_bytes(_hex_bytes(m.group(1)), "big")
+            hi = int.from_bytes(_hex_bytes(m.group(2)), "big")
+            dst = m.group(3)
+            if hi < lo or hi - lo > 1 << 16:
+                continue
+            if dst.startswith(b"["):
+                items = _HEX_RE.findall(dst)
+                for off, item in enumerate(items):
+                    if lo + off <= hi:
+                        out[lo + off] = _dst_text(_hex_bytes(item))
+            else:
+                base = _hex_bytes(dst[1:-1] if dst.startswith(b"<") else dst)
+                base_i = int.from_bytes(base, "big")
+                nbytes = max(2, len(base))
+                for off in range(hi - lo + 1):
+                    out[lo + off] = _dst_text(
+                        (base_i + off).to_bytes(nbytes, "big")
+                    )
+    return out
+
+
+def parse_w_array(w: list) -> dict[int, float]:
+    """CIDFont /W array → cid → width (ISO 32000-1 §9.7.4.3)."""
+    out: dict[int, float] = {}
+    i = 0
+    n = len(w)
+    while i < n:
+        first = w[i]
+        if not isinstance(first, (int, float)) or i + 1 >= n:
+            break
+        nxt = w[i + 1]
+        if isinstance(nxt, list):
+            for off, width in enumerate(nxt):
+                if isinstance(width, (int, float)):
+                    out[int(first) + off] = float(width)
+            i += 2
+        elif isinstance(nxt, (int, float)) and i + 2 < n and isinstance(
+            w[i + 2], (int, float)
+        ):
+            last, width = int(nxt), float(w[i + 2])
+            if last >= int(first) and last - int(first) <= 1 << 16:
+                for cid in range(int(first), last + 1):
+                    out[cid] = width
+            i += 3
+        else:
+            break
+    return out
