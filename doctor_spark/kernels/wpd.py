@@ -99,14 +99,62 @@ def _parse(data: bytes) -> str:
         elif b in _SPACE_BYTES:
             out.append(" ")
             pos += 1
+        elif b == 0xA9:  # hard hyphen
+            out.append("-")
+            pos += 1
         elif b == _HARD_RETURN:
             out.append("\n")
             pos += 1
-        elif b < 0x20 or b <= 0xBF:
-            pos += 1  # other single-byte function codes: drop
+        elif b == 0xCF:  # soft return: a wrapped line joins with a space
+            out.append(" ")
+            pos += 1
+        elif b < 0x20 or b <= 0xCF:
+            pos += 1  # other single-byte function codes (0x80-0xCF): drop
+        elif 0xD0 <= b <= 0xEF and pos + 4 <= n:
+            # WP6 variable-length group: [code, subgroup, u16 size, ...,
+            # code] — size counts the whole group and the code byte
+            # repeats at the end; payload bytes may equal the code, so
+            # the size field is authoritative (close-byte scanning leaks
+            # payload into the text)
+            sub = data[pos + 1]
+            size = struct.unpack_from("<H", data, pos + 2)[0]
+            end = pos + size
+            if size >= 5 and end <= n and data[end - 1] == b:
+                if b == 0xD0:  # EOL group: line/cell/paragraph breaks
+                    out.append(" " if sub in (0x00, 0x01, 0x02) else "\n")
+                elif b == 0xE0:  # tab group (stop position in payload)
+                    out.append("\t")
+                pos = end
+            else:  # malformed: fall back to bounded close-byte scan
+                close = data.find(bytes([b]), pos + 1, pos + 64)
+                pos = close + 1 if close != -1 else pos + 1
         else:
-            # multi-byte function group 0xC0-0xFF: WP6 groups repeat the
-            # leading byte as the terminator; skip to it (bounded)
-            close = data.find(bytes([b]), pos + 1, pos + 64)
-            pos = close + 1 if close != -1 else pos + 1
+            # fixed-length multi-byte group 0xF0-0xFF: code-terminated,
+            # always short; 0xF0 is an extended character
+            # [F0, char, charset, F0]; 0xF2/0xF3 are 3-byte attribute
+            # on/off pairs
+            if b == 0xF0 and pos + 3 < n and data[pos + 3] == 0xF0:
+                out.append(_extended_char(data[pos + 2], data[pos + 1]))
+                pos += 4
+            elif b in (0xF2, 0xF3) and pos + 2 < n and data[pos + 2] == b:
+                pos += 3
+            else:
+                close = data.find(bytes([b]), pos + 1, pos + 16)
+                pos = close + 1 if close != -1 else pos + 1
     return "".join(out)
+
+
+# WP extended characters (charset, char) → text, for the sets that occur
+# in legal documents (WP6 charset 4 = typographic symbols)
+_EXT_CHARS = {
+    (4, 28): "'", (4, 29): "'", (4, 30): "'",
+    (4, 31): '"', (4, 32): '"',
+    (4, 33): "-", (4, 34): "-",   # en/em dash
+    (4, 0): "•", (4, 2): "□", (4, 5): "¶", (4, 6): "§",
+    (4, 17): "™", (4, 22): "®", (4, 23): "©",
+    (4, 41): "“", (4, 42): "”",
+}
+
+
+def _extended_char(charset: int, char: int) -> str:
+    return _EXT_CHARS.get((charset, char), "")
