@@ -205,6 +205,123 @@ def q_extract_recap_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.mapInPandas(run, schema="url string, content string")
 
 
+_REF_ASSETS = "/root/reference/doctor/test_assets"
+
+# literal goldens from the reference's own test suite
+# (doctor/tests.py:114-242, 301-378, 416-465); OCR-output goldens are
+# excluded (tesseract is a pluggable backend, absent in this sandbox)
+_REF_EXPECTED: list[tuple[str, str, str]] = [
+    ("vector-pdf.pdf", "first100",
+     "(Slip Opinion)              OCTOBER TERM, 2012"
+     "                                       1"),
+    ("vector-pdf.pdf", "page_count", "30"),
+    ("vector-pdf.pdf", "extracted_by_ocr", "false"),
+    ("image-pdf.pdf", "page_count", "2"),
+    ("image-pdf.pdf", "extension", "pdf"),
+    ("broken-mime.pdf", "extension", "pdf"),
+    ("missouri.pdf", "extension", "pdf"),
+    ("word-docx.docx", "first200",
+     "ex- Cpl,                                                      "
+     "                                           Current Discharge "
+     "and Applicant's RequestApplication R"),
+    ("word-doc.doc", "first100",
+     "Attorneys for Appellant                            "
+     "Attorneys for AppelleeSteve Carter"),
+    ("word-doc.doc", "page_count", "None"),
+    ("word-perfect.wpd", "contains_attorney_for_appellant", "true"),
+    ("recap_extract/gov.uscourts.azd.1085839.3.0.pdf",
+     "recap_first_line_strip_margin", "1   WO"),
+    ("recap_extract/gov.uscourts.cacd.652774.40.0.pdf",
+     "recap_first_line_strip_margin", "1"),
+    ("recap_documents/ca10_010110462922.pdf", "doc_number", "010110462922"),
+    ("recap_documents/ca1_00117684624.pdf", "doc_number", "00117684624"),
+    ("recap_documents/ca2_1-1.pdf", "doc_number", "1-1"),
+    ("recap_documents/ca3_003112692106.pdf", "doc_number", "003112692106"),
+    ("recap_documents/ca4_17.pdf", "doc_number", "17"),
+    ("recap_documents/ca5_00516242060.pdf", "doc_number", "00516242060"),
+    ("recap_documents/ca6_1-3.pdf", "doc_number", "1-3"),
+    ("recap_documents/ca7_3.pdf", "doc_number", "3"),
+    ("recap_documents/ca8_.pdf", "doc_number", ""),
+    ("recap_documents/ca9_19.pdf", "doc_number", "19"),
+    ("x-ray/rectangles_yes.pdf", "xray_found", "true"),
+    ("x-ray/rectangles_yes_2.pdf", "xray_found", "true"),
+    ("x-ray/rectangles_no.pdf", "xray_found", "false"),
+]
+
+
+def q_reference_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star gate: kernels over doctor's REAL fixture files, checked
+    against the literal goldens of the reference's own test suite.  The
+    oracle is those literals, so any regression on real-world documents
+    hash-mismatches here."""
+    import pandas as pd
+
+    names = sorted({f for f, _c, _v in _REF_EXPECTED})
+    paths = spark.createDataFrame(
+        [(n,) for n in names], "fixture string"
+    ).repartition(8)
+
+    def run(batches):
+        from doctor_spark.kernels.docx import extract_from_docx_bytes
+        from doctor_spark.kernels.extract import (
+            extract_document,
+            extract_recap_pdf_bytes,
+        )
+        from doctor_spark.kernels.msdoc import extract_from_doc_bytes
+        from doctor_spark.kernels.pdf import get_document_number, get_xray
+        from doctor_spark.kernels.wpd import extract_from_wpd_bytes
+
+        for pdf in batches:
+            rows = []
+            for name in pdf["fixture"]:
+                with open(f"{_REF_ASSETS}/{name}", "rb") as f:
+                    data = f.read()
+                if name.startswith("recap_documents/"):
+                    rows.append((name, "doc_number", get_document_number(data)))
+                elif name.startswith("x-ray/"):
+                    xr = get_xray(data)
+                    found = (not xr["error"]) and len(xr["results"]) > 0
+                    rows.append((name, "xray_found", "true" if found else "false"))
+                elif name.startswith("recap_extract/"):
+                    content, _ocr, _pages = extract_recap_pdf_bytes(
+                        data, strip_margin=True
+                    )
+                    first = content.splitlines()[0].strip() if content else ""
+                    rows.append((name, "recap_first_line_strip_margin", first))
+                elif name == "vector-pdf.pdf":
+                    res = extract_document(f"https://x.test/{name}", data)
+                    rows.append((name, "first100",
+                                 res.content[:100].replace("\n", "").strip()))
+                    rows.append((name, "page_count", str(res.page_count)))
+                    rows.append((name, "extracted_by_ocr",
+                                 "true" if res.extracted_by_ocr else "false"))
+                elif name in ("image-pdf.pdf", "broken-mime.pdf", "missouri.pdf"):
+                    res = extract_document(f"https://x.test/blob.bin", data)
+                    rows.append((name, "extension", res.extension))
+                    if name == "image-pdf.pdf":
+                        rows.append((name, "page_count", str(res.page_count)))
+                elif name == "word-docx.docx":
+                    content, _e, _rc = extract_from_docx_bytes(data)
+                    rows.append((name, "first200",
+                                 content[:200].replace("\n", "").strip()))
+                elif name == "word-doc.doc":
+                    content, _e, _rc = extract_from_doc_bytes(data)
+                    rows.append((name, "first100",
+                                 content[:100].replace("\n", "").strip()))
+                    res = extract_document(f"https://x.test/{name}", data)
+                    rows.append((name, "page_count", str(res.page_count)))
+                elif name == "word-perfect.wpd":
+                    content, _e, _rc = extract_from_wpd_bytes(data)
+                    rows.append((name, "contains_attorney_for_appellant",
+                                 "true" if "ATTORNEY FOR APPELLANT" in content
+                                 else "false"))
+            yield pd.DataFrame(rows, columns=["fixture", "check", "value"])
+
+    return paths.mapInPandas(
+        run, schema="fixture string, check string, value string"
+    )
+
+
 def q_doc_metrics_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -537,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_ocr_stats": q_extract_ocr_stats,
         "pdf_metadata": q_pdf_metadata,
         "extract_recap_mismatch": q_extract_recap_mismatch,
+        "reference_fixtures": q_reference_fixtures,
         "doc_metrics_by_lang": q_doc_metrics_by_lang,
         "dedup_exact": q_dedup_exact,
         "dedup_stats": q_dedup_stats,
@@ -720,6 +838,12 @@ UNION ALL SELECT 'https://pacer.test/doc4.pdf', '9', 1::BIGINT, 1::BIGINT,
 """,
         "extract_recap_mismatch": (
             "SELECT ''::VARCHAR AS url, ''::VARCHAR AS content WHERE 1 = 0"
+        ),
+        "reference_fixtures": " UNION ALL ".join(
+            "SELECT '{}' AS fixture, '{}' AS \"check\", '{}' AS value".format(
+                f, c, v.replace("'", "''")
+            )
+            for f, c, v in _REF_EXPECTED
         ),
         "doc_metrics_by_lang": """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
