@@ -378,7 +378,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import ngram_jaccard_pairs
 
-    p = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+    p = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.3, max_shingle_df=100
+    )
     return p.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
@@ -452,8 +454,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path) — no SQL oracle (hyperplane hashes are
-    engine-side); correctness = recall vs brute force, tested in pytest."""
+    """LSH-bucketed ANN (scale path): the md5-seeded hyperplanes are
+    deterministic, so the SQL oracle enumerates the exact same buckets;
+    recall vs brute force is additionally pytest-gated."""
     from doctor_spark.operators.similarity import lsh_ann_topk
 
     t = lsh_ann_topk(
@@ -468,8 +471,9 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN (scale path #2) — no SQL oracle (engine-side centroid
-    assignment); recall vs brute force is pytest-gated."""
+    """IVF-flat ANN (scale path #2): centroid choice (smallest ids) and
+    assignment (rounded-argmax) are deterministic and mirrored exactly in
+    the SQL oracle; recall vs brute force is additionally pytest-gated."""
     from doctor_spark.operators.similarity import ivf_ann_topk
 
     t = ivf_ann_topk(
@@ -484,24 +488,19 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup family): ids < 200,
-    cosine ≥ 0.35, exact double fold mirrored in the oracle."""
-    from doctor_spark.operators.similarity import cosine_sim
+    """Embedding-cosine near-duplicate pairs (dedup family): LSH-bucketed
+    candidates + exact cosine rescore at 0.35 — the scale path (same-bucket
+    keyed joins, never an all-pairs crossJoin).  The md5-seeded hyperplanes
+    are mirrored exactly in the SQL oracle."""
+    from doctor_spark.operators.similarity import embedding_neardup_pairs
 
-    e = _emb(spark, sf_dir).where(F.col("vec_id") < 200).select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    p = embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.35, dim=64, n_planes=4, n_tables=3
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            F.col("id_a").cast("bigint").alias("id_a"),
-            F.col("id_b").cast("bigint").alias("id_b"),
-            F.round(cosine_sim(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= 0.35)
+    return p.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("cos_sim").cast("double").alias("cos_sim"),
     )
 
 
@@ -740,7 +739,7 @@ FROM banded a JOIN banded b
 """
 
 
-def _jaccard_sql(n: int = 3, threshold: float = 0.3) -> str:
+def _jaccard_sql(n: int = 3, threshold: float = 0.3, max_df: int = 100) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS tk FROM documents
@@ -749,8 +748,14 @@ WITH toks AS (
          list_distinct(list_transform(range(1, len(tk) - {n - 2}),
            i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS shl
   FROM toks WHERE len(tk) >= {n}
-), ex AS (
+), ex0 AS (
   SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS shingle FROM sh
+), ex AS (
+  -- document-frequency cap mirrors max_shingle_df (boilerplate shingles
+  -- are dropped before the self-join)
+  SELECT doc_id, n_sh, shingle FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ex0
+  ) WHERE df <= {max_df}
 )
 SELECT id_a, id_b, jaccard FROM (
   SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
@@ -759,6 +764,160 @@ SELECT id_a, id_b, jaccard FROM (
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ) WHERE jaccard >= {threshold}
+"""
+
+
+# ---- LSH / IVF oracle builders: the hyperplanes and centroids are
+# deterministic (md5-seeded / smallest-id), so DuckDB can enumerate the
+# exact same buckets the engine uses --------------------------------------
+
+_TWO60 = float(1 << 60)  # 16^15, the hyperplane hash normalizer
+
+
+def _plane_dot(vec: str, plane_no: int, dim: int) -> str:
+    """SQL for v · plane(plane_no) — mirrors similarity._hyperplane:
+    component j = (md5('plane{pn}:{j}')[:15 hex] / 16^15) * 2 - 1."""
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> {vec}[i] * "
+        f"((('0x' || substr(md5('plane{plane_no}:' || (i-1)::VARCHAR), 1, 15))"
+        f"::BIGINT / {_TWO60}) * 2.0 - 1.0)))"
+    )
+
+
+def _bucket_expr(vec: str, table_no: int, n_planes: int, dim: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_dot(vec, table_no * 1000 + p, dim)} >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"({bits})::BIGINT"
+
+
+_COS_RAW = (
+    "round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))"
+    " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(cv, x -> x * x)))), 4)"
+)
+
+
+def _neardup_sql(
+    threshold: float = 0.35, dim: int = 64, n_planes: int = 4,
+    n_tables: int = 3,
+) -> str:
+    buckets = ", ".join(
+        f"{_bucket_expr('v', t, n_planes, dim)} AS b{t}" for t in range(n_tables)
+    )
+    same_bucket = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT id, {buckets} FROM e
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM b a JOIN b c ON a.id < c.id AND ({same_bucket})
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT p.id_a::BIGINT AS id_a, p.id_b::BIGINT AS id_b,
+         round(list_sum(list_transform(range(1, {dim + 1}),
+                                       i -> qe.v[i] * ce.v[i]))
+               / (sqrt(list_sum(list_transform(qe.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ce.v, x -> x * x)))), 4)
+           AS cos_sim
+  FROM cand p JOIN e qe ON qe.id = p.id_a JOIN e ce ON ce.id = p.id_b
+) WHERE cos_sim >= {threshold}
+"""
+
+
+def _lsh_ann_sql(
+    n_queries: int = 10, k: int = 3, dim: int = 64, n_planes: int = 4,
+    n_tables: int = 3,
+) -> str:
+    buckets = ", ".join(
+        f"{_bucket_expr('v', t, n_planes, dim)} AS b{t}" for t in range(n_tables)
+    )
+    same_bucket = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT id, {buckets} FROM e
+), pairs AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+  FROM b q JOIN b c ON ({same_bucket})
+  WHERE q.id < {n_queries} AND c.id >= {n_queries}
+), scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(list_sum(list_transform(range(1, {dim + 1}),
+                                       i -> qe.v[i] * ce.v[i]))
+               / (sqrt(list_sum(list_transform(qe.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ce.v, x -> x * x)))), 4)
+           AS score
+  FROM pairs p JOIN e qe ON qe.id = p.query_id JOIN e ce ON ce.id = p.neighbor_id
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+       score::DOUBLE AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= {k}
+"""
+
+
+def _ivf_ann_sql(
+    n_queries: int = 10, k: int = 3, dim: int = 64, n_centroids: int = 16,
+    nprobe: int = 6,
+) -> str:
+    ndot = (
+        f"round(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> s.nv[i] * ct.cv[i])), 12)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), norms AS (
+  SELECT id, v,
+         list_transform(v, x -> x / sqrt(list_sum(
+             list_transform(v, y -> y * y)))) AS nv
+  FROM e
+), cents AS (
+  SELECT id AS cid, nv AS cv FROM norms WHERE id < {n_centroids}
+), cand_sims AS (
+  SELECT s.id, ct.cid, {ndot} AS sim
+  FROM norms s CROSS JOIN cents ct WHERE s.id >= {n_queries}
+), assign AS (
+  SELECT id, cid AS bucket FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id
+                                       ORDER BY sim DESC, cid ASC) AS rn
+    FROM cand_sims
+  ) WHERE rn = 1
+), query_sims AS (
+  SELECT s.id, ct.cid, {ndot} AS sim
+  FROM norms s CROSS JOIN cents ct WHERE s.id < {n_queries}
+), probes AS (
+  SELECT id AS query_id, cid AS bucket FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id
+                                       ORDER BY sim DESC, cid ASC) AS rn
+    FROM query_sims
+  ) WHERE rn <= {nprobe}
+), pairs AS (
+  SELECT p.query_id, a.id AS neighbor_id
+  FROM probes p JOIN assign a ON p.bucket = a.bucket
+), scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(list_sum(list_transform(range(1, {dim + 1}),
+                                       i -> qe.v[i] * ce.v[i]))
+               / (sqrt(list_sum(list_transform(qe.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ce.v, x -> x * x)))), 4)
+           AS score
+  FROM pairs p JOIN e qe ON qe.id = p.query_id JOIN e ce ON ce.id = p.neighbor_id
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+       score::DOUBLE AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= {k}
 """
 
 
@@ -897,22 +1056,9 @@ WITH q AS (
 )
 SELECT * FROM ranked WHERE rank <= 3
 """,
-        # lsh_ann_topk: intentionally no oracle (engine-side hyperplanes);
-        # driver records rows-only, recall vs brute force is pytest-gated
-        "embedding_neardup": """
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
-)
-SELECT id_a, id_b, cos_sim FROM (
-  SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
-         round(list_sum(list_transform(range(1, len(a.v) + 1),
-                                       i -> a.v[i] * b.v[i]))
-               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4)
-           AS cos_sim
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
-) WHERE cos_sim >= 0.35
-""",
+        "lsh_ann_topk": _lsh_ann_sql(),
+        "ivf_ann_topk": _ivf_ann_sql(),
+        "embedding_neardup": _neardup_sql(),
         "media_features_mismatch": (
             "SELECT CAST(NULL AS BIGINT) AS media_id,"
             " CAST(NULL AS DOUBLE) AS mean_value WHERE 1 = 0"

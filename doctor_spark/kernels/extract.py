@@ -106,7 +106,11 @@ def extract_from_pdf_bytes(
             if len(ocr_content) > len(content):
                 content = ocr_content
                 extracted_by_ocr = True
-        elif content == "":
+        else:
+            # exact reference parity (tasks.py:231-232): its
+            # `elif content == "" or not success` is always true on the
+            # failure branch, so a failed OCR replaces even non-empty
+            # layout text with the sentinel
             content = UNABLE_MSG
     return content, err, rc, extracted_by_ocr
 

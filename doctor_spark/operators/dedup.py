@@ -117,13 +117,25 @@ def _minhash_bands_udf(seeds: tuple[str, ...], rows_per_band: int, n: int = 3):
     @F.pandas_udf("array<string>")
     def bands(texts: pd.Series) -> pd.Series:
         import hashlib
+        import re as _re
 
         def _md5(s: str) -> str:
             return hashlib.md5(s.encode("utf-8")).hexdigest()
 
+        # mirror the JVM tokens() path exactly: trim ASCII spaces, split
+        # on Java \s ([ \t\n\x0b\f\r]) — python str.split() would also
+        # split on NBSP/U+2009 etc and diverge from the oracle
+        _ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+        def _tokens(text: str) -> list[str]:
+            toks = _ws.split(text.strip(" ").lower())
+            while toks and toks[-1] == "":  # Java split drops trailing empties
+                toks.pop()
+            return toks
+
         out = []
         for text in texts:
-            toks = (text or "").lower().split()
+            toks = _tokens(text or "")
             if len(toks) < n:
                 out.append([])
                 continue
@@ -251,15 +263,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over shingle-sharing candidate pairs.
 
     inverted-index join on shingle → per-pair intersection counts →
-    |A∪B| = |A|+|B|-|A∩B|.  Columns: id_a, id_b, jaccard (4dp)."""
+    |A∪B| = |A|+|B|-|A∩B|.  Columns: id_a, id_b, jaccard (4dp).
+
+    ``max_shingle_df`` caps a shingle's document frequency before the
+    self-join: a boilerplate shingle shared by 10^6 documents would
+    otherwise create one 10^12-pair bucket.  Dropped shingles no longer
+    contribute to intersections (set sizes stay exact), which is the
+    standard trade: pairs that are near-duplicates ONLY through
+    boilerplate stop qualifying.  None disables the cap."""
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        from pyspark.sql import Window
+
+        # whole-partition window count: one shuffle on shingle, which the
+        # self-join below re-uses as its own partitioning
+        w = Window.partitionBy("shingle")
+        exploded = exploded.withColumn("df", F.count("*").over(w)).where(
+            F.col("df") <= max_shingle_df
+        ).drop("df")
     a = exploded.select(
         F.col("shingle"),
         F.col("id").alias("id_a"),

@@ -99,6 +99,67 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same-bucket candidate pairs (id_a < id_b) across ``n_tables``
+    OR-amplified sign-projection tables — the keyed-join replacement for an
+    all-pairs crossJoin.  Each per-table self-join shuffles on the bucket
+    id, so pair generation is linear in bucket occupancy, not quadratic in
+    corpus size."""
+    bucketed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for t in range(n_tables):
+        bucketed = with_lsh_bucket(
+            bucketed, dim, n_planes, "v", table_no=t, out_col=f"lsh_b{t}"
+        )
+    pair_union = None
+    for t in range(n_tables):
+        side = bucketed.select(F.col(f"lsh_b{t}").alias("bk"), "id")
+        pairs = (
+            side.select("bk", F.col("id").alias("id_a"))
+            .join(side.select("bk", F.col("id").alias("id_b")), "bk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pair_union = pairs if pair_union is None else pair_union.unionAll(pairs)
+    return pair_union.distinct()
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates are
+    same-bucket pairs (never an all-pairs product), rescored with exact
+    cosine and filtered at ``threshold``.  Columns: id_a, id_b, cos_sim.
+
+    The hyperplanes are deterministic md5 seeds, so an exact SQL oracle
+    can enumerate the same buckets."""
+    cands = lsh_candidate_pairs(df, dim, n_planes, n_tables, id_col, vec_col)
+    vec_d = F.col(vec_col).cast("array<double>")
+    a = df.select(F.col(id_col).alias("id_a"), vec_d.alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), vec_d.alias("vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def _ivf_centroids(df, n_centroids: int, id_col: str, vec_col: str):
     """Deterministic coarse quantizer: centroids are the embeddings of the
     ``n_centroids`` smallest ids (IVF-flat with sampled centers — no
@@ -123,7 +184,11 @@ def _ivf_assign_udf(centroids):
     def assign(vecs: pd.Series) -> pd.Series:
         mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype("int32"))
+        # round before argmax: numpy's pairwise summation and a SQL
+        # engine's sequential fold differ at ~1e-16; rounding makes the
+        # argmax (first-max tiebreak) reproducible cross-engine
+        sims = np.round(mat @ centroids.T, 12)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
     return assign
 
@@ -167,8 +232,9 @@ def ivf_ann_topk(
     probe_rows = []
     for r in qrows:
         qv = np.asarray(r.qv, dtype=np.float64)
-        sims = (qv / np.linalg.norm(qv)) @ cents.T
-        for b in np.argsort(-sims)[:nprobe]:
+        # round + stable sort: reproducible probe choice cross-engine
+        sims = np.round((qv / np.linalg.norm(qv)) @ cents.T, 12)
+        for b in np.argsort(-sims, kind="stable")[:nprobe]:
             probe_rows.append((r.query_id, int(b), [float(x) for x in r.qv]))
     spark = df.sparkSession
     probes = spark.createDataFrame(

@@ -206,6 +206,11 @@ def main() -> None:
     from .session import get_spark
 
     spark = get_spark("doctor_spark.pipeline", cores=args.cores)
+    if args.corpus and args.corpus.startswith("synth:"):
+        # synthetic corpus of N docs via the cluster launch path
+        # (scripts/submit_extraction.sh smoke test)
+        args.n_docs = int(args.corpus.split(":", 1)[1])
+        args.corpus = None
     if args.corpus:
         pages = spark.read.parquet(args.corpus)
     else:

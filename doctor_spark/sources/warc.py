@@ -158,10 +158,15 @@ def read_warc_pages(spark, path: str):
             for blob in pdf["content"]:
                 for rec in parse_warc(bytes(blob)):
                     ts = rec["warc_ts"]
+                    if ts is not None and ts.tzinfo is not None:
+                        # normalize to UTC before dropping tzinfo — a
+                        # WARC-Date with a +02:00 offset must not land
+                        # shifted relative to Z-suffixed records
+                        ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
                     rows.append(
                         {
                             "url": rec["url"],
-                            "warc_ts": ts.replace(tzinfo=None) if ts else None,
+                            "warc_ts": ts,
                             "html": rec["html"],
                         }
                     )

@@ -72,8 +72,9 @@ def test_query_matches_oracle(spark, name):
 def test_every_query_has_oracle_or_documented_exception():
     qs, os_ = set(entry.queries()), set(entry.oracle_sql())
     assert os_ <= qs
-    # the only rows-only queries are the documented engine-side ones
-    assert qs - os_ == {"lsh_ann_topk", "ivf_ann_topk"}
+    # every query now carries an exact oracle (the LSH buckets and IVF
+    # assignment are deterministic and mirrored in SQL since round 2)
+    assert qs == os_
 
 
 def test_entry_smoke(spark):

@@ -99,3 +99,60 @@ def test_minhash_null_band_keys(spark):
     assert keys[1] is None and keys[2] is None and keys[3] is None
     assert keys[4] is not None
     assert minhash_candidate_pairs(df).count() == 0
+
+
+def test_minhash_udf_tokens_match_jvm_on_unicode_ws(spark):
+    """The Arrow band kernel must tokenize exactly like the JVM tokens()
+    path (Java \\s = ASCII): NBSP / thin-space / \\x85 are NOT separators;
+    tab/newline are.  Regression for the python str.split() divergence."""
+    from doctor_spark.operators.dedup import minhash_band_keys, _minhash_bands_udf
+    from pyspark.sql import functions as F
+
+    texts = [
+        "alpha beta gamma delta epsilon",      # NBSP inside a token
+        "one two three four five six",          # thin space
+        "line\x85break word word2 word3 word4",      # NEL
+        "tab\tsplit works here fine ok",             # real separator
+        " leading and trailing  spaces padded ok ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    jvm = minhash_band_keys(df).select("doc_id", "band_0", "band_1")
+    jvm_rows = {r.doc_id: (r.band_0, r.band_1) for r in jvm.collect()}
+
+    udf = _minhash_bands_udf(("s0", "s1", "s2", "s3"), 2)
+    got = df.select("doc_id", udf(F.col("text")).alias("bands")).collect()
+    for r in got:
+        expect = jvm_rows[r.doc_id]
+        if expect[0] is None:
+            assert r.bands == []
+        else:
+            assert tuple(r.bands) == expect, r.doc_id
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """A boilerplate shingle shared by every document must not create a
+    quadratic bucket: with the document-frequency cap the candidate join
+    stays linear and boilerplate-only pairs drop out."""
+    import time
+
+    from doctor_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = 10_000
+    rows = [(i, f"all rights reserved unique{i} token{i} extra{i}") for i in range(n)]
+    # two genuine near-dups sharing rare shingles
+    rows[0] = (0, "the quick brown fox jumps high")
+    rows[1] = (1, "the quick brown fox jumps low")
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    t0 = time.monotonic()
+    pairs = ngram_jaccard_pairs(df, threshold=0.3, max_shingle_df=50).collect()
+    elapsed = time.monotonic() - t0
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got
+    # no boilerplate-only pairs: every pair must share a rare shingle
+    assert len(got) < 10
+    # without the cap this join materializes ~5*10^7 pairs; with it the
+    # stage completes promptly
+    assert elapsed < 120, f"quadratic bucket suspected: {elapsed:.0f}s"

@@ -1,0 +1,37 @@
+"""spark-submit smoke test: the cluster launch path (``--py-files`` zip +
+driver-memory flags in scripts/submit_extraction.sh) must stay working —
+a 1g-default-driver OOM class was only ever caught by this surface (see
+BENCH/BASELINE.md robustness notes), never by in-process tests."""
+
+import os
+import shutil
+import subprocess
+import unittest
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@unittest.skipUnless(shutil.which("spark-submit"), "spark-submit not on PATH")
+class TestSparkSubmit(unittest.TestCase):
+    def test_submit_extraction_smoke(self):
+        out = "/tmp/doctor_spark_submit_smoke"
+        shutil.rmtree(out, ignore_errors=True)
+        env = dict(
+            os.environ,
+            MASTER="local[4]",
+            DRIVER_MEM="4g",
+            NUM_EXECUTORS="",
+        )
+        # synthetic corpus mode: run_extraction accepts corpus=synth:<n>
+        proc = subprocess.run(
+            [str(REPO / "scripts/submit_extraction.sh"), "synth:300", out],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=420,
+            cwd=str(REPO),
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        assert (Path(out) / "extracted").exists(), proc.stdout[-2000:]
+        assert '"golden_mismatches": 0' in proc.stdout, proc.stdout[-2000:]

@@ -68,3 +68,15 @@ def test_poison_gzip_member_tolerated():
     parsed = parse_warc(poisoned)
     assert len(parsed) >= 1
     assert parsed[0]["html"] == RECORDS[0]["html"]
+
+
+def test_offset_dates_normalized_to_utc(spark, tmp_path):
+    """A WARC-Date with a non-Z offset (+02:00, permitted by ISO 8601)
+    must land as the same UTC instant as its Z-suffixed equivalent."""
+    raw = build_warc(RECORDS[:1])
+    shifted = raw.replace(b"2024-03-01T12:00:00Z", b"2024-03-01T14:00:00+02:00")
+    assert shifted != raw
+    p = tmp_path / "offset.warc"
+    p.write_bytes(shifted)
+    rows = read_warc_pages(spark, str(p)).collect()
+    assert rows[0].warc_ts == dt.datetime(2024, 3, 1, 12, 0, 0)
