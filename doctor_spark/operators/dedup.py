@@ -25,6 +25,18 @@ from ..functions.text import fingerprint, tokens
 
 DEFAULT_SEEDS = ("s0", "s1", "s2", "s3")
 
+# mirror the JVM tokens() path exactly: trim ASCII spaces, split on Java \s
+# ([ \t\n\x0b\f\r]) — python str.split() would also split on NBSP/U+2009
+# etc and diverge from the oracle
+_JAVA_WS = __import__("re").compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _java_ws_tokens(text: str) -> list[str]:
+    toks = _JAVA_WS.split(text.strip(" ").lower())
+    while toks and toks[-1] == "":  # Java split drops trailing empties
+        toks.pop()
+    return toks
+
 
 def exact_duplicate_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -117,25 +129,13 @@ def _minhash_bands_udf(seeds: tuple[str, ...], rows_per_band: int, n: int = 3):
     @F.pandas_udf("array<string>")
     def bands(texts: pd.Series) -> pd.Series:
         import hashlib
-        import re as _re
 
         def _md5(s: str) -> str:
             return hashlib.md5(s.encode("utf-8")).hexdigest()
 
-        # mirror the JVM tokens() path exactly: trim ASCII spaces, split
-        # on Java \s ([ \t\n\x0b\f\r]) — python str.split() would also
-        # split on NBSP/U+2009 etc and diverge from the oracle
-        _ws = _re.compile(r"[ \t\n\x0b\f\r]+")
-
-        def _tokens(text: str) -> list[str]:
-            toks = _ws.split(text.strip(" ").lower())
-            while toks and toks[-1] == "":  # Java split drops trailing empties
-                toks.pop()
-            return toks
-
         out = []
         for text in texts:
-            toks = _tokens(text or "")
+            toks = _java_ws_tokens(text or "")
             if len(toks) < n:
                 out.append([])
                 continue
@@ -244,6 +244,33 @@ def simhash_buckets(
     )
 
 
+def _shingles_udf(n: int = 3):
+    """Arrow-batched distinct n-gram shingles, bit-identical to the JVM
+    ``shingles()`` expression and the DuckDB oracle's list_transform.
+
+    Returns struct<n_sh, sh> so both the set size and the explode source
+    come from ONE UDF column — separate size()/explode() references would
+    each get their own ArrowEvalPython evaluation."""
+
+    @F.pandas_udf("struct<n_sh: int, sh: array<string>>")
+    def sh(texts: pd.Series) -> pd.DataFrame:
+        ns, shs = [], []
+        for text in texts:
+            toks = _java_ws_tokens(text or "")
+            if len(toks) < n:
+                ns.append(0)
+                shs.append([])
+            else:
+                seen = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                ns.append(len(seen))
+                shs.append(list(seen))
+        return pd.DataFrame({"n_sh": ns, "sh": shs})
+
+    return sh
+
+
 def shingles(col, n: int = 3):
     """n-token shingle strings (higher-order expression)."""
     toks = tokens(col)
@@ -275,16 +302,24 @@ def ngram_jaccard_pairs(
     otherwise create one 10^12-pair bucket.  Dropped shingles no longer
     contribute to intersections (set sizes stay exact), which is the
     standard trade: pairs that are near-duplicates ONLY through
-    boilerplate stop qualifying.  None disables the cap."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    boilerplate stop qualifying.  None disables the cap.
+
+    Plan shape: shingling runs in ONE Arrow batch kernel (the equivalent
+    higher-order Catalyst expression is interpreted at ~1 ms/row and gets
+    re-inlined into both join branches), behind one exchange on shingle
+    that the DF-cap window and the self-join both reuse."""
+    shingle_udf = _shingles_udf(n)
+    base = df.select(
+        F.col(id_col).alias("id"), shingle_udf(F.col(text_col)).alias("r")
+    )
+    exploded = base.select(
+        "id", F.col("r.n_sh").alias("n_sh"), F.explode("r.sh").alias("shingle")
+    ).repartition(F.col("shingle"))
     if max_shingle_df is not None:
         from pyspark.sql import Window
 
-        # whole-partition window count: one shuffle on shingle, which the
-        # self-join below re-uses as its own partitioning
+        # whole-partition window count over the shingle partitioning the
+        # self-join below reuses — no extra shuffle
         w = Window.partitionBy("shingle")
         exploded = exploded.withColumn("df", F.count("*").over(w)).where(
             F.col("df") <= max_shingle_df

@@ -99,6 +99,34 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def stacked_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table_no, bucket) — every row's bucket in each OR table,
+    stacked and repartitioned on (table_no, bucket).
+
+    The 12 plane-dot folds per row are interpreted (higher-order exprs
+    don't codegen), so they must be evaluated ONCE: stacking via
+    posexplode behind one exchange lets every downstream self-join become
+    a ReusedExchange instead of recomputing the signatures per side."""
+    bucketed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for t in range(n_tables):
+        bucketed = with_lsh_bucket(
+            bucketed, dim, n_planes, "v", table_no=t, out_col=f"lsh_b{t}"
+        )
+    stacked = bucketed.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"lsh_b{t}") for t in range(n_tables)]))
+        .alias("table_no", "bucket"),
+    )
+    return stacked.repartition(F.col("table_no"), F.col("bucket"))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     dim: int,
@@ -109,25 +137,18 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Same-bucket candidate pairs (id_a < id_b) across ``n_tables``
     OR-amplified sign-projection tables — the keyed-join replacement for an
-    all-pairs crossJoin.  Each per-table self-join shuffles on the bucket
-    id, so pair generation is linear in bucket occupancy, not quadratic in
-    corpus size."""
-    bucketed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    for t in range(n_tables):
-        bucketed = with_lsh_bucket(
-            bucketed, dim, n_planes, "v", table_no=t, out_col=f"lsh_b{t}"
-        )
-    pair_union = None
-    for t in range(n_tables):
-        side = bucketed.select(F.col(f"lsh_b{t}").alias("bk"), "id")
-        pairs = (
-            side.select("bk", F.col("id").alias("id_a"))
-            .join(side.select("bk", F.col("id").alias("id_b")), "bk")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        pair_union = pairs if pair_union is None else pair_union.unionAll(pairs)
-    return pair_union.distinct()
+    all-pairs crossJoin.  One self-join on (table_no, bucket): pair
+    generation is linear in bucket occupancy, not quadratic in corpus
+    size, and the bucket signatures are computed once (ReusedExchange)."""
+    stacked = stacked_lsh_buckets(df, dim, n_planes, n_tables, id_col, vec_col)
+    left = stacked.select("table_no", "bucket", F.col("id").alias("id_a"))
+    right = stacked.select("table_no", "bucket", F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["table_no", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def embedding_neardup_pairs(
@@ -272,27 +293,21 @@ def lsh_ann_topk(
     Columns: query_id, neighbor_id, score, rank.  At scale, each table join
     is a keyed equi-join on the bucket id — the N×Q cross product never
     materializes."""
-    bucketed = df
-    for t in range(n_tables):
-        bucketed = with_lsh_bucket(
-            bucketed, dim, n_planes, vec_col, table_no=t, out_col=f"lsh_b{t}"
-        )
+    stacked = stacked_lsh_buckets(df, dim, n_planes, n_tables, id_col, vec_col)
     vec_d = F.col(vec_col).cast("array<double>")
     is_query = F.col(id_col).isin(query_ids)
 
-    pair_union = None
-    for t in range(n_tables):
-        queries = bucketed.where(is_query).select(
-            F.col(f"lsh_b{t}").alias("bk"), F.col(id_col).alias("query_id")
-        )
-        candidates = bucketed.where(~is_query).select(
-            F.col(f"lsh_b{t}").alias("bk"), F.col(id_col).alias("neighbor_id")
-        )
-        pairs = candidates.join(F.broadcast(queries), "bk").select(
-            "query_id", "neighbor_id"
-        )
-        pair_union = pairs if pair_union is None else pair_union.unionAll(pairs)
-    pair_union = pair_union.distinct()
+    q_side = stacked.where(F.col("id").isin(query_ids)).select(
+        "table_no", "bucket", F.col("id").alias("query_id")
+    )
+    c_side = stacked.where(~F.col("id").isin(query_ids)).select(
+        "table_no", "bucket", F.col("id").alias("neighbor_id")
+    )
+    pair_union = (
+        c_side.join(F.broadcast(q_side), ["table_no", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
 
     qv = df.where(is_query).select(
         F.col(id_col).alias("query_id"), vec_d.alias("qv")
