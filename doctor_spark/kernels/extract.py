@@ -66,10 +66,16 @@ class ExtractionResult:
 
 def extract_by_ocr_bytes(
     data: bytes, backend: OcrBackend, doc=None
-) -> tuple[bool, str]:
+) -> tuple[bool | None, str]:
     """Whole-document OCR (reference tasks.py:237-251 + convert_file_to_txt
     271-284): per-page plain word assembly joined by form-feed, then the
-    literal OCR text fixes."""
+    literal OCR text fixes.
+
+    Returns (success, content): True = OCR ran and produced text;
+    False = OCR ran and failed (the reference's sentinel path);
+    None = no OCR engine is available for this page (pluggable backend
+    raised NotImplementedError) — the caller must keep its layout text,
+    as if ocr_available were false."""
     try:
         doc = doc or parse_pdf(data)
     except Exception:
@@ -79,7 +85,7 @@ def extract_by_ocr_bytes(
         try:
             words = backend(page, False)
         except NotImplementedError:
-            return False, OCR_FAIL_MSG
+            return None, ""
         if words is None:
             return False, OCR_FAIL_MSG
         parts.append(assemble_page_text_plain(words))
@@ -106,12 +112,13 @@ def extract_from_pdf_bytes(
             if len(ocr_content) > len(content):
                 content = ocr_content
                 extracted_by_ocr = True
-        else:
+        elif success is False:
             # exact reference parity (tasks.py:231-232): its
             # `elif content == "" or not success` is always true on the
             # failure branch, so a failed OCR replaces even non-empty
             # layout text with the sentinel
             content = UNABLE_MSG
+        # success is None: no OCR engine available — keep the layout text
     return content, err, rc, extracted_by_ocr
 
 

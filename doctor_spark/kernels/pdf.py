@@ -1444,11 +1444,19 @@ OcrBackend = Callable[[Page, bool], "list[dict] | None"]
 def synthetic_ocr_backend(page: Page, strip_margin: bool) -> list[dict] | None:
     """Test/bench backend: reads the word table embedded by pdfwriter inside
     the page's image XObject (the sandbox has no tesseract; the real backend
-    below is pluggable, mirroring the reference's subprocess boundary)."""
+    below is pluggable, mirroring the reference's subprocess boundary).
+
+    A page without an embedded table is outside this backend's domain
+    (a real scanned page) — raise NotImplementedError so callers treat the
+    engine as unavailable and keep their layout text, rather than reporting
+    an OCR *failure* (which, for reference parity, replaces content with
+    the failure sentinel)."""
     for im in page.images:
         if im.synth_ocr is not None:
             return im.synth_ocr
-    return None
+    raise NotImplementedError(
+        "synthetic OCR backend: page carries no embedded word table"
+    )
 
 
 def tesseract_ocr_backend(page: Page, strip_margin: bool) -> list[dict] | None:

@@ -161,6 +161,46 @@ class TestPdfFixtures(unittest.TestCase):
             "                        1"
         )
 
+    def test_vector_pdf_layout_golden_ocr_flag(self):
+        """doctor/tests.py:114-128 — same golden with ocr_available=True:
+        the absent OCR engine must not clobber good layout text with the
+        failure sentinel (tri-state backend protocol)."""
+        from doctor_spark.kernels.extract import extract_document
+
+        res = extract_document(
+            "https://court.test/vector-pdf.pdf",
+            _asset("vector-pdf.pdf"),
+            ocr_available=True,
+        )
+        assert res.extracted_by_ocr is False
+        assert res.content[:100].replace("\n", "").strip() == (
+            "(Slip Opinion)              OCTOBER TERM, 2012               "
+            "                        1"
+        )
+
+    def test_all_assets_never_raise(self):
+        """Poison-document sweep: every real asset (including audio and
+        PNG files) must produce a record — err row or content — never an
+        exception, under both OCR flags."""
+        import glob
+
+        from doctor_spark.kernels.extract import extract_document
+
+        files = sorted(glob.glob(os.path.join(ASSETS, "**", "*"), recursive=True))
+        files = [f for f in files if os.path.isfile(f)]
+        assert len(files) > 25
+        for path in files:
+            with open(path, "rb") as f:
+                data = f.read()
+            name = os.path.relpath(path, ASSETS)
+            for ocr in (False, True):
+                res = extract_document(
+                    f"https://x.test/{name}", data, ocr_available=ocr
+                )
+                assert res.err != "" or res.content != "" or name.endswith(
+                    ("empty.pdf",)
+                ), name
+
 
 @unittest.skipUnless(os.path.isdir(ASSETS), "reference assets not present")
 class TestRecapFixtures(unittest.TestCase):
