@@ -18,11 +18,23 @@ PDF path — without poppler/pdfplumber/PyPDF2:
 - full extraction pipelines ``extract_from_pdf`` (tasks.py:194-234) and
   ``extract_recap_pdf`` (tasks.py:683-703), with OCR as a pluggable backend
 
-Scope: the deterministic synthetic corpus this engine is tested and benched
-on (see ``pdfwriter.py``) — uncompressed or FlateDecode streams, Tm/Td/TD/
-T*/Tj/TJ/' text operators, fixed-pitch WinAnsi text.  Real-world tolerance:
-objects are discovered by scanning (no xref trust), unknown operators are
-skipped, any parse error degrades to an ``err`` record, never an exception.
+Scope (round 2): real-world PDFs and the deterministic synthetic corpus.
+
+- object layer: scan-based discovery (no xref trust), /ObjStm expansion
+  (PDF 1.5+), Flate (+PNG predictors)/AHx/A85/RL filters, indirect-ref
+  resolution everywhere, /Parent inheritance, standard-security-handler
+  RC4 decryption (empty user password; AES and passworded docs fail
+  closed to err rows);
+- interpreter: CTM (q/Q/cm), Tc/Tw/Tz/Ts, Form XObjects, per-glyph
+  metrics (``pdf_fonts``: /Widths, Type0 /W, /ToUnicode, /Differences);
+- layout: ``poppler_layout_text`` (pdftotext -layout analog) and
+  ``plumber_layout_text`` (pdfplumber layout-mode analog) for pages with
+  real font metrics — verified against the reference's own fixture
+  goldens (doctor/tests.py:114-150, 58-111, 416-465, 438-465) — and the
+  fixed-pitch ``layout_page_text`` for metric-less (synthetic) pages,
+  byte-identical to the corpus contract.
+
+Any parse error degrades to an ``err`` record, never an exception.
 """
 
 from __future__ import annotations
@@ -415,12 +427,14 @@ def _scan_objects(data: bytes) -> dict[int, object]:
     with an indirect /Length are fixed up in a second pass; objects living
     inside /ObjStm compressed streams (PDF 1.5+) are expanded afterwards."""
     objects: dict[int, object] = {}
+    gens: dict[int, int] = {}
     pending_lengths: list[tuple[int, int]] = []  # (obj num, stream start)
     covered_until = 0  # skip 'N G obj' byte patterns inside stream payloads
     for m in _OBJ_RE.finditer(data):
         if m.start() < covered_until:
             continue
         num = int(m.group(1))
+        gens[num] = int(m.group(2))
         lex = _Lexer(data, m.end())
         try:
             val = lex.parse_value()
@@ -455,6 +469,7 @@ def _scan_objects(data: bytes) -> dict[int, object]:
         length = _resolve(obj.attrs.get("Length"), objects)
         if isinstance(length, int) and 0 <= length <= len(data) - s:
             obj.raw = data[s : s + length]
+    _decrypt_streams(data, objects, gens)
     _expand_object_streams(objects)
     return objects
 
@@ -495,6 +510,141 @@ def _expand_object_streams(objects: dict[int, object]) -> None:
                 objects[onum] = inner.parse_value()
             except (PdfParseError, IndexError, ValueError):
                 continue
+
+
+# ---- standard security handler (ISO 32000-1 §7.6.3): RC4 revisions ------
+
+_PW_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for idx, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[idx] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(enc: dict, id0: bytes, objects) -> bytes:
+    """File encryption key for the standard handler with an EMPTY user
+    password (the only case a batch pipeline can open unattended)."""
+    import hashlib
+    import struct as _st
+
+    v = _resolve(enc.get("V"), objects) or 0
+    r = _resolve(enc.get("R"), objects) or 2
+    if v not in (1, 2) and not (v == 4 and r == 4):
+        raise PdfParseError(f"unsupported encryption V={v}")
+    if v == 4:
+        # only RC4 crypt filters (CFM /V2); AES needs a cipher we don't ship
+        cf = _resolve(enc.get("CF"), objects) or {}
+        stmf = str(_resolve(enc.get("StmF"), objects) or "Identity")
+        cfm = None
+        if isinstance(cf, dict) and stmf in cf:
+            cfd = _resolve(cf[stmf], objects)
+            if isinstance(cfd, dict):
+                cfm = str(cfd.get("CFM"))
+        if cfm != "V2":
+            raise PdfParseError(f"unsupported crypt filter {cfm}")
+    o_entry = _resolve(enc.get("O"), objects)
+    p = _resolve(enc.get("P"), objects)
+    if not isinstance(o_entry, bytes) or not isinstance(p, int):
+        raise PdfParseError("malformed /Encrypt dictionary")
+    n = (_resolve(enc.get("Length"), objects) or 40) // 8 if r >= 3 else 5
+    h = hashlib.md5(_PW_PAD + o_entry[:32] + _st.pack("<i", p) + id0)
+    if r >= 4 and _resolve(enc.get("EncryptMetadata"), objects) is False:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+    # verify the empty user password against /U
+    u_entry = _resolve(enc.get("U"), objects)
+    if isinstance(u_entry, bytes):
+        if r == 2:
+            ok = _rc4(key, _PW_PAD) == u_entry[:32]
+        else:
+            x = hashlib.md5(_PW_PAD + id0).digest()
+            x = _rc4(key, x)
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in key), x)
+            ok = x[:16] == u_entry[:16]
+        if not ok:
+            raise PdfParseError("password-protected document")
+    return key
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    )
+    return h.digest()[: min(len(file_key) + 5, 16)]
+
+
+def _find_encrypt(data: bytes, objects) -> tuple[dict, bytes] | None:
+    """Locate the /Encrypt dict + first /ID element from classic trailers
+    or xref-stream dictionaries."""
+    candidates: list[dict] = []
+    for m in re.finditer(rb"trailer", data):
+        lex = _Lexer(data, m.end())
+        try:
+            d = lex.parse_value()
+        except (PdfParseError, IndexError, ValueError):
+            continue
+        if isinstance(d, dict) and "Encrypt" in d:
+            candidates.append(d)
+    for o in objects.values():
+        if (
+            isinstance(o, StreamObj)
+            and o.attrs.get("Type") == "XRef"
+            and "Encrypt" in o.attrs
+        ):
+            candidates.append(o.attrs)
+    for d in candidates:
+        enc = _resolve(d.get("Encrypt"), objects)
+        if not isinstance(enc, dict):
+            continue
+        ids = _resolve(d.get("ID"), objects)
+        id0 = b""
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            id0 = ids[0]
+        return enc, id0
+    return None
+
+
+def _decrypt_streams(data: bytes, objects, gens: dict[int, int]) -> None:
+    """If the document uses the standard RC4 handler with an empty user
+    password, decrypt every stream in place (xref streams are never
+    encrypted); unsupported schemes raise → err row, never garbage."""
+    if b"/Encrypt" not in data:  # cheap gate: almost no document is
+        return  # encrypted; skip the trailer scan entirely
+    found = _find_encrypt(data, objects)
+    if found is None:
+        return
+    enc, id0 = found
+    if str(_resolve(enc.get("Filter"), objects)) != "Standard":
+        raise PdfParseError("non-standard security handler")
+    file_key = _std_file_key(enc, id0, objects)
+    for num, obj in objects.items():
+        if not isinstance(obj, StreamObj):
+            continue
+        if obj.attrs.get("Type") == "XRef":
+            continue
+        obj.raw = _rc4(_object_key(file_key, num, gens.get(num, 0)), obj.raw)
 
 
 def _inherited(pdict: dict, key: str, objects) -> object:

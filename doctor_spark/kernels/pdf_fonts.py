@@ -107,6 +107,10 @@ class Font:
             yield text, self.widths.get(code, self.default_width), code
 
     def text_of(self, raw: bytes) -> str:
+        # fast path for metric-less simple fonts (the synthetic corpus):
+        # plain cp1252, no per-glyph work
+        if not self.two_byte and not self.to_unicode and not self.differences:
+            return raw.decode("cp1252", errors="replace")
         return "".join(t for t, _w, _c in self.decode(raw))
 
 

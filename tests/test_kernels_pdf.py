@@ -322,3 +322,107 @@ class TestLandscapePages:
         assert "landscape body" in content
         assert "SKEWSTAMP" in content  # skew filter not applied
         assert by_ocr is False
+
+
+class TestEncryptedPdf:
+    """Standard-security-handler (RC4, empty user password) round trip +
+    fail-closed behavior for unsupported schemes."""
+
+    @staticmethod
+    def _build(r=3, text=b"Secret content here", break_u=False, v=None):
+        import hashlib
+        import struct
+
+        from doctor_spark.kernels.pdf import _PW_PAD, _object_key, _rc4
+
+        n = 16 if r >= 3 else 5
+        v = v if v is not None else (2 if r >= 3 else 1)
+        p = -44
+        id0 = bytes(range(16))
+
+        okey = hashlib.md5(_PW_PAD).digest()
+        if r >= 3:
+            for _ in range(50):
+                okey = hashlib.md5(okey[:n]).digest()
+        okey = okey[:n]
+        x = _PW_PAD
+        x = _rc4(okey, x)
+        if r >= 3:
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in okey), x)
+        o_entry = x
+
+        key = hashlib.md5(
+            _PW_PAD + o_entry[:32] + struct.pack("<i", p) + id0
+        ).digest()
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        key = key[:n]
+
+        if r == 2:
+            u_entry = _rc4(key, _PW_PAD)
+        else:
+            u = hashlib.md5(_PW_PAD + id0).digest()
+            u = _rc4(key, u)
+            for i in range(1, 20):
+                u = _rc4(bytes(b ^ i for b in key), u)
+            u_entry = u + b"\x00" * 16
+        if break_u:
+            u_entry = bytes(32)
+
+        content = b"BT /F1 12 Tf 72 720 Td <" + text.hex().encode() + b"> Tj ET"
+        enc_content = _rc4(_object_key(key, 4, 0), content)
+
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+               b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+            4: b"<< /Length " + str(len(enc_content)).encode() + b" >>\n"
+               b"stream\n" + enc_content + b"\nendstream",
+            5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+            6: b"<< /Filter /Standard /V " + str(v).encode() + b" /R "
+               + str(r).encode() + b" /Length " + str(n * 8).encode()
+               + b" /P " + str(p).encode()
+               + b" /O <" + o_entry.hex().encode() + b">"
+               + b" /U <" + u_entry.hex().encode() + b"> >>",
+        }
+        body = b"%PDF-1.4\n"
+        for num, payload in objs.items():
+            body += f"{num} 0 obj\n".encode() + payload + b"\nendobj\n"
+        body += (
+            b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R /ID [<"
+            + id0.hex().encode() + b"> <" + id0.hex().encode() + b">] >>\n"
+            b"%%EOF\n"
+        )
+        return body
+
+    def test_rc4_r3_roundtrip(self):
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        content, err, rc = extract_pdf_layout_text(self._build(r=3))
+        assert err == "" and "Secret content here" in content
+
+    def test_rc4_r2_roundtrip(self):
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        content, err, rc = extract_pdf_layout_text(self._build(r=2))
+        assert err == "" and "Secret content here" in content
+
+    def test_password_protected_fails_closed(self):
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        content, err, rc = extract_pdf_layout_text(self._build(break_u=True))
+        assert content == "" and "password" in err
+
+    def test_unsupported_scheme_fails_closed(self):
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        content, err, rc = extract_pdf_layout_text(self._build(v=5))
+        assert content == "" and "encryption" in err
+
+    def test_page_count_survives_encryption(self):
+        from doctor_spark.kernels.pdf import get_page_count
+
+        assert get_page_count(self._build(v=5), "pdf") == 1
