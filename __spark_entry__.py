@@ -218,6 +218,7 @@ _REF_EXPECTED: list[tuple[str, str, str]] = [
     ("vector-pdf.pdf", "extracted_by_ocr", "false"),
     ("image-pdf.pdf", "page_count", "2"),
     ("image-pdf.pdf", "extension", "pdf"),
+    ("image-pdf.pdf", "no_text_layer", "true"),
     ("broken-mime.pdf", "extension", "pdf"),
     ("missouri.pdf", "extension", "pdf"),
     ("word-docx.docx", "first200",
@@ -300,6 +301,9 @@ def q_reference_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append((name, "extension", res.extension))
                     if name == "image-pdf.pdf":
                         rows.append((name, "page_count", str(res.page_count)))
+                        rows.append((name, "no_text_layer",
+                                     "true" if res.content.strip("\x0c") == ""
+                                     else "false"))
                 elif name == "word-docx.docx":
                     content, _e, _rc = extract_from_docx_bytes(data)
                     rows.append((name, "first200",

@@ -166,3 +166,58 @@ def test_warc_roundtrip(items, gz):
     parsed = parse_warc(build_warc(records, gzip_per_record=gz))
     assert [r["html"] for r in parsed] == [r["html"] for r in records]
     assert [r["url"] for r in parsed] == [r["url"] for r in records]
+
+
+@settings(max_examples=MAX_EX, deadline=None)
+@given(st.binary(max_size=2048))
+def test_tounicode_parser_total(raw):
+    """parse_tounicode must accept arbitrary bytes (CMaps arrive from
+    untrusted PDFs) and return a code→text map without raising."""
+    from doctor_spark.kernels.pdf_fonts import parse_tounicode
+
+    out = parse_tounicode(raw)
+    assert all(isinstance(k, int) and isinstance(v, str) for k, v in out.items())
+
+
+@settings(max_examples=MAX_EX, deadline=None)
+@given(st.lists(st.one_of(st.integers(-1000, 70000), st.floats(allow_nan=False, allow_infinity=False, width=32), st.lists(st.integers(0, 2000), max_size=4)), max_size=12))
+def test_w_array_parser_total(w):
+    """CIDFont /W arrays from the wild: any operand mix parses or stops,
+    never raises, never produces absurd expansion."""
+    from doctor_spark.kernels.pdf_fonts import parse_w_array
+
+    out = parse_w_array(w)
+    assert len(out) <= (1 << 16) * 12
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_msdoc_fuzz_fail_closed(raw):
+    """Arbitrary bytes through the .doc kernel: err row or text, never an
+    exception, never NUL bytes in the content."""
+    from doctor_spark.kernels.msdoc import OLE_MAGIC, extract_from_doc_bytes
+
+    content, err, rc = extract_from_doc_bytes(OLE_MAGIC + raw)
+    assert (rc == 0) == (err == "")
+    assert "\x00" not in content
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_wpd_fuzz_fail_closed(raw):
+    from doctor_spark.kernels.wpd import extract_from_wpd_bytes
+
+    content, err, rc = extract_from_wpd_bytes(b"\xffWPC" + raw)
+    assert (rc == 0) == (err == "")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_encrypted_pdf_fuzz_fail_closed(raw):
+    """A PDF header + /Encrypt marker + junk must never raise out of the
+    layout path (err rows only)."""
+    from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+    data = b"%PDF-1.4\n1 0 obj\n<< /Encrypt 2 0 R >>\nendobj\n" + raw
+    content, err, rc = extract_pdf_layout_text(data)
+    assert isinstance(content, str) and isinstance(err, str)

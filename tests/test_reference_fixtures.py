@@ -161,6 +161,19 @@ class TestPdfFixtures(unittest.TestCase):
             "                        1"
         )
 
+    def test_image_pdf_has_no_text_layer(self):
+        """doctor/tests.py:380-395 — image-pdf.pdf without OCR extracts
+        nothing but page form-feeds (content.strip('\\x0c') == '')."""
+        from doctor_spark.kernels.extract import extract_document
+
+        res = extract_document(
+            "https://court.test/image-pdf.pdf",
+            _asset("image-pdf.pdf"),
+            ocr_available=False,
+        )
+        assert res.err == ""
+        assert res.content.strip("\x0c") == ""
+
     def test_vector_pdf_layout_golden_ocr_flag(self):
         """doctor/tests.py:114-128 — same golden with ocr_available=True:
         the absent OCR engine must not clobber good layout text with the
