@@ -156,3 +156,40 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     # without the cap this join materializes ~5*10^7 pairs; with it the
     # stage completes promptly
     assert elapsed < 120, f"quadratic bucket suspected: {elapsed:.0f}s"
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must sort-merge join
+    with ZERO exchanges (and zero sorts) — the co-location contract for
+    repeated corpus-scale joins."""
+    from doctor_spark.operators.bucketing import read_bucketed, write_bucketed
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path}/wh'"
+    )
+    docs = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "md5(cast(id AS string)) AS fp"
+    )
+    scores = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "cast(id % 7 AS double) AS score"
+    )
+    write_bucketed(docs, "bktest.docs_b", ["doc_id"], 8, sort_cols=["doc_id"])
+    write_bucketed(scores, "bktest.scores_b", ["doc_id"], 8, sort_cols=["doc_id"])
+
+    a = read_bucketed(spark, "bktest.docs_b")
+    b = read_bucketed(spark, "bktest.scores_b")
+    joined = a.hint("merge").join(b, "doc_id")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 2000
+
+    # aggregation on the bucket key is exchange-free too
+    agg = a.groupBy("doc_id").count()
+    plan2 = spark._jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan2, plan2
+    spark.sql("DROP DATABASE bktest CASCADE")
