@@ -379,6 +379,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-radius near-dup pairs (band-bucketed, complete for
+    hamming ≤ 3 with 4 bands)."""
+    from doctor_spark.operators.dedup import simhash_near_pairs
+
+    p = simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, n_bands=4)
+    return p.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -663,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stats": q_dedup_stats,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
@@ -713,6 +727,32 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id::BIGINT AS doc_id, ({sig_terms})::BIGINT AS simhash FROM t
+"""
+
+
+def _simhash_near_sql(
+    bits: int = 16, max_hamming: int = 3, n_bands: int = 4
+) -> str:
+    bw = bits // n_bands
+    mask = (1 << bw) - 1
+    return f"""
+WITH sigs AS ({_simhash_sql(bits)}),
+stacked AS (
+  SELECT doc_id, simhash, b.band_no,
+         (simhash >> (b.band_no * {bw})) & {mask} AS band_val
+  FROM sigs, (SELECT unnest(range({n_bands})) AS band_no) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM stacked a JOIN stacked c
+    ON a.band_no = c.band_no AND a.band_val = c.band_val
+   AND a.doc_id < c.doc_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, hamming FROM (
+  SELECT cand.id_a, cand.id_b,
+         bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+  FROM cand JOIN sigs sa ON sa.doc_id = cand.id_a
+            JOIN sigs sb ON sb.doc_id = cand.id_b
+) WHERE hamming <= {max_hamming}
 """
 
 
@@ -1025,6 +1065,7 @@ FROM documents
 """,
         "dedup_minhash_pairs": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_near": _simhash_near_sql(),
         "dedup_ngram_jaccard": _jaccard_sql(),
         "text_quality": _quality_sql(),
         "token_stats": f"""

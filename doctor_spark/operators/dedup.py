@@ -271,6 +271,59 @@ def _shingles_udf(n: int = 3):
     return sh
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Band-bucketed and COMPLETE: a signature split into ``n_bands`` equal
+    slices differing in ≤ ``n_bands - 1`` bits must share at least one
+    slice (pigeonhole), so with ``max_hamming < n_bands`` the same-band
+    equi-join loses no true pair.  Candidates rescore with
+    ``bit_count(xor)`` — all JVM bit ops, zero Python.
+
+    Columns: id_a, id_b, hamming."""
+    if max_hamming >= n_bands:
+        raise ValueError("completeness needs max_hamming < n_bands")
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    sigs = with_simhash(df, text_col, bits).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("sig")
+    )
+    stacked = sigs.select(
+        "id", "sig",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("sig"), b * band_width).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ])
+        ).alias("band_no", "band_val"),
+    ).repartition(F.col("band_no"), F.col("band_val"))
+    left = stacked.select(
+        "band_no", "band_val",
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    right = stacked.select(
+        "band_no", "band_val",
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    return (
+        left.join(right, ["band_no", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def shingles(col, n: int = 3):
     """n-token shingle strings (higher-order expression)."""
     toks = tokens(col)

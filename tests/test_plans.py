@@ -193,3 +193,26 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     )
     assert "Exchange" not in plan2, plan2
     spark.sql("DROP DATABASE bktest CASCADE")
+
+
+def test_simhash_near_pairs_complete(spark):
+    """Band-bucketed Hamming search must find EXACTLY the brute-force
+    pairs at radius ≤ 3 (pigeonhole completeness, no false positives
+    after rescore)."""
+    from doctor_spark.operators.dedup import simhash_near_pairs, with_simhash
+
+    rows = [(i, f"the quick brown fox number {i % 9} jumps over dog {i % 7}")
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in simhash_near_pairs(df, max_hamming=3, n_bands=4).collect()}
+
+    sigs = {r.doc_id: r.simhash for r in with_simhash(df).collect()}
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    assert got == want and len(want) > 0
