@@ -392,6 +392,21 @@ def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash candidate
+    pairs, every member labeled with the cluster's smallest id."""
+    from doctor_spark.operators.dedup import (
+        duplicate_components,
+        minhash_candidate_pairs,
+    )
+
+    comp = duplicate_components(minhash_candidate_pairs(_docs(spark, sf_dir)))
+    return comp.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("component_id").cast("bigint").alias("component_id"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -677,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
+        "dedup_components": q_dedup_components,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
@@ -1066,6 +1082,21 @@ FROM documents
         "dedup_minhash_pairs": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_near": _simhash_near_sql(),
+        "dedup_components": f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.doc_id = e.dst
+)
+SELECT doc_id::BIGINT AS doc_id, min(label)::BIGINT AS component_id
+FROM walk GROUP BY doc_id
+""",
         "dedup_ngram_jaccard": _jaccard_sql(),
         "text_quality": _quality_sql(),
         "token_stats": f"""

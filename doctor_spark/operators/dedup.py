@@ -324,6 +324,60 @@ def simhash_near_pairs(
     )
 
 
+def duplicate_components(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over candidate-duplicate pairs: every member
+    of a duplicate cluster labeled with the cluster's smallest id (the
+    canonical "keep one representative" step after MinHash/SimHash).
+
+    Iterative min-label propagation: each round joins the edge list both
+    ways and takes the smallest label seen; stops when no label changes.
+    Rounds are logarithmic in component DIAMETER (dup clusters are tiny in
+    practice), each round is one keyed shuffle, and ``localCheckpoint``
+    cuts the lineage so plans don't grow with iterations.
+
+    Columns: doc_id, component_id."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+                (F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                 < F.col("component_id")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.where(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
 def shingles(col, n: int = 3):
     """n-token shingle strings (higher-order expression)."""
     toks = tokens(col)

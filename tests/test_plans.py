@@ -216,3 +216,19 @@ def test_simhash_near_pairs_complete(spark):
             if h <= 3:
                 want.add((a, b, h))
     assert got == want and len(want) > 0
+
+
+def test_duplicate_components_chain(spark):
+    """A long chain (worst-case diameter) and separate clusters must
+    converge to min-id labels."""
+    from doctor_spark.operators.dedup import duplicate_components
+
+    # chain 0-1-2-...-9, triangle 100-101-102, isolated pair 200-201
+    edges = [(i, i + 1) for i in range(9)]
+    edges += [(100, 101), (101, 102), (100, 102), (200, 201)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.component_id
+           for r in duplicate_components(df).collect()}
+    assert all(got[i] == 0 for i in range(10))
+    assert got[100] == got[101] == got[102] == 100
+    assert got[200] == got[201] == 200
