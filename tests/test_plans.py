@@ -232,3 +232,62 @@ def test_duplicate_components_chain(spark):
     assert all(got[i] == 0 for i in range(10))
     assert got[100] == got[101] == got[102] == 100
     assert got[200] == got[201] == 200
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Residual skew (one hot key) must be handled by AQE's skew-join
+    splitting — the executed sort-merge join reports skew=true — so a
+    pathological key degrades one stage instead of one straggler task.
+    Payloads are md5-derived (incompressible): skew detection works on
+    compressed shuffle bytes."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "128KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        pad = F.concat(*[
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(str(i))))
+            for i in range(4)
+        ])
+        left = spark.range(0, 30_000).select(
+            F.lit(7).alias("k"), pad.alias("pad")
+        ).unionAll(
+            spark.range(0, 2_000).select(
+                (F.col("id") % 100).cast("int").alias("k"), pad.alias("pad")
+            )
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").cast("int").alias("k"), pad.alias("rpad")
+        ).unionAll(
+            spark.range(0, 50).select(
+                F.lit(7).cast("int").alias("k"), pad.alias("rpad")
+            )
+        )
+        joined = left.hint("merge").join(right, "k").agg(
+            F.count("*"), F.sum(F.length("pad")), F.sum(F.length("rpad"))
+        )
+        joined.collect()
+        fin = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in fin, fin[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
