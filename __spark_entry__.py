@@ -420,6 +420,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (k=8 char-grams, window w=4,
+    rightmost-min selection) — matching is a keyed join on fp."""
+    from doctor_spark.operators.dedup import winnow_fingerprints
+
+    p = winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+    return p.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("fp"),
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.functions.text import (
         mean_word_len,
@@ -693,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_components": q_dedup_components,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
@@ -1098,6 +1112,28 @@ SELECT doc_id::BIGINT AS doc_id, min(label)::BIGINT AS component_id
 FROM walk GROUP BY doc_id
 """,
         "dedup_ngram_jaccard": _jaccard_sql(),
+        "winnow_fingerprints": """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, length(t) - 8 + 2),
+                        i -> substr(md5(substr(t, i, 8)), 1, 15)) AS h
+  FROM norm WHERE length(t) >= 8
+), wnd AS (
+  SELECT doc_id, h,
+         unnest(range(1, greatest(1, len(h) - 4 + 1) + 1)) AS p
+  FROM g
+), sl AS (
+  SELECT doc_id, p, h[p : p + 3] AS s FROM wnd
+)
+SELECT DISTINCT doc_id::BIGINT AS doc_id,
+       (p - 1 + (len(s) - list_position(list_reverse(s), list_min(s))))::BIGINT
+         AS pos,
+       list_min(s) AS fp
+FROM sl
+""",
         "text_quality": _quality_sql(),
         "token_stats": f"""
 SELECT doc_id::BIGINT AS doc_id,

@@ -378,6 +378,70 @@ def duplicate_components(
     return labels
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    character ``k``-gram hashes over whitespace-normalized text, one
+    fingerprint selected per length-``w`` window (the RIGHTMOST minimal
+    hash), selections deduplicated.  Guarantees any match of length
+    ≥ k + w - 1 shares a fingerprint — the standard local-fingerprinting
+    scheme for plagiarism/near-dup detection at corpus scale.
+
+    Hashes are md5-derived (not a true rolling hash — the windowed-min
+    SELECTION is what winnowing specifies; md5 keeps the fingerprints
+    bit-identical to the SQL oracle).  Output: (doc_id, pos, fp) where
+    pos is the 0-based gram index.
+
+    Scale shape: one Arrow kernel per batch (vectorized hashing, python
+    window loop over each doc), exploded to rows — downstream matching is
+    a keyed equi-join on fp."""
+    import re as _re
+
+    # mirror the oracle's normalization exactly: DuckDB trim() strips
+    # spaces only, RE2 \s is [\t\n\f\r ] (python \s/.strip() are unicode
+    # and would diverge on NBSP/NEL/\x0b documents)
+    ws_re = _re.compile(r"[\t\n\f\r ]+")
+
+    @F.pandas_udf("array<struct<pos: int, fp: string>>")
+    def winnow(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for text in texts:
+            t = ws_re.sub(" ", (text or "").lower().strip(" "))
+            n = len(t)
+            if n < k:
+                out.append([])
+                continue
+            hashes = [
+                hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:15]
+                for i in range(n - k + 1)
+            ]
+            sel: dict[int, str] = {}
+            n_windows = max(1, len(hashes) - w + 1)
+            for p in range(n_windows):
+                window = hashes[p : p + w]
+                m = min(window)
+                # rightmost minimal hash (winnowing's density rule)
+                idx = p + len(window) - 1 - window[::-1].index(m)
+                sel[idx] = m
+            out.append([{"pos": i, "fp": sel[i]} for i in sorted(sel)])
+        return pd.Series(out)
+
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(winnow(F.col(text_col))).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
 def shingles(col, n: int = 3):
     """n-token shingle strings (higher-order expression)."""
     toks = tokens(col)

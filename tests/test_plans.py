@@ -291,3 +291,25 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's core property: two documents sharing a substring of
+    length >= k + w - 1 (= 11 here) must share at least one fingerprint."""
+    from doctor_spark.operators.dedup import winnow_fingerprints
+
+    shared = "identical substring of meaningful length here"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared} suffix alpha"),
+            (2, f"другой text {shared} totally different tail"),
+            (3, "nothing in common with the others at all zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
