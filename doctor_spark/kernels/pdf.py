@@ -843,34 +843,36 @@ def _interpret_content(
             )
             tm = _mat_translate(tm, len(text) * CHAR_WIDTH_FACTOR * size, 0.0)
             return
-        # glyph-accurate path
+        # glyph-accurate path: one matrix product per show op, glyph
+        # origins advanced incrementally (translate-then-multiply equals
+        # origin + cum·(a,b) exactly)
         pieces: list[str] = []
-        first_m = None
         two_byte = font.two_byte
+        m = _mat_mul(tm, ctm)
+        ma, mb, md = m[0], m[1], m[3]
+        base_x = m[4] + rise * m[2]
+        base_y = m[5] + rise * m[3]
+        eff_size = size * abs(md) if md else size
+        skew = mb != 0
+        cum = 0.0  # text-space x displacement within this show op
         for text, w1000, code in font.decode(raw):
-            m = _mat_mul(tm, ctm)
-            if first_m is None:
-                first_m = m
             w_text = w1000 / 1000.0 * size
             disp = w_text + t_c
             if code == 32 and not two_byte:
                 disp += t_w
             if text:
-                scale = m[0]  # device x-scale for upright text
-                eff_size = size * abs(m[3]) if m[3] else size
-                x0 = m[4] + rise * m[2]
+                x0 = base_x + cum * ma
                 chars.append(
-                    Char(text, x0, x0 + w_text * t_h * scale,
-                         m[5] + rise * m[3], eff_size,
-                         m[1] != 0, fontname)
+                    Char(text, x0, x0 + w_text * t_h * ma,
+                         base_y + cum * mb, eff_size, skew, fontname)
                 )
                 pieces.append(text)
-            tm = _mat_translate(tm, disp * t_h, 0.0)
-        if pieces and first_m is not None:
+            cum += disp * t_h
+        tm = _mat_translate(tm, cum, 0.0)
+        if pieces:
             runs.append(
-                TextRun(text="".join(pieces), x=first_m[4], y=first_m[5],
-                        size=size, skewed=(first_m[1] != 0),
-                        fontname=fontname)
+                TextRun(text="".join(pieces), x=m[4], y=m[5],
+                        size=size, skewed=skew, fontname=fontname)
             )
 
     def show_tj_array(arr) -> None:
@@ -962,10 +964,17 @@ def _interpret_content(
             elif op == b"ET":
                 pass
             elif op == b"q":
-                ctm_stack.append((ctm, fill_black))
+                # the graphics state includes the text-state parameters
+                # (ISO 32000-1 §8.4.1): font, sizes and spacings restore
+                # with Q, not just the CTM
+                ctm_stack.append(
+                    (ctm, fill_black, slot, fontname, size, t_c, t_w, t_h,
+                     leading, rise)
+                )
             elif op == b"Q":
                 if ctm_stack:
-                    ctm, fill_black = ctm_stack.pop()
+                    (ctm, fill_black, slot, fontname, size, t_c, t_w, t_h,
+                     leading, rise) = ctm_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 mat = tuple(float(v) for v in stack[-6:])
                 ctm = _mat_mul(mat, ctm)
@@ -1055,8 +1064,16 @@ def _do_xobject(
     black_rects.extend(b)
 
 
-def _build_fonts(resources: dict | None, objects) -> dict[str, _FontSlot]:
-    """Resolve a /Resources /Font dict into metric-aware Font models."""
+def _build_fonts(
+    resources: dict | None,
+    objects,
+    cache: dict | None = None,
+) -> dict[str, _FontSlot]:
+    """Resolve a /Resources /Font dict into metric-aware Font models.
+
+    ``cache`` (keyed by font object number) is shared across a document's
+    pages — 30 pages referencing the same fonts would otherwise re-parse
+    the same /Widths and /ToUnicode CMaps 30 times."""
     from .pdf_fonts import Font, glyph_to_unicode, parse_tounicode, parse_w_array
 
     out: dict[str, _FontSlot] = {}
@@ -1065,6 +1082,9 @@ def _build_fonts(resources: dict | None, objects) -> dict[str, _FontSlot]:
     if not isinstance(font_dict, dict):
         return out
     for alias, fref in font_dict.items():
+        if cache is not None and isinstance(fref, Ref) and fref.num in cache:
+            out[str(alias)] = cache[fref.num]
+            continue
         fobj = _resolve(fref, objects)
         if not isinstance(fobj, dict):
             continue
@@ -1125,7 +1145,10 @@ def _build_fonts(resources: dict | None, objects) -> dict[str, _FontSlot]:
                             if uni:
                                 font.differences[code] = uni
                             code += 1
-        out[str(alias)] = _FontSlot(font, base)
+        slot = _FontSlot(font, base)
+        out[str(alias)] = slot
+        if cache is not None and isinstance(fref, Ref):
+            cache[fref.num] = slot
     return out
 
 
@@ -1134,6 +1157,7 @@ def parse_pdf(data: bytes) -> PdfDocument:
     if not data.lstrip()[:5].startswith(b"%PDF-") and b"%PDF-" not in data[:1024]:
         raise PdfParseError("not a PDF")
     objects = _scan_objects(data)
+    font_cache: dict[int, _FontSlot] = {}  # shared across pages
     pages: list[Page] = []
     for idx, pnum in enumerate(_page_order(objects), start=1):
         pdict = objects[pnum]
@@ -1154,7 +1178,7 @@ def parse_pdf(data: bytes) -> PdfDocument:
         res = _inherited(pdict, "Resources", objects)
         if not isinstance(res, dict):
             res = {}
-        fonts = _build_fonts(res, objects)
+        fonts = _build_fonts(res, objects, font_cache)
         # glyph-accurate layout only pays off when real metrics exist;
         # metric-less (synthetic/fixed-pitch) documents keep the run model
         emit_chars = any(s.font.has_metrics for s in fonts.values())
