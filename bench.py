@@ -111,6 +111,44 @@ def main() -> None:
 
     timed("extract_shuffled", run_extract_shuffled)
 
+    # real-world documents: the reference's own fixture PDFs/DOCs (court
+    # filings with proportional fonts, ObjStm, scanned pages) replicated
+    # through the same operator — the wild-input throughput number
+    ref_assets = Path("/root/reference/doctor/test_assets")
+    if ref_assets.is_dir():
+        import itertools
+
+        payloads = []
+        for p in itertools.chain(
+            ref_assets.glob("*.pdf"),
+            ref_assets.glob("recap_documents/*.pdf"),
+            ref_assets.glob("*.doc*"),
+        ):
+            payloads.append((f"https://real.test/{p.name}", p.read_bytes()))
+        replicas = [
+            (f"{url}?copy={i}", data)
+            for url, data in payloads
+            for i in range(8)
+        ]
+        real_df = (
+            spark.createDataFrame(replicas, "url string, html binary")
+            .withColumn("warc_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            .withColumn("lang", F.lit("en"))
+            .repartition(cpus * 2)
+            .cache()
+        )
+        n_real = real_df.count()  # materialize before timing
+
+        def run_real():
+            extracted = extract_operator(real_df, ocr_available=False)
+            extracted.agg(F.count("*"), F.sum(F.length("content"))).collect()
+
+        timed("extract_real_docs", run_real)
+        real_docs_per_sec = round(n_real / timings["extract_real_docs"], 1)
+        real_df.unpersist()
+    else:
+        real_docs_per_sec = None
+
     qs = entry.queries()
     for name in (
         "dedup_exact",
@@ -142,6 +180,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "cpus": cpus,
                 "docs_per_sec": round(n_docs / timings["extract"], 1),
+                "real_docs_per_sec": real_docs_per_sec,
             }
         )
     )

@@ -87,7 +87,12 @@ def with_lsh_bucket(
     out_col: str = "lsh_bucket",
 ) -> DataFrame:
     """Sign-random-projection bucket id: bit p = sign(v · plane_p).  Each
-    ``table_no`` uses an independent plane family (OR-amplification)."""
+    ``table_no`` uses an independent plane family (OR-amplification).
+
+    This is the EXPRESSION-form executable spec: pure Catalyst fold, used
+    to differential-test the vectorized Arrow kernel in
+    ``stacked_lsh_buckets`` (which is what production paths run — the
+    interpreted fold costs ~1 ms/row)."""
     vec_d = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):

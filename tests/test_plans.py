@@ -313,3 +313,27 @@ def test_winnowing_guarantee(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
+
+
+def test_lsh_bucket_kernel_matches_expression_spec(spark):
+    """The vectorized Arrow bucket kernel must produce bit-identical
+    buckets to the expression-form spec (with_lsh_bucket) for every
+    (row, table)."""
+    from pyspark.sql import functions as F
+
+    from doctor_spark.operators.similarity import (
+        stacked_lsh_buckets,
+        with_lsh_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {
+        (r.id, r.table_no): r.bucket
+        for r in stacked_lsh_buckets(emb, dim=64, n_planes=4, n_tables=3).collect()
+    }
+    ref = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    for t in range(3):
+        ref = with_lsh_bucket(ref, 64, 4, "v", table_no=t, out_col=f"b{t}")
+    for r in ref.collect():
+        for t in range(3):
+            assert got[(r.vec_id, t)] == r[f"b{t}"], (r.vec_id, t)
