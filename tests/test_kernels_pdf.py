@@ -426,3 +426,86 @@ class TestEncryptedPdf:
         from doctor_spark.kernels.pdf import get_page_count
 
         assert get_page_count(self._build(v=5), "pdf") == 1
+
+
+class TestProportionalLayout:
+    """Glyph-accurate layout regressions: TJ kerning must not split words,
+    real spaces must survive, large gaps must become column padding."""
+
+    @staticmethod
+    def _build(content: bytes) -> bytes:
+        # proportional font: /Widths for codes 32..126 (space 250, letters
+        # varied) — presence of /Widths routes pages to the glyph engines
+        widths = []
+        for code in range(32, 127):
+            if code == 32:
+                widths.append(250)
+            elif chr(code) in "iltfj":
+                widths.append(280)
+            elif chr(code).isupper():
+                widths.append(700)
+            else:
+                widths.append(500)
+        w_arr = ("[" + " ".join(str(w) for w in widths) + "]").encode()
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+               b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+            4: b"<< /Length " + str(len(content)).encode() + b" >>\n"
+               b"stream\n" + content + b"\nendstream",
+            5: b"<< /Type /Font /Subtype /TrueType /BaseFont /FakeSerif "
+               b"/FirstChar 32 /LastChar 126 /Widths " + w_arr + b" >>",
+        }
+        body = b"%PDF-1.4\n"
+        for num, payload in objs.items():
+            body += f"{num} 0 obj\n".encode() + payload + b"\nendobj\n"
+        body += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+        return body
+
+    def test_tj_kerning_does_not_split_words(self):
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        content = (
+            b"BT /F1 12 Tf 72 700 Td "
+            b"[(TAR) -20 (RANT) -15 ( REGIONAL) ] TJ ET"
+        )
+        text, err, _ = extract_pdf_layout_text(self._build(content))
+        assert err == ""
+        assert "TARRANT REGIONAL" in text
+        assert "TAR RANT" not in text
+
+    def test_real_space_chars_survive(self):
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        content = b"BT /F1 12 Tf 72 700 Td (alpha beta gamma) Tj ET"
+        text, err, _ = extract_pdf_layout_text(self._build(content))
+        assert "alpha beta gamma" in text
+
+    def test_large_gap_becomes_columns(self):
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        content = (
+            b"BT /F1 12 Tf 72 700 Td (left side) Tj ET\n"
+            b"BT /F1 12 Tf 400 700 Td (right side) Tj ET"
+        )
+        text, err, _ = extract_pdf_layout_text(self._build(content))
+        line = text.splitlines()[0]
+        assert line.startswith("left side")
+        assert "right side" in line
+        gap = line.index("right side") - len("left side")
+        assert gap > 20  # ~328pt of space at a ~5.9pt cell
+
+    def test_positioned_word_spacing_via_td(self):
+        # words positioned by separate Td ops at normal spacing join with
+        # single spaces, not column padding
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        content = (
+            b"BT /F1 10 Tf 72 700 Td (Hello) Tj ET\n"
+            b"BT /F1 10 Tf 101 700 Td (world) Tj ET"
+        )
+        # "Hello" = 700+500+280+280+500 = 2260/1000*10 = 22.6pt wide,
+        # so x=101 leaves a ~6.4pt gap ≈ a space
+        text, err, _ = extract_pdf_layout_text(self._build(content))
+        assert "Hello world" in text
