@@ -1152,14 +1152,21 @@ def _build_fonts(
     return out
 
 
-def parse_pdf(data: bytes) -> PdfDocument:
-    """Parse PDF bytes into pages of text runs/chars + images + annotations."""
+def parse_pdf(data: bytes, max_pages: int | None = None) -> PdfDocument:
+    """Parse PDF bytes into pages of text runs/chars + images + annotations.
+
+    ``max_pages`` bounds the content-interpretation work for callers that
+    only need leading pages (the PACER header stamp lives on page 1; a
+    500-page filing must not pay 500 pages of layout for it)."""
     if not data.lstrip()[:5].startswith(b"%PDF-") and b"%PDF-" not in data[:1024]:
         raise PdfParseError("not a PDF")
     objects = _scan_objects(data)
     font_cache: dict[int, _FontSlot] = {}  # shared across pages
     pages: list[Page] = []
-    for idx, pnum in enumerate(_page_order(objects), start=1):
+    page_order = _page_order(objects)
+    if max_pages is not None:
+        page_order = page_order[:max_pages]
+    for idx, pnum in enumerate(page_order, start=1):
         pdict = objects[pnum]
         media = _inherited(pdict, "MediaBox", objects)
         if isinstance(media, list) and len(media) == 4:
@@ -1583,9 +1590,9 @@ def clean_document_number(document_number: str) -> str:
 def get_document_number(data: bytes) -> str:
     """PACER document number from the page-1 header stamp (reference
     tasks.py:637-680): runs in LiberationSans or with y0 > 750, regexed for
-    Document:/Doc:/DktEntry: forms."""
+    Document:/Doc:/DktEntry: forms.  Only page 1 is interpreted."""
     try:
-        doc = parse_pdf(data)
+        doc = parse_pdf(data, max_pages=1)
     except Exception:
         return ""
     if not doc.pages:
