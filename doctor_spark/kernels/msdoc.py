@@ -255,8 +255,15 @@ def _expand_tabs(line: str, tab_twips: int) -> str:
     return "".join(out)
 
 
+# field structure in the text stream: 0x13 <instruction> 0x14 <result> 0x15
+# — antiword emits only the RESULT; instructions ('HYPERLINK "..."',
+# 'PAGEREF _Toc...') must never reach the extracted text
+_FIELD_INSTR_RE = re.compile("\x13[^\x14\x15]*\x14?")
+
+
 def _render(raw_text: str, tab_twips: int) -> str:
-    text = raw_text.translate(_DOC_TRANSLATE)
+    text = _FIELD_INSTR_RE.sub("", raw_text)
+    text = text.translate(_DOC_TRANSLATE)
     # \r = paragraph mark, \x07 = table cell/row mark
     lines = re.split("[\r\x07]", text)
     return "\n".join(_expand_tabs(ln, tab_twips) for ln in lines)

@@ -42,7 +42,6 @@ from __future__ import annotations
 import json
 import re
 import zlib
-from collections import Counter
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -779,6 +778,7 @@ def _interpret_content(
     resources: dict | None = None,
     depth: int = 0,
     ctm0=_IDENT,
+    font_cache: dict | None = None,
 ) -> tuple[list[TextRun], list[Char], int, list[tuple[float, float, float, float]]]:
     """Execute the text subset of a content stream.
 
@@ -841,6 +841,24 @@ def _interpret_content(
                 TextRun(text=text, x=m[4], y=m[5], size=size,
                         skewed=(m[1] != 0), fontname=fontname)
             )
+            if emit_chars:
+                # a page mixing metric fonts with a metric-less one (e.g.
+                # standard-14 /Helvetica without /Widths) routes to the
+                # chars engines — this text must not vanish from them;
+                # approximate per-glyph advances with the fixed-pitch
+                # model (default_width covers Courier's true 600)
+                w_em = (font.default_width / 1000.0 if font is not None
+                        else CHAR_WIDTH_FACTOR)
+                w_text = w_em * size
+                eff = size * abs(m[3]) if m[3] else size
+                skew = m[1] != 0
+                for gi, ch in enumerate(text):
+                    x0 = m[4] + gi * w_text * t_h * m[0]
+                    chars.append(
+                        Char(ch, x0, x0 + w_text * t_h * m[0],
+                             m[5] + gi * w_text * t_h * m[1],
+                             eff, skew, fontname)
+                    )
             tm = _mat_translate(tm, len(text) * CHAR_WIDTH_FACTOR * size, 0.0)
             return
         # glyph-accurate path: one matrix product per show op, glyph
@@ -1021,9 +1039,9 @@ def _interpret_content(
                 ei = _EI_RE.search(content, pos)
                 pos = ei.end() if ei else n
             elif op == b"Do" and stack and objects is not None and depth < 4:
-                _do_xobject(
+                curves += _do_xobject(
                     str(stack[-1]), resources, objects, ctm, emit_chars,
-                    depth, runs, chars, black_rects,
+                    depth, runs, chars, black_rects, font_cache,
                 )
         except (TypeError, ValueError):
             pass
@@ -1033,13 +1051,16 @@ def _interpret_content(
 
 
 def _do_xobject(
-    alias, resources, objects, ctm, emit_chars, depth, runs, chars, black_rects
-) -> None:
-    """Execute a Form XObject's content with its /Matrix composed in."""
+    alias, resources, objects, ctm, emit_chars, depth, runs, chars,
+    black_rects, font_cache=None,
+) -> int:
+    """Execute a Form XObject's content with its /Matrix composed in.
+    Returns the curve-op count inside (the page_needs_ocr gate must see
+    curves drawn in stamp/letterhead XObjects too)."""
     res = _resolve((resources or {}).get("XObject"), objects) or {}
     xobj = _resolve(res.get(alias), objects)
     if not isinstance(xobj, StreamObj) or xobj.attrs.get("Subtype") != "Form":
-        return
+        return 0
     mat = _resolve(xobj.attrs.get("Matrix"), objects)
     sub_ctm = ctm
     if isinstance(mat, list) and len(mat) == 6:
@@ -1053,15 +1074,17 @@ def _do_xobject(
     try:
         payload = xobj.data()
     except (PdfParseError, zlib.error, ValueError):
-        return
-    sub_fonts = _build_fonts(sub_res, objects)
-    r, c, _curves, b = _interpret_content(
+        return 0
+    sub_fonts = _build_fonts(sub_res, objects, font_cache)
+    r, c, curves, b = _interpret_content(
         payload, sub_fonts, emit_chars=emit_chars, objects=objects,
         resources=sub_res, depth=depth + 1, ctm0=sub_ctm,
+        font_cache=font_cache,
     )
     runs.extend(r)
     chars.extend(c)
     black_rects.extend(b)
+    return curves
 
 
 def _build_fonts(
@@ -1206,6 +1229,7 @@ def parse_pdf(data: bytes, max_pages: int | None = None) -> PdfDocument:
         runs, chars, curves, black_rects = _interpret_content(
             b"\n".join(content_parts), fonts, emit_chars=emit_chars,
             objects=objects, resources=res, ctm0=ctm0,
+            font_cache=font_cache,
         )
 
         # images (XObjects in resources)
@@ -1326,20 +1350,6 @@ def _chars_to_lines(
         else:
             lines.append((top, [c]))
     return lines
-
-
-def _split_words(line_chars: list[Char], gap_factor: float = 0.35):
-    """Split a line's chars (x-sorted) into words at positional gaps —
-    kerning-sized TJ offsets stay inside a word (the 'TARRA NT' class of
-    bug in naive run-based layout)."""
-    cs = sorted(line_chars, key=lambda c: c.x0)
-    words: list[list[Char]] = [[cs[0]]]
-    for prev, cur in zip(cs, cs[1:]):
-        if cur.x0 - prev.x1 > gap_factor * cur.size:
-            words.append([cur])
-        else:
-            words[-1].append(cur)
-    return words
 
 
 # pdftotext -layout column cell, as a fraction of the line's smallest

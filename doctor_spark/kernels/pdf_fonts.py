@@ -159,7 +159,12 @@ def parse_tounicode(cmap: bytes) -> dict[int, str]:
             else:
                 base = _hex_bytes(dst[1:-1] if dst.startswith(b"<") else dst)
                 base_i = int.from_bytes(base, "big")
-                nbytes = max(2, len(base))
+                # widen if the increment overflows the declared width
+                # (malformed CMaps like <0000><00FF> → <FFFF> otherwise
+                # raise OverflowError and poison the whole document)
+                nbytes = max(
+                    2, len(base), ((base_i + hi - lo).bit_length() + 7) // 8
+                )
                 for off in range(hi - lo + 1):
                     out[lo + off] = _dst_text(
                         (base_i + off).to_bytes(nbytes, "big")

@@ -28,8 +28,9 @@ import struct
 
 MAGIC = b"\xffWPC"
 
-# single-byte function codes that represent whitespace
-_SPACE_BYTES = frozenset((0x80, 0xA9, 0xAA))
+# single-byte function codes that represent whitespace (0xA9 is the hard
+# hyphen and renders as '-'; 0xAA is a soft hyphen at line end — joins)
+_SPACE_BYTES = frozenset((0x80,))
 _HARD_RETURN = 0xCC
 
 
@@ -101,6 +102,8 @@ def _parse(data: bytes) -> str:
             pos += 1
         elif b == 0xA9:  # hard hyphen
             out.append("-")
+            pos += 1
+        elif b == 0xAA:  # soft hyphen: invisible join point
             pos += 1
         elif b == _HARD_RETURN:
             out.append("\n")

@@ -32,10 +32,11 @@ _JAVA_WS = __import__("re").compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _java_ws_tokens(text: str) -> list[str]:
-    toks = _JAVA_WS.split(text.strip(" ").lower())
-    while toks and toks[-1] == "":  # Java split drops trailing empties
-        toks.pop()
-    return toks
+    # trailing empty tokens are KEPT: Spark's F.split uses limit -1 (Java
+    # split(regex, -1) keeps trailing empties) and DuckDB's
+    # regexp_split_to_array does too — a doc ending in '\n' tokenizes to
+    # [..., ''] on all three engines
+    return _JAVA_WS.split(text.strip(" ").lower())
 
 
 def exact_duplicate_groups(
@@ -334,11 +335,15 @@ def duplicate_components(
     of a duplicate cluster labeled with the cluster's smallest id (the
     canonical "keep one representative" step after MinHash/SimHash).
 
-    Iterative min-label propagation: each round joins the edge list both
-    ways and takes the smallest label seen; stops when no label changes.
-    Rounds are logarithmic in component DIAMETER (dup clusters are tiny in
-    practice), each round is one keyed shuffle, and ``localCheckpoint``
-    cuts the lineage so plans don't grow with iterations.
+    Iterative min-label propagation with POINTER JUMPING: each round takes
+    the min over (a) neighbors' labels and (b) the label of the node's own
+    label (label[label[v]]) — the doubling step makes convergence
+    logarithmic in component diameter, so a 2^20-long near-dup chain
+    converges inside the default budget.  Each round is two keyed
+    shuffles; ``localCheckpoint`` cuts the lineage so plans don't grow.
+    Raises if the budget is exhausted before convergence — silently
+    returning unconverged labels would split clusters and break the exact
+    oracle.
 
     Columns: doc_id, component_id."""
     edges = (
@@ -353,29 +358,50 @@ def duplicate_components(
         .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("component_id").alias("nbr_min"))
         )
-        updated = (
+        # pointer jump: label of my current label
+        parents = labels.select(
+            F.col("doc_id").alias("p_id"), F.col("component_id").alias("p_lbl")
+        )
+        hop = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                "component_id",
+                F.coalesce(F.col("nbr_min"), F.col("component_id")).alias("nm"),
+            )
+        )
+        updated = (
+            hop.join(parents, hop.component_id == parents.p_id, "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("component_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
-                ).alias("component_id"),
-                (F.coalesce(F.col("nbr_min"), F.col("component_id"))
-                 < F.col("component_id")).alias("changed"),
+                    F.col("nm"),
+                    F.coalesce(F.col("p_lbl"), F.col("component_id")),
+                ).alias("new_id"),
+                F.col("component_id").alias("old_id"),
+            )
+            .select(
+                "doc_id",
+                F.col("new_id").alias("component_id"),
+                (F.col("new_id") < F.col("old_id")).alias("changed"),
             )
         ).localCheckpoint(eager=True)
         n_changed = updated.where(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"duplicate_components did not converge in {max_iters} iterations "
+        "(component diameter > 2^iters is astronomically unlikely — "
+        "suspect corrupt edge input)"
+    )
 
 
 def winnow_fingerprints(

@@ -509,3 +509,35 @@ class TestProportionalLayout:
         # so x=101 leaves a ~6.4pt gap ≈ a space
         text, err, _ = extract_pdf_layout_text(self._build(content))
         assert "Hello world" in text
+
+    def test_mixed_metric_and_metricless_fonts_keep_all_text(self):
+        """A page mixing a /Widths font with a metric-less standard-14
+        font must not lose the metric-less text in the glyph engines."""
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        widths = "[" + " ".join(["500"] * 95) + "]"
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+               b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> "
+               b"/Contents 4 0 R >>",
+            5: (b"<< /Type /Font /Subtype /TrueType /BaseFont /Metric "
+                b"/FirstChar 32 /LastChar 126 /Widths "
+                + widths.encode() + b" >>"),
+            6: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        }
+        content = (
+            b"BT /F1 12 Tf 72 700 Td (metric text) Tj ET\n"
+            b"BT /F2 12 Tf 72 650 Td (helvetica text) Tj ET"
+        )
+        objs[4] = (b"<< /Length " + str(len(content)).encode()
+                   + b" >>\nstream\n" + content + b"\nendstream")
+        body = b"%PDF-1.4\n"
+        for num, payload in sorted(objs.items()):
+            body += f"{num} 0 obj\n".encode() + payload + b"\nendobj\n"
+        body += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+        text, err, _ = extract_pdf_layout_text(body)
+        assert err == ""
+        assert "metric text" in text
+        assert "helvetica text" in text

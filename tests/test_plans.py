@@ -223,13 +223,14 @@ def test_duplicate_components_chain(spark):
     converge to min-id labels."""
     from doctor_spark.operators.dedup import duplicate_components
 
-    # chain 0-1-2-...-9, triangle 100-101-102, isolated pair 200-201
-    edges = [(i, i + 1) for i in range(9)]
+    # chain 0-1-2-...-59 (diameter 59 — pointer jumping must converge
+    # well inside the 20-iteration budget), triangle, isolated pair
+    edges = [(i, i + 1) for i in range(59)]
     edges += [(100, 101), (101, 102), (100, 102), (200, 201)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.doc_id: r.component_id
-           for r in duplicate_components(df).collect()}
-    assert all(got[i] == 0 for i in range(10))
+           for r in duplicate_components(df, max_iters=10).collect()}
+    assert all(got[i] == 0 for i in range(60))
     assert got[100] == got[101] == got[102] == 100
     assert got[200] == got[201] == 200
 
