@@ -75,5 +75,11 @@ def extract_operator(
             ).astype("int64")
             yield result
 
-    cols = [c for c in ("url", "warc_ts", "lang", "html") if c in df.columns]
-    return df.select(*cols).mapInPandas(run, schema=RESULT_SCHEMA_DDL)
+    required = ("url", "warc_ts", "lang", "html")
+    missing = [c for c in required if c not in df.columns]
+    if missing:  # fail fast at plan time, not as a per-task KeyError
+        raise ValueError(
+            f"extract_operator input is missing columns {missing}; "
+            f"expected the pages schema {required}"
+        )
+    return df.select(*required).mapInPandas(run, schema=RESULT_SCHEMA_DDL)

@@ -131,9 +131,19 @@ def _lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
     def buckets(vecs: pd.Series) -> pd.Series:
         import numpy as np
 
-        mat = np.array(
-            [np.asarray(v, dtype=np.float64) for v in vecs]
-        )  # (n, dim)
+        # NULL / ragged embeddings must degrade per ROW (empty bucket
+        # list → posexplode emits nothing, matching the oracle's NULL
+        # exclusion), never fail the task
+        rows = []
+        valid = []
+        for v in vecs:
+            arr = None if v is None else np.asarray(v, dtype=np.float64)
+            ok = arr is not None and arr.shape == (dim,) and np.isfinite(arr).all()
+            valid.append(ok)
+            rows.append(arr if ok else np.zeros(dim))
+        if not rows:
+            return pd.Series([], dtype=object)
+        mat = np.array(rows)  # (n, dim)
         n = mat.shape[0]
         accs = np.zeros((n, planes.shape[0]), dtype=np.float64)
         for j in range(dim):  # sequential over components: fold order
@@ -142,7 +152,9 @@ def _lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
         out = np.empty((n, n_tables), dtype=np.int64)
         for t in range(n_tables):
             out[:, t] = bits[:, t * n_planes : (t + 1) * n_planes] @ weights
-        return pd.Series(list(out))
+        return pd.Series(
+            [list(row) if ok else [] for row, ok in zip(out, valid)]
+        )
 
     return buckets
 
@@ -234,9 +246,34 @@ def _cosine_pairs_udf():
     def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         import numpy as np
 
-        a = np.array([np.asarray(v, dtype=np.float64) for v in va])
-        b = np.array([np.asarray(v, dtype=np.float64) for v in vb])
-        n, dim = a.shape
+        def clean(series):
+            rows, valid = [], []
+            want = None
+            for v in series:
+                arr = None if v is None else np.asarray(v, dtype=np.float64)
+                if arr is not None and want is None:
+                    want = arr.shape
+                ok = arr is not None and want is not None and arr.shape == want
+                valid.append(ok)
+                rows.append(arr if ok else None)
+            return rows, valid
+
+        ra, va_ok = clean(va)
+        rb, vb_ok = clean(vb)
+        n = len(ra)
+        if n == 0:
+            return pd.Series([], dtype=float)
+        dim = next((len(r) for r in ra if r is not None), 0)
+        zero = np.zeros(dim) if dim else None
+        ok = np.array([
+            x and y and ra[i] is not None and rb[i] is not None
+            and len(ra[i]) == dim and len(rb[i]) == dim
+            for i, (x, y) in enumerate(zip(va_ok, vb_ok))
+        ])
+        if dim == 0 or not ok.any():
+            return pd.Series([float("nan")] * n)
+        a = np.array([r if (r is not None and len(r) == dim) else zero for r in ra])
+        b = np.array([r if (r is not None and len(r) == dim) else zero for r in rb])
         dot = np.zeros(n)
         na = np.zeros(n)
         nb = np.zeros(n)
@@ -244,7 +281,10 @@ def _cosine_pairs_udf():
             dot += a[:, j] * b[:, j]
             na += a[:, j] * a[:, j]
             nb += b[:, j] * b[:, j]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = dot / (np.sqrt(na) * np.sqrt(nb))
+        out[~ok] = float("nan")  # NaN fails the >= threshold, like the
+        return pd.Series(out)     # oracle's NULL-row exclusion
 
     return cos
 
@@ -271,13 +311,25 @@ def _ivf_assign_udf(centroids):
 
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        dim = centroids.shape[1]
+        rows, valid = [], []
+        for v in vecs:
+            arr = None if v is None else np.asarray(v, dtype=np.float64)
+            ok = (arr is not None and arr.shape == (dim,)
+                  and np.isfinite(arr).all() and np.linalg.norm(arr) > 0)
+            valid.append(ok)
+            rows.append(arr if ok else np.ones(dim))
+        if not rows:
+            return pd.Series([], dtype="Int32")
+        mat = np.array(rows)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         # round before argmax: numpy's pairwise summation and a SQL
         # engine's sequential fold differ at ~1e-16; rounding makes the
         # argmax (first-max tiebreak) reproducible cross-engine
         sims = np.round(mat @ centroids.T, 12)
-        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+        out = pd.Series(np.argmax(sims, axis=1)).astype("Int32")
+        out[~pd.Series(valid)] = None  # NULL bucket never joins a probe
+        return out
 
     return assign
 
