@@ -67,6 +67,11 @@ def _walk_text(el, parts: list[str]) -> None:
     tag = el.tag
     if tag in _SKIP_TAGS:
         return
+    if tag == _W + "p":
+        # a nested paragraph (text box / AlternateContent) renders as its
+        # own line from the document-order iteration in xml2text —
+        # descending into it here would extract its text twice
+        return
     if tag == _W + "t":
         parts.append(el.text or "")
         return

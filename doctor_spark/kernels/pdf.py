@@ -427,6 +427,7 @@ def _scan_objects(data: bytes) -> dict[int, object]:
     inside /ObjStm compressed streams (PDF 1.5+) are expanded afterwards."""
     objects: dict[int, object] = {}
     gens: dict[int, int] = {}
+    stream_spans: list[tuple[int, int]] = []  # payload byte ranges
     pending_lengths: list[tuple[int, int]] = []  # (obj num, stream start)
     covered_until = 0  # skip 'N G obj' byte patterns inside stream payloads
     for m in _OBJ_RE.finditer(data):
@@ -458,6 +459,7 @@ def _scan_objects(data: bytes) -> dict[int, object]:
                     pending_lengths.append((num, s))
             objects[num] = StreamObj(val, raw)
             covered_until = s + len(raw)
+            stream_spans.append((s, covered_until))
         else:
             objects[num] = val
     # second pass: indirect /Length now resolvable
@@ -468,7 +470,7 @@ def _scan_objects(data: bytes) -> dict[int, object]:
         length = _resolve(obj.attrs.get("Length"), objects)
         if isinstance(length, int) and 0 <= length <= len(data) - s:
             obj.raw = data[s : s + length]
-    _decrypt_streams(data, objects, gens)
+    _decrypt_streams(data, objects, gens, stream_spans)
     _expand_object_streams(objects)
     return objects
 
@@ -594,11 +596,23 @@ def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
     return h.digest()[: min(len(file_key) + 5, 16)]
 
 
-def _find_encrypt(data: bytes, objects) -> tuple[dict, bytes] | None:
+def _find_encrypt(
+    data: bytes, objects, stream_spans: list[tuple[int, int]] | None = None
+) -> tuple[dict, bytes] | None:
     """Locate the /Encrypt dict + first /ID element from classic trailers
-    or xref-stream dictionaries."""
+    or xref-stream dictionaries.  ``stream_spans`` excludes 'trailer'
+    matches inside stream payloads — an unencrypted document carrying an
+    encrypted PDF as an embedded attachment must not be treated as
+    encrypted itself."""
+    spans = stream_spans or []
+
+    def _inside_stream(pos: int) -> bool:
+        return any(s <= pos < e for s, e in spans)
+
     candidates: list[dict] = []
     for m in re.finditer(rb"trailer", data):
+        if _inside_stream(m.start()):
+            continue
         lex = _Lexer(data, m.end())
         try:
             d = lex.parse_value()
@@ -625,13 +639,18 @@ def _find_encrypt(data: bytes, objects) -> tuple[dict, bytes] | None:
     return None
 
 
-def _decrypt_streams(data: bytes, objects, gens: dict[int, int]) -> None:
+def _decrypt_streams(
+    data: bytes,
+    objects,
+    gens: dict[int, int],
+    stream_spans: list[tuple[int, int]] | None = None,
+) -> None:
     """If the document uses the standard RC4 handler with an empty user
     password, decrypt every stream in place (xref streams are never
     encrypted); unsupported schemes raise → err row, never garbage."""
     if b"/Encrypt" not in data:  # cheap gate: almost no document is
         return  # encrypted; skip the trailer scan entirely
-    found = _find_encrypt(data, objects)
+    found = _find_encrypt(data, objects, stream_spans)
     if found is None:
         return
     enc, id0 = found
@@ -844,12 +863,12 @@ def _interpret_content(
             if emit_chars:
                 # a page mixing metric fonts with a metric-less one (e.g.
                 # standard-14 /Helvetica without /Widths) routes to the
-                # chars engines — this text must not vanish from them;
-                # approximate per-glyph advances with the fixed-pitch
-                # model (default_width covers Courier's true 600)
-                w_em = (font.default_width / 1000.0 if font is not None
-                        else CHAR_WIDTH_FACTOR)
-                w_text = w_em * size
+                # chars engines — this text must not vanish from them.
+                # Use CHAR_WIDTH_FACTOR for the glyph pitch so chars stay
+                # consistent with the tm advance below (a default_width-
+                # based pitch drifts 0.1 em/glyph against tm and opens
+                # phantom column gaps mid-sentence)
+                w_text = CHAR_WIDTH_FACTOR * size
                 eff = size * abs(m[3]) if m[3] else size
                 skew = m[1] != 0
                 for gi, ch in enumerate(text):
@@ -1175,6 +1194,41 @@ def _build_fonts(
     return out
 
 
+def _xobjects_have_metric_fonts(
+    res: dict, objects, depth: int = 0, seen: set | None = None
+) -> bool:
+    """Cheap recursive probe: does any Form XObject reachable from these
+    resources declare a font with real metrics (/Widths or Type0)?"""
+    if depth > 3 or not isinstance(res, dict):
+        return False
+    seen = seen if seen is not None else set()
+    xobjs = _resolve(res.get("XObject"), objects)
+    if not isinstance(xobjs, dict):
+        return False
+    for xref in xobjs.values():
+        key = xref.num if isinstance(xref, Ref) else id(xref)
+        if key in seen:
+            continue
+        seen.add(key)
+        xobj = _resolve(xref, objects)
+        if not isinstance(xobj, StreamObj) or xobj.attrs.get("Subtype") != "Form":
+            continue
+        sub_res = _resolve(xobj.attrs.get("Resources"), objects)
+        if not isinstance(sub_res, dict):
+            continue
+        font_dict = _resolve(sub_res.get("Font"), objects)
+        if isinstance(font_dict, dict):
+            for fref in font_dict.values():
+                fobj = _resolve(fref, objects)
+                if isinstance(fobj, dict) and (
+                    fobj.get("Subtype") == "Type0" or "Widths" in fobj
+                ):
+                    return True
+        if _xobjects_have_metric_fonts(sub_res, objects, depth + 1, seen):
+            return True
+    return False
+
+
 def parse_pdf(data: bytes, max_pages: int | None = None) -> PdfDocument:
     """Parse PDF bytes into pages of text runs/chars + images + annotations.
 
@@ -1210,8 +1264,12 @@ def parse_pdf(data: bytes, max_pages: int | None = None) -> PdfDocument:
             res = {}
         fonts = _build_fonts(res, objects, font_cache)
         # glyph-accurate layout only pays off when real metrics exist;
-        # metric-less (synthetic/fixed-pitch) documents keep the run model
-        emit_chars = any(s.font.has_metrics for s in fonts.values())
+        # metric-less (synthetic/fixed-pitch) documents keep the run
+        # model.  Form XObjects carry their own font resources (flattened
+        # forms, letterheads), so the check must descend into them.
+        emit_chars = any(
+            s.font.has_metrics for s in fonts.values()
+        ) or _xobjects_have_metric_fonts(res, objects)
 
         # content
         content_parts: list[bytes] = []
@@ -1508,10 +1566,14 @@ def plumber_layout_text(
     num_newlines = 0
     for i, (top, line_words) in enumerate(lines):
         y_dist = (top - y_shift) / y_density
+        # prepend >= min(1, i) by construction; for i == 0 the leading
+        # blank lines are COUNTED but not emitted — pdfplumber emits them
+        # and the pipeline strips them again via remove_excess_whitespace,
+        # so positioning of later lines is identical either way
         prepend = max(min(1, i), _plumber_round(y_dist) - num_newlines)
         if i > 0:
-            out.append("\n" * max(1, prepend))
-        num_newlines += max(min(1, i), prepend)
+            out.append("\n" * prepend)
+        num_newlines += prepend
         line_len = 0
         buf: list[str] = []
         for w in sorted(line_words, key=lambda w: w[0].x0):

@@ -111,6 +111,16 @@ def _parse(data: bytes) -> str:
         elif b == 0xCF:  # soft return: a wrapped line joins with a space
             out.append(" ")
             pos += 1
+        elif 0xC0 <= b <= 0xCB and pos + 3 < n and (
+            close := data.find(bytes([b]), pos + 1, pos + 8)
+        ) != -1:
+            # fixed-length multi-byte group 0xC0-0xCB (code-terminated,
+            # ≤ 8 bytes): 0xC0 is the extended character
+            # [C0, char, charset, C0] — its payload bytes must never leak
+            # into the text.  An unframed byte falls through as a single.
+            if b == 0xC0 and close == pos + 3:
+                out.append(_extended_char(data[pos + 2], data[pos + 1]))
+            pos = close + 1
         elif b < 0x20 or b <= 0xCF:
             pos += 1  # other single-byte function codes (0x80-0xCF): drop
         elif 0xD0 <= b <= 0xEF and pos + 4 <= n:
