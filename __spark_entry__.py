@@ -464,6 +464,34 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021 §A1.1) — the standard
+    LLM-corpus web-text gate, as pure codegen'd Column expressions."""
+    from doctor_spark.functions.text import (
+        alpha_word_ratio,
+        bullet_line_ratio,
+        duplicate_line_fraction,
+        ellipsis_line_ratio,
+        gopher_passes,
+        mean_word_len,
+        symbol_word_ratio,
+        token_count,
+    )
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        token_count(t).cast("bigint").alias("n_words"),
+        mean_word_len(t).cast("double").alias("mean_word_len"),
+        symbol_word_ratio(t).cast("double").alias("symbol_ratio"),
+        bullet_line_ratio(t).cast("double").alias("bullet_ratio"),
+        ellipsis_line_ratio(t).cast("double").alias("ellipsis_ratio"),
+        alpha_word_ratio(t).cast("double").alias("alpha_ratio"),
+        duplicate_line_fraction(t).cast("double").alias("dup_line_frac"),
+        gopher_passes(t).cast("boolean").alias("passes"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish token counts per document (token-budget
     accounting for training pipelines)."""
@@ -720,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_quality": q_text_quality,
+        "gopher_quality": q_gopher_quality,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1034,6 +1063,55 @@ FROM documents
 """
 
 
+def _gopher_sql() -> str:
+    n_tok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END"
+    mean_wl = f"""round(CASE WHEN len({_TOKS}) = 0 THEN 0.0
+      ELSE list_sum(list_transform({_TOKS}, tk -> length(tk)))::DOUBLE / len({_TOKS}) END, 4)"""
+    n_sym = (
+        "((length(text) - length(replace(text, '#', '')))"
+        " + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3)"
+    )
+    symbol = f"""round(CASE WHEN ({n_tok}) = 0 THEN 0.0
+      ELSE ({n_sym})::DOUBLE / ({n_tok}) END, 4)"""
+    lines = "str_split(text, chr(10))"
+    bullets = (
+        f"len(list_filter({lines}, ln -> starts_with(trim(ln), '•')"
+        " OR starts_with(trim(ln), '-') OR starts_with(trim(ln), '*')))"
+    )
+    bullet = f"""round(CASE WHEN len({lines}) = 0 THEN 0.0
+      ELSE ({bullets})::DOUBLE / len({lines}) END, 4)"""
+    ells = (
+        f"len(list_filter({lines}, ln -> ends_with(rtrim(ln), '...')"
+        " OR ends_with(rtrim(ln), '…')))"
+    )
+    ellipsis = f"""round(CASE WHEN len({lines}) = 0 THEN 0.0
+      ELSE ({ells})::DOUBLE / len({lines}) END, 4)"""
+    ne_lines = f"list_filter({lines}, ln -> length(trim(ln)) > 0)"
+    dup = f"""round(CASE WHEN len({ne_lines}) = 0 THEN 0.0
+      ELSE 1.0 - len(list_distinct({ne_lines}))::DOUBLE / len({ne_lines}) END, 4)"""
+    n_alpha = f"len(list_filter({_TOKS}, tk -> regexp_matches(tk, '[a-z]')))"
+    alpha = f"""round(CASE WHEN ({n_tok}) = 0 THEN 0.0
+      ELSE ({n_alpha})::DOUBLE / ({n_tok}) END, 4)"""
+    stop_hits = f"len(list_filter({_TOKS}, tk -> tk IN {_STOPS['en']}))"
+    passes = f"""(({n_tok}) BETWEEN 50 AND 100000
+      AND ({mean_wl}) BETWEEN 3.0 AND 10.0
+      AND ({symbol}) <= 0.1 AND ({bullet}) <= 0.9
+      AND ({ellipsis}) <= 0.3 AND ({alpha}) >= 0.8
+      AND ({stop_hits}) >= 2 AND ({dup}) <= 0.3)"""
+    return f"""
+SELECT doc_id::BIGINT AS doc_id,
+       ({n_tok})::BIGINT AS n_words,
+       ({mean_wl})::DOUBLE AS mean_word_len,
+       ({symbol})::DOUBLE AS symbol_ratio,
+       ({bullet})::DOUBLE AS bullet_ratio,
+       ({ellipsis})::DOUBLE AS ellipsis_ratio,
+       ({alpha})::DOUBLE AS alpha_ratio,
+       ({dup})::DOUBLE AS dup_line_frac,
+       ({passes})::BOOLEAN AS passes
+FROM documents
+"""
+
+
 def _lang_id_sql() -> str:
     hits = {
         lg: f"len(list_filter({_TOKS}, tk -> tk IN {_STOPS[lg]}))"
@@ -1151,6 +1229,7 @@ SELECT DISTINCT doc_id::BIGINT AS doc_id,
 FROM sl
 """,
         "text_quality": _quality_sql(),
+        "gopher_quality": _gopher_sql(),
         "token_stats": f"""
 SELECT doc_id::BIGINT AS doc_id,
        (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)::BIGINT

@@ -116,3 +116,100 @@ def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized
     lower-cased text (the exact-dedup key)."""
     return F.md5(normalized_text(col).cast("binary"))
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, §A1.1) — the standard web-text
+# filter set for LLM training corpora.  Pure Column expressions; the exact
+# SQL mirror lives in __spark_entry__._gopher_sql.
+# --------------------------------------------------------------------------
+
+
+def _lines(col: Column) -> Column:
+    return F.split(col, "\n")
+
+
+def word_count(col: Column) -> Column:
+    return token_count(col)
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """(# + ...) symbols per word — Gopher drops docs above 0.1."""
+    n_sym = (
+        F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
+        + (F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", ""))) / F.lit(3)
+    )
+    return F.round(
+        F.when(token_count(col) == 0, F.lit(0.0)).otherwise(
+            n_sym / token_count(col)
+        ),
+        4,
+    )
+
+
+def bullet_line_ratio(col: Column) -> Column:
+    """Fraction of lines starting with a bullet — Gopher drops above 0.9."""
+    lines = _lines(col)
+    bullets = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).startswith("•")
+                 | F.trim(ln).startswith("-") | F.trim(ln).startswith("*"))
+    )
+    return F.round(
+        F.when(F.size(lines) == 0, F.lit(0.0)).otherwise(
+            bullets / F.size(lines)
+        ),
+        4,
+    )
+
+
+def ellipsis_line_ratio(col: Column) -> Column:
+    """Fraction of lines ending in an ellipsis — Gopher drops above 0.3."""
+    lines = _lines(col)
+    ell = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).endswith("...")
+                 | F.rtrim(ln).endswith("…"))
+    )
+    return F.round(
+        F.when(F.size(lines) == 0, F.lit(0.0)).otherwise(ell / F.size(lines)),
+        4,
+    )
+
+
+def duplicate_line_fraction(col: Column) -> Column:
+    """1 - distinct/total lines (empty lines excluded) — repetition gate."""
+    lines = F.filter(_lines(col), lambda ln: F.length(F.trim(ln)) > 0)
+    return F.round(
+        F.when(F.size(lines) == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines)
+        ),
+        4,
+    )
+
+
+def alpha_word_ratio(col: Column) -> Column:
+    """Fraction of words containing at least one alphabetic character —
+    Gopher requires ≥ 0.8."""
+    toks = tokens(col)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return F.round(
+        F.when(token_count(col) == 0, F.lit(0.0)).otherwise(
+            n_alpha / token_count(col)
+        ),
+        4,
+    )
+
+
+def gopher_passes(col: Column) -> Column:
+    """The composite Gopher gate: word count in [50, 100k], mean word
+    length in [3, 10], symbol ratio ≤ 0.1, bullets ≤ 0.9, ellipses ≤ 0.3,
+    alpha words ≥ 0.8, ≥ 2 stopword hits, duplicate lines ≤ 0.3."""
+    return (
+        token_count(col).between(50, 100_000)
+        & mean_word_len(col).between(3.0, 10.0)
+        & (symbol_word_ratio(col) <= 0.1)
+        & (bullet_line_ratio(col) <= 0.9)
+        & (ellipsis_line_ratio(col) <= 0.3)
+        & (alpha_word_ratio(col) >= 0.8)
+        & (lang_stop_hits(col, "en") >= 2)
+        & (duplicate_line_fraction(col) <= 0.3)
+    )
