@@ -492,6 +492,37 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition gate (Gopher's other axis): per document, the occurrence
+    fraction of the most frequent token bigram.  Keyed shuffles only —
+    explode → hash-agg on (doc, bigram) → per-doc max."""
+    from doctor_spark.functions.text import tokens
+
+    t = F.col("text")
+    toks = tokens(t)
+    bigrams = F.when(F.size(toks) < 2, F.array()).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id"), F.explode(bigrams).alias("bg")
+    )
+    counts = d.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("total"), F.max("n").alias("top")
+    )
+    return per_doc.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("total").cast("bigint").alias("n_bigrams"),
+        F.round(F.col("top") / F.col("total"), 4)
+        .cast("double")
+        .alias("top_bigram_frac"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish token counts per document (token-budget
     accounting for training pipelines)."""
@@ -749,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
+        "repetition_stats": q_repetition_stats,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1230,6 +1262,22 @@ FROM sl
 """,
         "text_quality": _quality_sql(),
         "gopher_quality": _gopher_sql(),
+        "repetition_stats": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bg
+  FROM toks WHERE len(tk) >= 2
+), counts AS (
+  SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg
+)
+SELECT doc_id::BIGINT AS doc_id,
+       sum(n)::BIGINT AS n_bigrams,
+       round(max(n)::DOUBLE / sum(n), 4)::DOUBLE AS top_bigram_frac
+FROM counts GROUP BY doc_id
+""",
         "token_stats": f"""
 SELECT doc_id::BIGINT AS doc_id,
        (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)::BIGINT
