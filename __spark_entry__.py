@@ -1101,7 +1101,8 @@ def _gopher_sql() -> str:
       ELSE list_sum(list_transform({_TOKS}, tk -> length(tk)))::DOUBLE / len({_TOKS}) END, 4)"""
     n_sym = (
         "((length(text) - length(replace(text, '#', '')))"
-        " + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3)"
+        " + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3"
+        " + (length(text) - length(replace(text, '…', ''))))"
     )
     symbol = f"""round(CASE WHEN ({n_tok}) = 0 THEN 0.0
       ELSE ({n_sym})::DOUBLE / ({n_tok}) END, 4)"""

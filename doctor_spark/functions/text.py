@@ -134,10 +134,13 @@ def word_count(col: Column) -> Column:
 
 
 def symbol_word_ratio(col: Column) -> Column:
-    """(# + ...) symbols per word — Gopher drops docs above 0.1."""
+    """(# + ellipsis) symbols per word — Gopher drops docs above 0.1.
+    Counts both the ASCII '...' and the Unicode '…' form, consistent with
+    ellipsis_line_ratio."""
     n_sym = (
         F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
         + (F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", ""))) / F.lit(3)
+        + (F.length(col) - F.length(F.regexp_replace(col, r"…", "")))
     )
     return F.round(
         F.when(token_count(col) == 0, F.lit(0.0)).otherwise(
@@ -202,7 +205,14 @@ def alpha_word_ratio(col: Column) -> Column:
 def gopher_passes(col: Column) -> Column:
     """The composite Gopher gate: word count in [50, 100k], mean word
     length in [3, 10], symbol ratio ≤ 0.1, bullets ≤ 0.9, ellipses ≤ 0.3,
-    alpha words ≥ 0.8, ≥ 2 stopword hits, duplicate lines ≤ 0.3."""
+    alpha words ≥ 0.8, ≥ 2 stopword hits, duplicate lines ≤ 0.3.
+
+    Scale note: the component higher-order expressions are interpreted
+    (not codegen'd) and Catalyst re-inlines each reference, so this
+    composite re-tokenizes the text several times per row — fine for the
+    gate/oracle contract; a 100 TB filtering run should hoist the whole
+    row into one Arrow kernel (see the minhash band kernel for the
+    pattern)."""
     return (
         token_count(col).between(50, 100_000)
         & mean_word_len(col).between(3.0, 10.0)

@@ -82,31 +82,47 @@ def run_extraction_pipeline(
 
     classified = with_classification(pages)
 
+    # measure the SCAN's partitioning before the resume anti-join is added:
+    # a joined frame reports spark.sql.shuffle.partitions, which would push
+    # every resumed run down the shuffle path "auto" exists to avoid
+    scan_partitions = classified.rdd.getNumPartitions()
+
     already = 0
-    if resume and any(Path(results_path).glob("**/*.parquet")):
+    committed = [
+        p for p in Path(results_path).glob("**/*.parquet")
+        if "_temporary" not in p.parts
+    ]
+    if resume and committed:
         # resumability is file-granular: every fully-written part file holds
         # complete rows, so anti-joining against them is exactly-once per
         # url; an in-flight file from a crashed run has no parquet footer
-        # and is skipped rather than failing resume
+        # and is skipped rather than failing resume.  A crash DURING the
+        # first write leaves files only under _temporary/, which the read
+        # cannot see (underscore paths are hidden) — treat that as a fresh
+        # start rather than failing on an unreadable empty table.
         with _tolerate_own_output_corruption(spark):
             # localCheckpoint materializes the url set NOW (inside the
             # conf scope); the anti-join executes later, during the main
             # write, where the corruption-tolerant conf must not apply to
             # input scans
-            done = (
-                spark.read.parquet(results_path)
-                .select("url")
-                .localCheckpoint(eager=True)
-            )
-            already = done.count()
-        classified = classified.join(done, "url", "left_anti")
+            try:
+                done = (
+                    spark.read.parquet(results_path)
+                    .select("url")
+                    .localCheckpoint(eager=True)
+                )
+                already = done.count()
+            except Exception:
+                done = None  # only footer-less debris present: fresh start
+        if done is not None:
+            classified = classified.join(done, "url", "left_anti")
 
     target = num_partitions or max(
         spark.sparkContext.defaultParallelism * 3, 8
     )
     do_shuffle = (
         repartition is True
-        or (repartition == "auto" and classified.rdd.getNumPartitions() < target // 2)
+        or (repartition == "auto" and scan_partitions < target // 2)
     )
     staged = skew_repartition(classified, target) if do_shuffle else classified
     extracted = (
@@ -175,8 +191,18 @@ def verify_extraction(
 ) -> int:
     """Byte-identical check: count of urls whose extracted content differs
     from the golden ``text`` column (the corpus generator emits payload and
-    expectation together, FIXTURES.md §1)."""
-    results = spark.read.parquet(results_path).select("url", "content")
+    expectation together, FIXTURES.md §1).
+
+    Reads the engine's OWN output, so it runs inside the corruption-
+    tolerant scope like the metrics/resume reads — a stale footer-less
+    part file from an earlier crash must not kill the verify step after a
+    successful extraction."""
+    with _tolerate_own_output_corruption(spark):
+        results = (
+            spark.read.parquet(results_path)
+            .select("url", "content")
+            .localCheckpoint(eager=True)
+        )
     golden = pages.select("url", F.col("text").alias("expected"))
     return (
         results.join(golden, "url")

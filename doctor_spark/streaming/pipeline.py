@@ -66,9 +66,12 @@ def streaming_metrics(
     query_name: str = "pages_metrics",
 ):
     """Windowed per-crawl-day metrics over the stream: watermarked event
-    time (warc_ts), tumbling windows, late data beyond the watermark
-    dropped.  Complete-mode memory sink (driver-side table) — swap for a
-    kafka/parquet sink in production."""
+    time (warc_ts), tumbling windows.  Update-mode memory sink — the
+    watermark actually BINDS in update mode (state for windows older than
+    the watermark is evicted and late data beyond it is dropped); in
+    complete mode Spark ignores the watermark and retains every window
+    ever seen, which grows state without bound on a continuous stream.
+    Swap the memory sink for a kafka/parquet sink in production."""
     pages = read_pages_stream(spark, source_dir)
     agg = (
         pages.withWatermark("warc_ts", watermark)
@@ -86,7 +89,7 @@ def streaming_metrics(
     return (
         agg.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

@@ -7,9 +7,18 @@ the unbounded-stream form: per-user state carries (current session id,
 last event time, running aggregates) across micro-batches, a >30-min gap
 closes the session, and closed sessions are emitted exactly once.
 
-State schema: (session_no, last_ts_us, start_ts_us, n_events, total_value)
-Output: one row per CLOSED session; the open session flushes when the
-group times out (ProcessingTimeTimeout) or the stream ends.
+State schema: (session_no, last_ts_us, start_ts_us, n_events, total_cents)
+Output: one row per CLOSED session.  An OPEN session flushes only via the
+``flush_idle_ms`` ProcessingTimeTimeout — Structured Streaming has no
+end-of-stream callback, so in the default drain mode (availableNow,
+flush_idle_ms=None) each user's final open session stays in state for the
+next run rather than being emitted.
+
+Totals accumulate in integer CENTS (each event value is quantized exactly
+like Spark's ``cast(value AS decimal(18,2))`` — HALF_UP on the binary
+double), so the emitted total_value is bit-identical to the batch form /
+SQL oracle's decimal sums; a float accumulator would drift at the second
+decimal.
 """
 
 from __future__ import annotations
@@ -28,7 +37,7 @@ OUTPUT_DDL = (
 )
 STATE_DDL = (
     "session_no long, last_ts long, start_ts long, n_events long, "
-    "total_value double"
+    "total_cents long"
 )
 
 
@@ -39,23 +48,27 @@ def _make_sessionize_group(flush_idle_ms: int | None):
         (user_id,) = key
         if state.hasTimedOut:
             if state.exists:
-                sess_no, last_ts, start_ts, n, total = state.get
+                sess_no, last_ts, start_ts, n, cents = state.get
                 if n > 0:
                     # flush the open session but KEEP a tombstone carrying
                     # the next session number — removing state outright
                     # would restart session_no at 0 for this user's next
                     # event and emit duplicate (user_id, session_no) keys
-                    state.update((sess_no + 1, None, None, 0, 0.0))
+                    state.update((sess_no + 1, None, None, 0, 0))
                     state.setTimeoutDuration(24 * 3600 * 1000)
-                    yield _row(user_id, sess_no, n, start_ts, last_ts, total)
+                    yield _row(user_id, sess_no, n, start_ts, last_ts, cents)
                 else:
-                    state.remove()  # empty tombstone: eventual cleanup
+                    # the tombstone must OUTLIVE any idle gap: expiring it
+                    # would restart session_no at 0 for a returning user
+                    # and emit duplicate keys.  One tiny row per user is
+                    # bounded by user cardinality; re-arm and keep.
+                    state.setTimeoutDuration(24 * 3600 * 1000)
             return
 
         if state.exists:
-            sess_no, last_ts, start_ts, n, total = state.get
+            sess_no, last_ts, start_ts, n, cents = state.get
         else:
-            sess_no, last_ts, start_ts, n, total = 0, None, None, 0, 0.0
+            sess_no, last_ts, start_ts, n, cents = 0, None, None, 0, 0
 
         # one global sort: a group's micro-batch data can arrive as several
         # Arrow chunks, and chunk-local sorting would interleave timestamps
@@ -72,21 +85,29 @@ def _make_sessionize_group(flush_idle_ms: int | None):
 
         closed: list[pd.DataFrame] = []
         if merged is not None:
+            from decimal import ROUND_HALF_UP, Decimal
+
+            cent = Decimal("0.01")
             for ts, value in zip(merged["ts"], merged["value"]):
                 ts_us = int(ts.value // 1000)  # pandas ns -> us
                 if last_ts is not None and ts_us - last_ts > GAP_US:
                     closed.append(
-                        _row(user_id, sess_no, n, start_ts, last_ts, total)
+                        _row(user_id, sess_no, n, start_ts, last_ts, cents)
                     )
                     sess_no += 1
-                    start_ts, n, total = ts_us, 0, 0.0
+                    start_ts, n, cents = ts_us, 0, 0
                 if start_ts is None:
                     start_ts = ts_us
                 last_ts = ts_us
                 n += 1
-                total += float(value)
+                # exact decimal(18,2) cents, like the batch form's cast —
+                # Decimal(float) quantizes the BINARY double HALF_UP,
+                # matching Spark's double->decimal cast semantics
+                cents += int(
+                    Decimal(float(value)).quantize(cent, ROUND_HALF_UP) * 100
+                )
 
-        state.update((sess_no, last_ts, start_ts, n, total))
+        state.update((sess_no, last_ts, start_ts, n, cents))
         if flush_idle_ms is not None:
             state.setTimeoutDuration(flush_idle_ms)
         yield from closed
@@ -94,7 +115,7 @@ def _make_sessionize_group(flush_idle_ms: int | None):
     return _sessionize_group
 
 
-def _row(user_id, sess_no, n, start_us, end_us, total) -> pd.DataFrame:
+def _row(user_id, sess_no, n, start_us, end_us, cents) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "user_id": [user_id],
@@ -102,7 +123,7 @@ def _row(user_id, sess_no, n, start_us, end_us, total) -> pd.DataFrame:
             "n_events": [n],
             "session_start": [pd.Timestamp(start_us, unit="us")],
             "session_end": [pd.Timestamp(end_us, unit="us")],
-            "total_value": [round(total, 2)],
+            "total_value": [cents / 100.0],
         }
     )
 
