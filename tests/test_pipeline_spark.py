@@ -60,3 +60,24 @@ def test_no_python_in_relational_plan(spark, pages):
         "url_ext", "size_bucket", "salt"
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_resume_survives_crash_during_first_write(spark, tmp_path):
+    """A run killed mid-first-write leaves part files only under
+    _temporary/ (or footer-less debris) — the re-run must extract
+    everything fresh instead of failing on an unreadable empty table."""
+    from doctor_spark.corpus import pages_dataframe
+    from doctor_spark.pipeline import run_extraction_pipeline
+
+    out = tmp_path / "out"
+    tmp_dir = out / "extracted" / "_temporary" / "0" / "task_000"
+    tmp_dir.mkdir(parents=True)
+    (tmp_dir / "part-00000.parquet").write_bytes(b"not a real parquet file")
+    # plus a footer-less stray at the root (crashed direct-commit write)
+    (out / "extracted").mkdir(exist_ok=True)
+    (out / "extracted" / "part-junk.parquet").write_bytes(b"PAR1garbage")
+
+    pages = pages_dataframe(spark, 120)
+    summary = run_extraction_pipeline(spark, pages, str(out), run_id="r1")
+    assert summary["total_rows"] == 120
+    assert summary["resumed_skip"] == 0
