@@ -236,6 +236,10 @@ _REF_EXPECTED: list[tuple[str, str, str]] = [
      "Attorneys for AppelleeSteve Carter"),
     ("word-doc.doc", "page_count", "None"),
     ("word-perfect.wpd", "contains_attorney_for_appellant", "true"),
+    # cleaned-HTML length (reference golden is 14,259 after wpd2html+lxml;
+    # the residual is libwpd serialization framing — see
+    # tests/test_reference_fixtures.py for the char-by-char account)
+    ("word-perfect.wpd", "content_len", "11928"),
     ("recap_extract/gov.uscourts.azd.1085839.3.0.pdf",
      "recap_first_line_strip_margin", "1   WO"),
     ("recap_extract/gov.uscourts.cacd.652774.40.0.pdf",
@@ -330,6 +334,7 @@ def q_reference_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append((name, "contains_attorney_for_appellant",
                                  "true" if "ATTORNEY FOR APPELLANT" in content
                                  else "false"))
+                    rows.append((name, "content_len", str(len(content))))
             yield pd.DataFrame(rows, columns=["fixture", "check", "value"])
 
     return paths.mapInPandas(

@@ -47,7 +47,7 @@ SEED = 42
 # bump whenever a generator change alters payloads or goldens — cache
 # directories (bench/scaling materializations) are keyed on it, so stale
 # corpora can never be verified against a newer extractor
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 _BASE_TS = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
 _WORDS = (
@@ -249,7 +249,16 @@ def _build_wpd_doc(doc_id: int, r: random.Random) -> tuple[bytes, str]:
     from .kernels.wpd import build_wpd
 
     text = "\n".join(_sentence(r, r.randint(4, 10)) for _ in range(r.randint(2, 5)))
-    return build_wpd(text), text
+    # the WPD path is two-stage like the reference (wpd2html → HTML
+    # cleaner, tasks.py:410-433), so the golden is cleaned *markup*: one
+    # <p><span>…</span></p> per hard-return line (blank lines → <p></p>),
+    # inside lxml-Cleaner's <div> root wrap — mirrored here as a pure
+    # formatter so the golden stays an independent function of the text
+    paras = "".join(
+        f"<p><span>{line}</span></p>\n" if line else "<p></p>\n"
+        for line in text.split("\n")
+    )
+    return build_wpd(text), f"<div>\n\n\n{paras}\n\n</div>"
 
 
 def _build_junk(doc_id: int, r: random.Random) -> tuple[bytes, str]:

