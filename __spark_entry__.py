@@ -471,29 +471,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-filter rules (Rae et al. 2021 §A1.1) — the standard
-    LLM-corpus web-text gate, as pure codegen'd Column expressions."""
-    from doctor_spark.functions.text import (
-        alpha_word_ratio,
-        bullet_line_ratio,
-        duplicate_line_fraction,
-        ellipsis_line_ratio,
-        gopher_passes,
-        mean_word_len,
-        symbol_word_ratio,
-        token_count,
-    )
+    LLM-corpus web-text gate.  Computed by ONE Arrow struct kernel per row
+    (doctor_spark/functions/text.py:gopher_metrics_udf); the pure Column
+    expressions remain as the semantic contract and are differential-tested
+    bit-identical (tests/test_text_functions.py).  The interpreted
+    higher-order forms re-tokenized each row ~8× (round-2 perf-weak item);
+    the hoist makes the plan a single ArrowEvalPython node."""
+    from doctor_spark.functions.text import gopher_metrics_udf
 
-    t = F.col("text")
-    return _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        token_count(t).cast("bigint").alias("n_words"),
-        mean_word_len(t).cast("double").alias("mean_word_len"),
-        symbol_word_ratio(t).cast("double").alias("symbol_ratio"),
-        bullet_line_ratio(t).cast("double").alias("bullet_ratio"),
-        ellipsis_line_ratio(t).cast("double").alias("ellipsis_ratio"),
-        alpha_word_ratio(t).cast("double").alias("alpha_ratio"),
-        duplicate_line_fraction(t).cast("double").alias("dup_line_frac"),
-        gopher_passes(t).cast("boolean").alias("passes"),
+    k = gopher_metrics_udf()
+    return (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                k(F.col("text")).alias("g"))
+        .select("doc_id", "g.*")
     )
 
 

@@ -209,10 +209,10 @@ def gopher_passes(col: Column) -> Column:
 
     Scale note: the component higher-order expressions are interpreted
     (not codegen'd) and Catalyst re-inlines each reference, so this
-    composite re-tokenizes the text several times per row — fine for the
-    gate/oracle contract; a 100 TB filtering run should hoist the whole
-    row into one Arrow kernel (see the minhash band kernel for the
-    pattern)."""
+    composite re-tokenizes the text several times per row.  Kept as the
+    semantic reference / differential-test oracle; the scale path is
+    ``gopher_metrics_udf`` below — one Arrow pass per row, bit-identical
+    output (tests/test_text_functions.py differential-tests the two)."""
     return (
         token_count(col).between(50, 100_000)
         & mean_word_len(col).between(3.0, 10.0)
@@ -223,3 +223,120 @@ def gopher_passes(col: Column) -> Column:
         & (lang_stop_hits(col, "en") >= 2)
         & (duplicate_line_fraction(col) <= 0.3)
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher metrics, Arrow-kernel form (the 100 TB path)
+#
+# The Column-expression forms above are the semantic contract, but each
+# higher-order array expression is interpreted (not codegen'd) and
+# CollapseProject re-inlines every reference, so the composite re-tokenizes
+# each document ~8×.  This kernel computes all components in ONE pass per
+# row inside an Arrow batch and returns a single struct column (one struct,
+# not eight columns: a Python-UDF column referenced N times is evaluated N
+# times — project the fields from the single column instead).
+#
+# Bit-exactness mirrors (differential-tested against the Column exprs):
+# - tokens: Java `\s+` on the space-trimmed lowered text = re.split on
+#   [ \t\n\x0b\f\r]+ keeping leading/trailing empties (Spark split limit -1)
+# - F.round(x, 4): BigDecimal.valueOf(x).setScale(4, HALF_UP) — shortest
+#   decimal repr then half-up, mirrored with Decimal(repr(x))
+# - counts of '#'/'...'/'…' are non-overlapping left-to-right, same as
+#   str.count
+# --------------------------------------------------------------------------
+
+import re as _re
+from decimal import ROUND_HALF_UP, Decimal as _Dec
+
+_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+_ALPHA = _re.compile(r"[a-z]")
+_EN_STOPS = frozenset(LANG_STOPWORDS["en"])
+_Q4 = _Dec("0.0001")
+
+GOPHER_STRUCT = (
+    "n_words bigint, mean_word_len double, symbol_ratio double, "
+    "bullet_ratio double, ellipsis_ratio double, alpha_ratio double, "
+    "dup_line_frac double, passes boolean"
+)
+
+
+def _round4(x: float) -> float:
+    """Spark ROUND(double, 4) mirror: shortest-repr decimal, HALF_UP."""
+    return float(_Dec(repr(x)).quantize(_Q4, rounding=ROUND_HALF_UP))
+
+
+def gopher_metrics_row(s: str | None) -> tuple:
+    """Pure-Python single-pass Gopher metrics for one document; the unit
+    the Arrow kernel vectorizes over.  None → all-None (NULL text yields
+    NULL metrics, matching Column-expression NULL propagation)."""
+    if s is None:
+        return (None,) * 8
+    stripped_low = s.lower().strip(" ")  # lower() never maps non-space→space
+    toks = _JAVA_WS.split(stripped_low)
+    n_tok = len(toks)  # size(tokens()): never 0 (split yields >= 1)
+    tc = 0 if not stripped_low else n_tok
+    total_len = n_alpha = hits = 0
+    alpha_search = _ALPHA.search
+    for t in toks:  # one fused pass: mean length, alpha words, stop hits
+        total_len += len(t)
+        if alpha_search(t):
+            n_alpha += 1
+        if t in _EN_STOPS:
+            hits += 1
+    mwl = _round4(total_len / n_tok) if n_tok else 0.0
+    n_sym = float(s.count("#") + s.count("...") + s.count("…"))
+    sym = 0.0 if tc == 0 else _round4(n_sym / tc)
+    lines = s.split("\n")
+    n_bullet = n_ell = 0
+    ne_total = 0
+    ne_seen: set[str] = set()
+    for ln in lines:  # one fused pass: bullets, ellipses, duplicate lines
+        t = ln.strip(" ")
+        if t:
+            ne_total += 1
+            ne_seen.add(ln)
+            if t[0] in "•-*":
+                n_bullet += 1
+        if ln.rstrip(" ").endswith(("...", "…")):
+            n_ell += 1
+    bullet = _round4(n_bullet / len(lines))
+    ell = _round4(n_ell / len(lines))
+    dup = _round4(1.0 - len(ne_seen) / ne_total) if ne_total else 0.0
+    alpha = 0.0 if tc == 0 else _round4(n_alpha / tc)
+    passes = (
+        50 <= tc <= 100_000
+        and 3.0 <= mwl <= 10.0
+        and sym <= 0.1
+        and bullet <= 0.9
+        and ell <= 0.3
+        and alpha >= 0.8
+        and hits >= 2
+        and dup <= 0.3
+    )
+    return (tc, mwl, sym, bullet, ell, alpha, dup, passes)
+
+
+def gopher_metrics_udf():
+    """Arrow-batched struct kernel: SELECT gopher_metrics_udf()(text) then
+    project the fields.  One ArrowEvalPython node in the plan regardless
+    of how many components downstream reads."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cols = [f.split(" ")[0] for f in GOPHER_STRUCT.split(", ")]
+
+    def kernel(texts):
+        rows = [gopher_metrics_row(t) for t in texts]
+        # object dtype keeps None as NULL (a float column would coerce it
+        # to NaN, which hash-compares differently from SQL NULL)
+        return pd.DataFrame(rows, columns=cols, dtype=object)
+
+    # explicit annotation objects: the module uses `from __future__ import
+    # annotations`, so inline hints would be unresolvable strings here
+    kernel.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    struct_ddl = (
+        GOPHER_STRUCT.replace(" bigint", ": bigint")
+        .replace(" double", ": double")
+        .replace(" boolean", ": boolean")
+    )
+    return pandas_udf(kernel, f"struct<{struct_ddl}>")

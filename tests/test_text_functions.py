@@ -1,0 +1,113 @@
+"""Gopher quality metrics: the Arrow struct kernel must be bit-identical
+to the Column-expression semantic contract, and the query plan must carry
+exactly ONE Python node (the round-2 perf-weak item was the interpreted
+composite re-tokenizing each row ~8×)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from doctor_spark.functions import text as T
+
+
+def _expr_df(df):
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        T.token_count(t).cast("bigint").alias("n_words"),
+        T.mean_word_len(t).cast("double").alias("mean_word_len"),
+        T.symbol_word_ratio(t).cast("double").alias("symbol_ratio"),
+        T.bullet_line_ratio(t).cast("double").alias("bullet_ratio"),
+        T.ellipsis_line_ratio(t).cast("double").alias("ellipsis_ratio"),
+        T.alpha_word_ratio(t).cast("double").alias("alpha_ratio"),
+        T.duplicate_line_fraction(t).cast("double").alias("dup_line_frac"),
+        T.gopher_passes(t).cast("boolean").alias("passes"),
+    )
+
+
+def _udf_df(df):
+    k = T.gopher_metrics_udf()
+    return df.select("doc_id", k(F.col("text")).alias("g")).select("doc_id", "g.*")
+
+
+def _nasty_corpus() -> list[str | None]:
+    """Deterministic adversarial strings: every whitespace class the Java
+    \\s tokenizer distinguishes, bullets, ellipses (both forms), '#'
+    symbols, duplicate lines, stopwords, empty/space-only/tab-only rows,
+    and random mixtures."""
+    fixed = [
+        None,
+        "",
+        "   ",
+        "\t",
+        "\t\t \n\n",
+        "the and of to in is that",
+        "• bullet\n- dash\n* star\nplain",
+        "line...\nline…\nline... ",
+        "dup\ndup\ndup\nother",
+        "### #words# here",
+        "a.b...c......d",
+        "ONE\ntwo\nONE",
+        " leading and trailing ",
+        "\x0bvertical\ftab\rcr",
+        "word nbsp",          # NBSP is NOT Java \s: stays in-token
+        " thin space",        # thin space likewise
+        "x" * 5,
+        ("the quick brown fox " * 20) + "\n" + ("and so it is done " * 10),
+    ]
+    r = random.Random(0)
+    alphabet = list("ab the\t\n.•-*#…\x0b\f\r 0Z")
+    for _ in range(120):
+        n = r.randint(0, 80)
+        fixed.append("".join(r.choice(alphabet) for _ in range(n)))
+    return fixed
+
+
+class TestGopherKernel:
+    def test_row_kernel_edges(self):
+        assert T.gopher_metrics_row(None) == (None,) * 8
+        # all-space text: token_count forced to 0, ratios 0.0
+        tc, mwl, sym, bullet, ell, alpha, dup, passes = T.gopher_metrics_row("   ")
+        assert (tc, sym, alpha, dup, passes) == (0, 0.0, 0.0, 0.0, False)
+        # the '...' count is non-overlapping left-to-right: "......" = 2
+        assert T.gopher_metrics_row("......x")[2] == 2.0
+        assert T.gopher_metrics_row(".....x")[2] == 1.0
+
+    def test_differential_vs_column_exprs(self, spark):
+        rows = [(i, s) for i, s in enumerate(_nasty_corpus())]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        a = {r["doc_id"]: tuple(r)[1:] for r in _expr_df(df).collect()}
+        b = {r["doc_id"]: tuple(r)[1:] for r in _udf_df(df).collect()}
+        mismatches = {
+            i: (a[i], b[i], rows[i][1]) for i in a if a[i] != b[i]
+        }
+        assert not mismatches, list(mismatches.items())[:3]
+
+    def test_differential_on_documents_table(self, spark, tmp_path):
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+        df = spark.read.parquet(f"{sf}/documents.parquet")
+        a = {r["doc_id"]: tuple(r)[1:] for r in _expr_df(df).collect()}
+        b = {r["doc_id"]: tuple(r)[1:] for r in _udf_df(df).collect()}
+        assert a == b and len(a) > 0
+
+    def test_single_python_node_in_plan(self, spark):
+        df = _udf_df(
+            spark.createDataFrame([(1, "text here")], "doc_id int, text string")
+        )
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("ArrowEvalPython") == 1, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_null_yields_null_not_nan(self, spark):
+        df = _udf_df(
+            spark.createDataFrame([(1, None)], "doc_id int, text string")
+        )
+        row = df.collect()[0]
+        assert row["mean_word_len"] is None and row["passes"] is None
