@@ -519,6 +519,23 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition family (Rae et al. 2021 §A1.1): top
+    {2,3,4}-gram and duplicate {5..10}-gram character fractions + the
+    composite gate.  One Arrow struct kernel per row — n-gram counting is
+    document-local, so the plan has zero shuffles (scan → ArrowEvalPython
+    → project), embarrassingly parallel at any corpus size."""
+    from doctor_spark.functions.text import repetition_metrics_udf
+
+    k = repetition_metrics_udf()
+    return (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                k(F.col("text")).alias("r"))
+        .select("doc_id", "r.*")
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish token counts per document (token-budget
     accounting for training pipelines)."""
@@ -777,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
+        "repetition_gopher": q_repetition_gopher,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1091,6 +1109,66 @@ FROM documents
 """
 
 
+def _repetition_gopher_sql() -> str:
+    """Exact mirror of functions/text.py:repetition_metrics_row: top
+    {2,3,4}-gram and duplicate {5..10}-gram character-coverage fractions
+    over the Java-\\s tokens; chars(gram) is the space-joined length;
+    NULL text → NULL row, missing n (too-short doc) → 0.0."""
+    top_t = {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_t = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    values = ",".join(f"({n})" for n in (*top_t, *dup_t))
+    top_cols = ",\n         ".join(
+        f"CASE WHEN b.text IS NULL THEN NULL ELSE "
+        f"coalesce(max(CASE WHEN p.n = {n} THEN p.top_frac END), 0.0) END "
+        f"AS top{n}_frac"
+        for n in top_t
+    )
+    dup_cols = ",\n         ".join(
+        f"CASE WHEN b.text IS NULL THEN NULL ELSE "
+        f"coalesce(max(CASE WHEN p.n = {n} THEN p.dup_frac END), 0.0) END "
+        f"AS dup{n}_frac"
+        for n in dup_t
+    )
+    gates = " AND ".join(
+        [f"top{n}_frac <= {t}" for n, t in top_t.items()]
+        + [f"dup{n}_frac <= {t}" for n, t in dup_t.items()]
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n_chars, {_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, n_chars, t.n AS n,
+         unnest(list_transform(range(1, len(tk) - t.n + 2),
+                i -> array_to_string(tk[i:i + t.n - 1], ' '))) AS g
+  FROM base, (VALUES {values}) t(n)
+  WHERE len(tk) >= t.n AND n_chars > 0
+), counts AS (
+  SELECT doc_id, n_chars, n, g, count(*) AS c
+  FROM grams GROUP BY doc_id, n_chars, n, g
+), per_n AS (
+  SELECT doc_id, n,
+         round(max(c * length(g))::DOUBLE / n_chars, 4) AS top_frac,
+         round(coalesce(sum(CASE WHEN c >= 2 THEN c * length(g) END), 0)::DOUBLE
+               / n_chars, 4) AS dup_frac
+  FROM counts GROUP BY doc_id, n, n_chars
+), piv AS (
+  SELECT b.doc_id, b.text,
+         {top_cols},
+         {dup_cols}
+  FROM base b LEFT JOIN per_n p ON b.doc_id = p.doc_id
+  GROUP BY b.doc_id, b.text
+)
+SELECT doc_id::BIGINT AS doc_id,
+       top2_frac::DOUBLE AS top2_frac, top3_frac::DOUBLE AS top3_frac,
+       top4_frac::DOUBLE AS top4_frac, dup5_frac::DOUBLE AS dup5_frac,
+       dup6_frac::DOUBLE AS dup6_frac, dup7_frac::DOUBLE AS dup7_frac,
+       dup8_frac::DOUBLE AS dup8_frac, dup9_frac::DOUBLE AS dup9_frac,
+       dup10_frac::DOUBLE AS dup10_frac,
+       (CASE WHEN text IS NULL THEN NULL ELSE ({gates}) END)::BOOLEAN AS passes
+FROM piv
+"""
+
+
 def _gopher_sql() -> str:
     n_tok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END"
     mean_wl = f"""round(CASE WHEN len({_TOKS}) = 0 THEN 0.0
@@ -1259,6 +1337,7 @@ FROM sl
 """,
         "text_quality": _quality_sql(),
         "gopher_quality": _gopher_sql(),
+        "repetition_gopher": _repetition_gopher_sql(),
         "repetition_stats": f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS tk FROM documents

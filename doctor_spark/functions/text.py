@@ -316,6 +316,94 @@ def gopher_metrics_row(s: str | None) -> tuple:
     return (tc, mwl, sym, bullet, ell, alpha, dup, passes)
 
 
+# --------------------------------------------------------------------------
+# Gopher repetition family (Rae et al. 2021 §A1.1): top {2,3,4}-gram and
+# duplicate {5..10}-gram character fractions.
+#
+# Definitions (engine contract, SQL-mirrorable and overlap-insensitive):
+#   top_n_frac  = max over distinct word n-grams of (count × chars(gram))
+#                 ÷ chars(text)        — "characters covered by the most
+#                 repeated n-gram" (deterministic: no most-common tie-break)
+#   dup_n_frac  = Σ over distinct n-grams with count ≥ 2 of (count ×
+#                 chars(gram)) ÷ chars(text)  — upper bound on the paper's
+#                 positional coverage (overlaps double-count; positions
+#                 aren't SQL-expressible, the bound is monotone in the same
+#                 gate direction)
+# chars(gram) counts the space-joined form (Σ word lens + n − 1); grams are
+# over the same Java-\s tokens as every other text function here.
+# All work is row-local (n-gram counting per document) — the kernel is a
+# zero-shuffle Arrow pass, embarrassingly parallel at any scale.
+# --------------------------------------------------------------------------
+
+GOPHER_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+REPETITION_STRUCT = (
+    ", ".join(f"top{n}_frac double" for n in GOPHER_TOP_THRESHOLDS)
+    + ", "
+    + ", ".join(f"dup{n}_frac double" for n in GOPHER_DUP_THRESHOLDS)
+    + ", passes boolean"
+)
+
+
+def repetition_metrics_row(s: str | None) -> tuple:
+    """Row kernel: 9 repetition fractions + the composite gate."""
+    if s is None:
+        return (None,) * 10
+    n_chars = len(s)
+    toks = _JAVA_WS.split(s.lower().strip(" "))
+    n_tok = len(toks)
+    # prefix sums of token lengths → chars of gram [i, i+n) in O(1)
+    pref = [0] * (n_tok + 1)
+    for i, t in enumerate(toks):
+        pref[i + 1] = pref[i] + len(t)
+    out: list[float] = []
+    ok = True
+    for n, thresh, want_dup in (
+        [(n, t, False) for n, t in GOPHER_TOP_THRESHOLDS.items()]
+        + [(n, t, True) for n, t in GOPHER_DUP_THRESHOLDS.items()]
+    ):
+        if n_tok < n or n_chars == 0:
+            out.append(0.0)
+            continue
+        counts: dict[tuple, list] = {}
+        for i in range(n_tok - n + 1):
+            key = tuple(toks[i : i + n])
+            e = counts.get(key)
+            if e is None:
+                counts[key] = [1, pref[i + n] - pref[i] + n - 1]
+            else:
+                e[0] += 1
+        if want_dup:
+            cover = sum(c * ln for c, ln in counts.values() if c >= 2)
+        else:
+            cover = max(c * ln for c, ln in counts.values())
+        frac = _round4(cover / n_chars)
+        out.append(frac)
+        if frac > thresh:
+            ok = False
+    return (*out, ok)
+
+
+def repetition_metrics_udf():
+    """Arrow-batched struct kernel for the repetition family — one Python
+    node, zero shuffles (all counting is per-document)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cols = [f.split(" ")[0] for f in REPETITION_STRUCT.split(", ")]
+
+    def kernel(texts):
+        rows = [repetition_metrics_row(t) for t in texts]
+        return pd.DataFrame(rows, columns=cols, dtype=object)
+
+    kernel.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    struct_ddl = REPETITION_STRUCT.replace(" double", ": double").replace(
+        " boolean", ": boolean"
+    )
+    return pandas_udf(kernel, f"struct<{struct_ddl}>")
+
+
 def gopher_metrics_udf():
     """Arrow-batched struct kernel: SELECT gopher_metrics_udf()(text) then
     project the fields.  One ArrowEvalPython node in the plan regardless

@@ -105,6 +105,36 @@ class TestGopherKernel:
         assert plan.count("ArrowEvalPython") == 1, plan
         assert "BatchEvalPython" not in plan
 
+    def test_repetition_row_kernel(self):
+        # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → top "a b"
+        # (3 occurrences × 3 chars) / 11 chars = 9/11
+        row = T.repetition_metrics_row("a b a b a b")
+        assert row[0] == round(9 / 11, 4)  # top2_frac
+        # dup5: 5-grams = [a b a b a, b a b a b] each once → 0.0
+        assert row[3] == 0.0
+        assert T.repetition_metrics_row(None) == (None,) * 10
+        assert T.repetition_metrics_row("")[0] == 0.0
+        # highly repetitive text fails the gate; diverse text passes
+        assert T.repetition_metrics_row("spam ham " * 50)[-1] is False
+        assert T.repetition_metrics_row(
+            " ".join(f"w{i}" for i in range(100))
+        )[-1] is True
+
+    def test_repetition_zero_shuffle_plan(self, spark):
+        from doctor_spark.functions.text import repetition_metrics_udf
+
+        k = repetition_metrics_udf()
+        df = (
+            spark.createDataFrame([(1, "a b a b")], "doc_id int, text string")
+            .select("doc_id", k(F.col("text")).alias("r"))
+            .select("doc_id", "r.*")
+        )
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("ArrowEvalPython") == 1
+        assert "Exchange" not in plan  # n-gram counting is document-local
+
     def test_null_yields_null_not_nan(self, spark):
         df = _udf_df(
             spark.createDataFrame([(1, None)], "doc_id int, text string")
