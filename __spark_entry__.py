@@ -519,6 +519,40 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup: strip lines occurring more
+    than ``max_line_df`` times corpus-wide (nav bars / cookie banners /
+    copyright footers).  The documents table is single-line synthetic
+    text, so the query first derives a multi-line web-page shape
+    deterministically (sentence breaks + boilerplate header/footer) —
+    mirrored exactly in the oracle — then runs the operator.
+
+    Plan: posexplode → one exchange on the normalized line (frequency
+    window + keep-filter share it) → one exchange on doc_id to
+    re-assemble.  No driver-side state, no broadcast of a hot-line set."""
+    from doctor_spark.operators.dedup import strip_common_lines
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    body = F.regexp_replace(F.col("text"), r"\. ", ".\n")
+    aug = d.select(
+        F.col("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.lit("Subscribe to our newsletter!"),
+            body,
+            F.when(F.col("doc_id") % 2 == 0, F.lit("All Rights Reserved."))
+            .otherwise(F.lit("Privacy Policy | Terms of Use")),
+        ).alias("text"),
+    )
+    out = strip_common_lines(aug, max_line_df=30)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+    )
+
+
 def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher repetition family (Rae et al. 2021 §A1.1): top
     {2,3,4}-gram and duplicate {5..10}-gram character fractions + the
@@ -795,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
         "repetition_gopher": q_repetition_gopher,
+        "line_dedup": q_line_dedup,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1338,6 +1373,39 @@ FROM sl
         "text_quality": _quality_sql(),
         "gopher_quality": _gopher_sql(),
         "repetition_gopher": _repetition_gopher_sql(),
+        "line_dedup": """
+WITH aug AS (
+  SELECT doc_id,
+         'Subscribe to our newsletter!' || chr(10) ||
+         regexp_replace(text, '\\. ', '.' || chr(10), 'g') || chr(10) ||
+         CASE WHEN doc_id % 2 = 0 THEN 'All Rights Reserved.'
+              ELSE 'Privacy Policy | Terms of Use' END AS text
+  FROM documents WHERE text IS NOT NULL
+), d AS (
+  SELECT doc_id, str_split(text, chr(10)) AS ls FROM aug
+), lines AS (
+  SELECT doc_id, e.pos AS pos, e.ln AS ln,
+         regexp_replace(trim(lower(e.ln)), '\\s+', ' ', 'g') AS norm
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ls) + 1),
+                  i -> {'pos': i, 'ln': ls[i]})) AS e
+    FROM d
+  )
+), counts AS (
+  SELECT norm, count(*) AS line_df FROM lines GROUP BY norm
+), marked AS (
+  SELECT l.doc_id, l.pos, l.ln,
+         (l.norm = '' OR c.line_df <= 30) AS keep
+  FROM lines l JOIN counts c USING (norm)
+)
+SELECT doc_id::BIGINT AS doc_id,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       (count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))::BIGINT AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN keep THEN ln END, chr(10)
+                               ORDER BY pos), '')) AS text_hash
+FROM marked GROUP BY doc_id
+""",
         "repetition_stats": f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS tk FROM documents

@@ -487,7 +487,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over shingle-sharing candidate pairs.
 
@@ -499,7 +499,9 @@ def ngram_jaccard_pairs(
     otherwise create one 10^12-pair bucket.  Dropped shingles no longer
     contribute to intersections (set sizes stay exact), which is the
     standard trade: pairs that are near-duplicates ONLY through
-    boilerplate stop qualifying.  None disables the cap.
+    boilerplate stop qualifying.  The default is None — exact Jaccard
+    semantics for library callers; scale call sites must opt into the cap
+    explicitly (the entry-point query passes 100).
 
     Plan shape: shingling runs in ONE Arrow batch kernel (the equivalent
     higher-order Catalyst expression is interpreted at ~1 ms/row and gets
@@ -546,3 +548,64 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return pairs
+
+
+def strip_common_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_df: int = 100,
+) -> DataFrame:
+    """CCNet-style cross-document line dedup: normalize each line
+    (lower, trim, collapse whitespace), count occurrences corpus-wide, and
+    strip lines whose count exceeds ``max_line_df`` — the standard
+    boilerplate cleanup (nav bars, cookie banners, copyright footers)
+    before LLM training.  Blank lines are kept verbatim and never counted.
+
+    Returns one row per input document: ``(id_col, n_kept, n_dropped,
+    text)`` where ``text`` is the document re-assembled from surviving
+    lines in original order.  Documents with NULL text are dropped (no
+    lines to keep).
+
+    Plan shape (the 100 TB form): posexplode → ONE exchange on the
+    normalized line (the frequency window runs on it; lines are *marked*,
+    not filtered, so no second pass over the corpus is needed for the
+    dropped count) → ONE exchange back on the document id where a single
+    aggregate computes kept/dropped counts and re-assembles the text.
+    Exactly two keyed shuffles end-to-end; no driver-side state — the
+    hot-line "set" is never materialized, it lives in the window counts.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    ).withColumn(
+        "norm",
+        F.regexp_replace(F.trim(F.lower(F.col("ln"))), r"\s+", " "),
+    ).repartition(F.col("norm"))
+    w = Window.partitionBy("norm")
+    marked = lines.withColumn(
+        "keep",
+        (F.col("norm") == "")
+        | (F.count("*").over(w) <= F.lit(max_line_df)),
+    ).select("id", "pos", "ln", "keep")
+    kept_structs = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "ln", "keep"))),
+        lambda s: s["keep"],
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            (F.count("*") - F.sum(F.col("keep").cast("long"))).alias(
+                "n_dropped"
+            ),
+            F.array_join(
+                F.transform(kept_structs, lambda s: s["ln"]), "\n"
+            ).alias("text"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_kept", "n_dropped", "text"
+        )
+    )

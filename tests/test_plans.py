@@ -338,3 +338,40 @@ def test_lsh_bucket_kernel_matches_expression_spec(spark):
     for r in ref.collect():
         for t in range(3):
             assert got[(r.vec_id, t)] == r[f"b{t}"], (r.vec_id, t)
+
+
+def test_strip_common_lines_behavior_and_plan(spark):
+    """CCNet-style line dedup: hot lines dropped corpus-wide, blanks and
+    rare lines kept in order; exactly TWO keyed exchanges in the plan
+    (normalized line, then doc id) — no third pass for the drop counts."""
+    from doctor_spark.operators.dedup import strip_common_lines
+
+    boiler = "Subscribe NOW"
+    rows = [
+        (i, f"{boiler}\nunique body {i}\n\nrare tail {i % 2}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = strip_common_lines(df, max_line_df=25)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 40
+    # boilerplate (df=40 > 25) dropped; body, blank, tail (df=20) kept
+    assert got[7]["n_dropped"] == 1 and got[7]["n_kept"] == 3
+    assert got[7]["text"] == "unique body 7\n\nrare tail 1"
+
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    import re as _re
+
+    # with AQE the simple plan prints Final + Initial; count the final only
+    final_plan = plan.split("== Initial Plan ==")[0]
+    n_exchange = len(_re.findall(r"Exchange hashpartitioning", final_plan))
+    assert n_exchange == 2, final_plan
+
+    # a document whose every line is hot survives with empty text
+    all_hot = spark.createDataFrame(
+        [(i, boiler) for i in range(30)], "doc_id long, text string"
+    )
+    r0 = strip_common_lines(all_hot, max_line_df=5).collect()[0]
+    assert (r0["n_kept"], r0["n_dropped"], r0["text"]) == (0, 1, "")
