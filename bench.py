@@ -125,10 +125,13 @@ def main() -> None:
             ref_assets.glob("*.doc*"),
         ):
             payloads.append((f"https://real.test/{p.name}", p.read_bytes()))
+        # 40 replicas: at 8 the wall was dominated by the ~1.4 s Spark
+        # job overhead (160 docs finish in ~0.3 s of compute at 32 cores),
+        # hiding kernel throughput changes entirely
         replicas = [
             (f"{url}?copy={i}", data)
             for url, data in payloads
-            for i in range(8)
+            for i in range(40)
         ]
         real_df = (
             spark.createDataFrame(replicas, "url string, html binary")

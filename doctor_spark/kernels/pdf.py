@@ -43,7 +43,7 @@ import json
 import re
 import zlib
 from dataclasses import dataclass, field
-from typing import Callable
+from typing import Callable, NamedTuple
 
 # fixed-pitch font model shared with pdfwriter: glyph advance = 0.6 * size
 CHAR_WIDTH_FACTOR = 0.6
@@ -652,6 +652,18 @@ def _decrypt_streams(
         return  # encrypted; skip the trailer scan entirely
     found = _find_encrypt(data, objects, stream_spans)
     if found is None:
+        # /Encrypt present but no parseable trailer/xref Encrypt dict
+        # (e.g. damaged trailer on an encrypted file): proceeding would
+        # interpret still-encrypted streams as plaintext and emit garbage
+        # rows that poison dedup fingerprints downstream.  Occurrences
+        # inside stream payloads (an unencrypted doc carrying an encrypted
+        # attachment) are fine — only out-of-stream markers fail closed.
+        spans = stream_spans or []
+        for m in re.finditer(rb"/Encrypt[\x00\t\n\x0c\r (/<\[]", data):
+            if not any(s <= m.start() < e for s, e in spans):
+                raise PdfParseError(
+                    "encrypted document with unparseable trailer"
+                )
         return
     enc, id0 = found
     if str(_resolve(enc.get("Filter"), objects)) != "Standard":
@@ -747,19 +759,18 @@ def _mat_translate(m, tx, ty):
     return (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
 
 
-class Char:
-    """One positioned glyph in device space (real-PDF layout path)."""
+class Char(NamedTuple):
+    """One positioned glyph in device space (real-PDF layout path).
+    NamedTuple: C-level construction — this is built once per glyph and
+    was the third-hottest line of the interpreter profile."""
 
-    __slots__ = ("text", "x0", "x1", "y", "size", "skewed", "fontname")
-
-    def __init__(self, text, x0, x1, y, size, skewed, fontname):
-        self.text = text
-        self.x0 = x0
-        self.x1 = x1
-        self.y = y          # device baseline, bottom-up
-        self.size = size
-        self.skewed = skewed
-        self.fontname = fontname
+    text: str
+    x0: float
+    x1: float
+    y: float            # device baseline, bottom-up
+    size: float
+    skewed: bool
+    fontname: str
 
 
 _CONTENT_TOKEN = re.compile(
@@ -776,6 +787,58 @@ _CONTENT_TOKEN = re.compile(
 )
 
 _EI_RE = re.compile(rb"\sEI(?=[\s<\[/%(]|$)")
+
+# flat content-stream array tokenizer (TJ operands): strings, hex strings,
+# numbers, comments, close-bracket.  Anything else (names, nested arrays,
+# dicts — legal but unseen in TJ) falls back to the generic recursive
+# parser.  Profiling showed the generic parse_value/_skip_ws path was ~28%
+# of real-PDF interpretation time, almost all of it under TJ arrays.
+_TJ_TOK = re.compile(
+    rb"""[\x00\t\n\x0c\r ]*
+      (?:(?P<str>\()
+        |(?P<hex><(?!<))
+        |(?P<close>\])
+        |(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
+        |(?P<comment>%[^\r\n]*)
+      )""",
+    re.VERBOSE,
+)
+
+
+def _parse_tj_array(lex, content: bytes, start: int):
+    """Parse a flat array starting at ``start`` (the '[').  Returns
+    (items, end_pos) or None to fall back to the generic parser."""
+    items: list = []
+    pos = start + 1
+    n = len(content)
+    while pos < n:
+        m = _TJ_TOK.match(content, pos)
+        if m is None:
+            return None
+        g = m.lastgroup
+        if g == "str":
+            lex.pos = m.end() - 1
+            try:
+                items.append(lex._parse_string())
+            except (PdfParseError, IndexError, ValueError):
+                return None
+            pos = lex.pos
+        elif g == "hex":
+            lex.pos = m.end() - 1
+            try:
+                items.append(lex._parse_hex_string())
+            except (PdfParseError, IndexError, ValueError):
+                return None
+            pos = lex.pos
+        elif g == "close":
+            return items, m.end()
+        elif g == "num":
+            tok = m.group("num")
+            items.append(float(tok) if b"." in tok else int(tok))
+            pos = m.end()
+        else:  # comment
+            pos = m.end()
+    return None
 
 
 class _FontSlot:
@@ -892,19 +955,37 @@ def _interpret_content(
         eff_size = size * abs(md) if md else size
         skew = mb != 0
         cum = 0.0  # text-space x displacement within this show op
-        for text, w1000, code in font.decode(raw):
-            w_text = w1000 / 1000.0 * size
-            disp = w_text + t_c
-            if code == 32 and not two_byte:
-                disp += t_w
-            if text:
-                x0 = base_x + cum * ma
-                chars.append(
-                    Char(text, x0, x0 + w_text * t_h * ma,
-                         base_y + cum * mb, eff_size, skew, fontname)
-                )
-                pieces.append(text)
-            cum += disp * t_h
+        chars_append = chars.append
+        pieces_append = pieces.append
+        if not two_byte:
+            # hot loop: memoized decode table, no generator frames
+            tbl = font.table1()
+            for code in raw:
+                text, w1000 = tbl[code]
+                w_text = w1000 / 1000.0 * size
+                disp = w_text + t_c
+                if code == 32:
+                    disp += t_w
+                if text:
+                    x0 = base_x + cum * ma
+                    chars_append(
+                        Char(text, x0, x0 + w_text * t_h * ma,
+                             base_y + cum * mb, eff_size, skew, fontname)
+                    )
+                    pieces_append(text)
+                cum += disp * t_h
+        else:
+            for text, w1000, code in font.decode(raw):
+                w_text = w1000 / 1000.0 * size
+                disp = w_text + t_c
+                if text:
+                    x0 = base_x + cum * ma
+                    chars_append(
+                        Char(text, x0, x0 + w_text * t_h * ma,
+                             base_y + cum * mb, eff_size, skew, fontname)
+                    )
+                    pieces_append(text)
+                cum += disp * t_h
         tm = _mat_translate(tm, cum, 0.0)
         if pieces:
             runs.append(
@@ -947,6 +1028,11 @@ def _interpret_content(
                 pos = m.end()
             continue
         if g == "arr":
+            fast = _parse_tj_array(lex, content, m.start())
+            if fast is not None:
+                stack.append(fast[0])
+                pos = fast[1]
+                continue
             lex.pos = m.start()
             try:
                 stack.append(lex._parse_array())

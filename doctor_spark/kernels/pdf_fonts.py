@@ -85,6 +85,27 @@ class Font:
     differences: dict[int, str] = field(default_factory=dict)  # code → char
     has_metrics: bool = False  # real /Widths (or /W) present
     fixed_pitch_600: bool = False  # Courier-family / synthetic-corpus model
+    _tbl1: list | None = field(default=None, repr=False, compare=False)
+
+    def table1(self) -> list:
+        """Memoized single-byte decode table: code → (text, width).  The
+        per-glyph generator + two dict lookups was the hottest line of the
+        real-PDF interpreter (profiled: ~260k resumptions per 24 docs);
+        one 256-entry list lookup replaces all of it."""
+        tbl = self._tbl1
+        if tbl is None:
+            tbl = []
+            for code in range(256):
+                text = self.to_unicode.get(code)
+                if text is None:
+                    text = self.differences.get(code)
+                if text is None:
+                    text = bytes([code]).decode("cp1252", errors="replace")
+                    if text == "�":
+                        text = ""
+                tbl.append((text, self.widths.get(code, self.default_width)))
+            self._tbl1 = tbl
+        return tbl
 
     def decode(self, raw: bytes):
         """Yield (text, width_em1000, code) per glyph code in ``raw``."""
@@ -96,15 +117,10 @@ class Font:
                     text = "" if code == 0 else "�"
                 yield text, self.widths.get(code, self.default_width), code
             return
+        tbl = self.table1()
         for code in raw:
-            text = self.to_unicode.get(code)
-            if text is None:
-                text = self.differences.get(code)
-            if text is None:
-                text = bytes([code]).decode("cp1252", errors="replace")
-                if text == "�":
-                    text = ""
-            yield text, self.widths.get(code, self.default_width), code
+            text, width = tbl[code]
+            yield text, width, code
 
     def text_of(self, raw: bytes) -> str:
         # fast path for metric-less simple fonts (the synthetic corpus):

@@ -427,6 +427,37 @@ class TestEncryptedPdf:
 
         assert get_page_count(self._build(v=5), "pdf") == 1
 
+    def test_damaged_trailer_on_encrypted_file_fails_closed(self):
+        """/Encrypt present but the trailer made unparseable: the
+        still-encrypted streams must NOT be interpreted as plaintext
+        (garbage rows would poison dedup fingerprints downstream)."""
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        data = self._build(r=3)
+        broken = data.replace(b"trailer", b"trXiler")
+        assert b"/Encrypt" in broken
+        content, err, rc = extract_pdf_layout_text(broken)
+        assert content == "" and rc != 0
+
+    def test_encrypt_marker_inside_stream_is_ignored(self):
+        """An unencrypted doc whose STREAM payload contains '/Encrypt '
+        (e.g. an embedded attachment) must extract normally."""
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+        from doctor_spark.kernels.pdfwriter import (
+            PageSpec,
+            build_pdf,
+            text_to_lines,
+        )
+
+        plain = build_pdf([PageSpec(lines=text_to_lines("Visible body text"))])
+        # splice the marker bytes into an existing stream payload
+        i = plain.index(b"stream") + len(b"stream\n")
+        spliced = plain[:i] + b"/Encrypt " + plain[i:]
+        # splicing corrupts that one stream's content, but parsing must
+        # neither raise nor treat the document as encrypted
+        content, err, rc = extract_pdf_layout_text(spliced)
+        assert "unparseable trailer" not in err
+
 
 class TestProportionalLayout:
     """Glyph-accurate layout regressions: TJ kerning must not split words,
