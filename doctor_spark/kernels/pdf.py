@@ -23,8 +23,9 @@ Scope (round 2): real-world PDFs and the deterministic synthetic corpus.
 - object layer: scan-based discovery (no xref trust), /ObjStm expansion
   (PDF 1.5+), Flate (+PNG predictors)/AHx/A85/RL filters, indirect-ref
   resolution everywhere, /Parent inheritance, standard-security-handler
-  RC4 decryption (empty user password; AES and passworded docs fail
-  closed to err rows);
+  decryption — RC4 (V1/V2/V4), AES-128 (AESV2) and AES-256 (AESV3 R5/R6,
+  algorithm-2.B hash) with an empty user password; passworded and
+  unknown schemes fail closed to err rows;
 - interpreter: CTM (q/Q/cm), Tc/Tw/Tz/Ts, Form XObjects, per-glyph
   metrics (``pdf_fonts``: /Widths, Type0 /W, /ToUnicode, /Differences);
 - layout: ``poppler_layout_text`` (pdftotext -layout analog) and
@@ -537,18 +538,25 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _std_file_key(enc: dict, id0: bytes, objects) -> bytes:
-    """File encryption key for the standard handler with an EMPTY user
-    password (the only case a batch pipeline can open unattended)."""
+def _std_file_key(enc: dict, id0: bytes, objects) -> tuple[bytes, str]:
+    """(file key, scheme) for the standard handler with an EMPTY user
+    password (the only case a batch pipeline can open unattended).
+
+    Schemes: ``rc4`` (V1/V2, V4+CFM V2), ``aesv2`` (V4+CFM AESV2,
+    AES-128-CBC with per-object sAlT keys), ``aesv3`` (V5 R5/R6,
+    AES-256-CBC with the file key used directly)."""
     import hashlib
     import struct as _st
 
     v = _resolve(enc.get("V"), objects) or 0
     r = _resolve(enc.get("R"), objects) or 2
+    if v == 5:
+        return _aesv3_file_key(enc, objects, r), "aesv3"
+    scheme = "rc4"
     if v not in (1, 2) and not (v == 4 and r == 4):
         raise PdfParseError(f"unsupported encryption V={v}")
     if v == 4:
-        # only RC4 crypt filters (CFM /V2); AES needs a cipher we don't ship
+        # crypt filters: RC4 (CFM /V2) or AES-128 (CFM /AESV2)
         cf = _resolve(enc.get("CF"), objects) or {}
         stmf = str(_resolve(enc.get("StmF"), objects) or "Identity")
         cfm = None
@@ -556,7 +564,9 @@ def _std_file_key(enc: dict, id0: bytes, objects) -> bytes:
             cfd = _resolve(cf[stmf], objects)
             if isinstance(cfd, dict):
                 cfm = str(cfd.get("CFM"))
-        if cfm != "V2":
+        if cfm == "AESV2":
+            scheme = "aesv2"
+        elif cfm != "V2":
             raise PdfParseError(f"unsupported crypt filter {cfm}")
     o_entry = _resolve(enc.get("O"), objects)
     p = _resolve(enc.get("P"), objects)
@@ -584,14 +594,45 @@ def _std_file_key(enc: dict, id0: bytes, objects) -> bytes:
             ok = x[:16] == u_entry[:16]
         if not ok:
             raise PdfParseError("password-protected document")
+    return key, scheme
+
+
+def _aesv3_file_key(enc: dict, objects, r: int) -> bytes:
+    """V5 (AESV3) file key with an empty user password (ISO 32000-2
+    §7.6.4.3.3/4): /U = hash(32) ‖ validation-salt(8) ‖ key-salt(8);
+    validate with algorithm 2.B (R6) or plain SHA-256 (the deprecated
+    R5), then unwrap /UE with AES-256-CBC (zero IV, no padding)."""
+    import hashlib
+
+    from .aes import cbc_decrypt, hash_2b
+
+    u = _resolve(enc.get("U"), objects)
+    ue = _resolve(enc.get("UE"), objects)
+    if not isinstance(u, bytes) or len(u) < 48 or not isinstance(ue, bytes):
+        raise PdfParseError("malformed /Encrypt dictionary (V5)")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 6:
+        h = hash_2b(b"", vsalt)
+        inter = hash_2b(b"", ksalt)
+    elif r == 5:
+        h = hashlib.sha256(vsalt).digest()
+        inter = hashlib.sha256(ksalt).digest()
+    else:
+        raise PdfParseError(f"unsupported encryption R={r}")
+    if h != u[:32]:
+        raise PdfParseError("password-protected document")
+    key = cbc_decrypt(inter, b"\x00" * 16, ue[:32], unpad=False)
+    if len(key) != 32:
+        raise PdfParseError("malformed /UE entry")
     return key
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+def _object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
     import hashlib
 
     h = hashlib.md5(
         file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     )
     return h.digest()[: min(len(file_key) + 5, 16)]
 
@@ -645,9 +686,10 @@ def _decrypt_streams(
     gens: dict[int, int],
     stream_spans: list[tuple[int, int]] | None = None,
 ) -> None:
-    """If the document uses the standard RC4 handler with an empty user
-    password, decrypt every stream in place (xref streams are never
-    encrypted); unsupported schemes raise → err row, never garbage."""
+    """If the document uses the standard security handler (RC4, AESV2 or
+    AESV3) with an empty user password, decrypt every stream in place
+    (xref streams are never encrypted); passworded or unknown schemes
+    raise → err row, never garbage."""
     if b"/Encrypt" not in data:  # cheap gate: almost no document is
         return  # encrypted; skip the trailer scan entirely
     found = _find_encrypt(data, objects, stream_spans)
@@ -668,13 +710,21 @@ def _decrypt_streams(
     enc, id0 = found
     if str(_resolve(enc.get("Filter"), objects)) != "Standard":
         raise PdfParseError("non-standard security handler")
-    file_key = _std_file_key(enc, id0, objects)
+    file_key, scheme = _std_file_key(enc, id0, objects)
+    if scheme != "rc4":
+        from .aes import pdf_aes_decrypt_stream
     for num, obj in objects.items():
         if not isinstance(obj, StreamObj):
             continue
         if obj.attrs.get("Type") == "XRef":
             continue
-        obj.raw = _rc4(_object_key(file_key, num, gens.get(num, 0)), obj.raw)
+        if scheme == "rc4":
+            obj.raw = _rc4(_object_key(file_key, num, gens.get(num, 0)), obj.raw)
+        elif scheme == "aesv2":
+            key = _object_key(file_key, num, gens.get(num, 0), aes=True)
+            obj.raw = pdf_aes_decrypt_stream(key, obj.raw)
+        else:  # aesv3: the file key is used directly (no per-object salt)
+            obj.raw = pdf_aes_decrypt_stream(file_key, obj.raw)
 
 
 def _inherited(pdict: dict, key: str, objects) -> object:

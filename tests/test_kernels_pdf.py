@@ -398,6 +398,137 @@ class TestEncryptedPdf:
         )
         return body
 
+    @staticmethod
+    def _wrap_doc(enc_content: bytes, enc_dict: bytes, id0: bytes) -> bytes:
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+               b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+            4: b"<< /Length " + str(len(enc_content)).encode() + b" >>\n"
+               b"stream\n" + enc_content + b"\nendstream",
+            5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+            6: enc_dict,
+        }
+        body = b"%PDF-1.6\n"
+        for num, payload in objs.items():
+            body += f"{num} 0 obj\n".encode() + payload + b"\nendobj\n"
+        body += (
+            b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R /ID [<"
+            + id0.hex().encode() + b"> <" + id0.hex().encode() + b">] >>\n"
+            b"%%EOF\n"
+        )
+        return body
+
+    @classmethod
+    def _build_aesv2(cls, text=b"Secret content here"):
+        """V4/R4 with the AESV2 crypt filter (AES-128-CBC, sAlT object
+        keys), empty user password."""
+        import hashlib
+        import struct
+
+        from doctor_spark.kernels.aes import pdf_aes_encrypt_stream
+        from doctor_spark.kernels.pdf import _PW_PAD, _object_key, _rc4
+
+        n, p, id0 = 16, -44, bytes(range(16))
+        okey = hashlib.md5(_PW_PAD).digest()
+        for _ in range(50):
+            okey = hashlib.md5(okey[:n]).digest()
+        okey = okey[:n]
+        x = _rc4(okey, _PW_PAD)
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in okey), x)
+        o_entry = x
+        key = hashlib.md5(
+            _PW_PAD + o_entry[:32] + struct.pack("<i", p) + id0
+        ).digest()
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+        key = key[:n]
+        u = hashlib.md5(_PW_PAD + id0).digest()
+        u = _rc4(key, u)
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u_entry = u + b"\x00" * 16
+
+        content = b"BT /F1 12 Tf 72 720 Td <" + text.hex().encode() + b"> Tj ET"
+        obj_key = _object_key(key, 4, 0, aes=True)
+        enc_content = pdf_aes_encrypt_stream(obj_key, bytes(range(16)), content)
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+            b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            b" /P " + str(p).encode()
+            + b" /O <" + o_entry.hex().encode() + b">"
+            + b" /U <" + u_entry.hex().encode() + b"> >>"
+        )
+        return cls._wrap_doc(enc_content, enc_dict, id0)
+
+    @classmethod
+    def _build_aesv3(cls, r=6, text=b"Secret content here", break_u=False):
+        """V5 (AESV3, AES-256-CBC) with empty user password; R6 uses the
+        ISO 32000-2 algorithm-2.B hash, R5 the deprecated plain SHA-256."""
+        import hashlib
+
+        from doctor_spark.kernels.aes import (
+            cbc_encrypt,
+            hash_2b,
+            pdf_aes_encrypt_stream,
+        )
+
+        id0 = bytes(range(16))
+        file_key = bytes(range(32, 64))
+        vsalt, ksalt = b"01234567", b"89abcdef"
+        if r == 6:
+            h = hash_2b(b"", vsalt)
+            inter = hash_2b(b"", ksalt)
+        else:
+            h = hashlib.sha256(vsalt).digest()
+            inter = hashlib.sha256(ksalt).digest()
+        if break_u:
+            h = bytes(32)
+        u_entry = h + vsalt + ksalt
+        ue = cbc_encrypt(inter, b"\x00" * 16, file_key, pad=False)
+        content = b"BT /F1 12 Tf 72 720 Td <" + text.hex().encode() + b"> Tj ET"
+        enc_content = pdf_aes_encrypt_stream(file_key, bytes(range(16)), content)
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R " + str(r).encode()
+            + b" /Length 256"
+            b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+            b" /StmF /StdCF /StrF /StdCF /P -44"
+            b" /O <" + (b"\x11" * 48).hex().encode() + b">"
+            + b" /OE <" + (b"\x22" * 32).hex().encode() + b">"
+            + b" /U <" + u_entry.hex().encode() + b">"
+            + b" /UE <" + ue.hex().encode() + b"> >>"
+        )
+        return cls._wrap_doc(enc_content, enc_dict, id0)
+
+    def test_aesv2_roundtrip(self):
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        content, err, rc = extract_pdf_layout_text(self._build_aesv2())
+        assert err == "" and "Secret content here" in content
+
+    def test_aesv3_r6_roundtrip(self):
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        content, err, rc = extract_pdf_layout_text(self._build_aesv3(r=6))
+        assert err == "" and "Secret content here" in content
+
+    def test_aesv3_r5_roundtrip(self):
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        content, err, rc = extract_pdf_layout_text(self._build_aesv3(r=5))
+        assert err == "" and "Secret content here" in content
+
+    def test_aesv3_wrong_password_fails_closed(self):
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+
+        content, err, rc = extract_pdf_layout_text(
+            self._build_aesv3(r=6, break_u=True)
+        )
+        assert content == "" and "password" in err
+
     def test_rc4_r3_roundtrip(self):
         from doctor_spark.kernels.pdf import extract_pdf_layout_text
 
@@ -419,8 +550,12 @@ class TestEncryptedPdf:
     def test_unsupported_scheme_fails_closed(self):
         from doctor_spark.kernels.pdf import extract_pdf_layout_text
 
-        content, err, rc = extract_pdf_layout_text(self._build(v=5))
+        content, err, rc = extract_pdf_layout_text(self._build(v=7))
         assert content == "" and "encryption" in err
+        # V5 marker without valid U/UE entries: still an err row, never
+        # garbage (the RC4-era _build writes no /UE)
+        content, err, rc = extract_pdf_layout_text(self._build(v=5))
+        assert content == "" and rc != 0
 
     def test_page_count_survives_encryption(self):
         from doctor_spark.kernels.pdf import get_page_count
