@@ -57,6 +57,17 @@ def streaming_extract(
     return query
 
 
+# driver-side upsert stores for streaming_metrics, keyed by query name.
+# Update-mode emits each window's LATEST aggregate per micro-batch; a
+# memory sink would APPEND those rows, so any window updated in more than
+# one batch (maxFilesPerTrigger splits, a second availableNow run, a
+# restart) shows up multiple times and consumers that SUM the table
+# double-count.  foreachBatch upserting by window key is the correct
+# update-mode consumer (the production analog is a kafka-compacted topic
+# or a MERGE INTO).  Row count is bounded by live-window cardinality.
+_METRICS_STORE: dict[str, dict] = {}
+
+
 def streaming_metrics(
     spark: SparkSession,
     source_dir: str,
@@ -66,12 +77,16 @@ def streaming_metrics(
     query_name: str = "pages_metrics",
 ):
     """Windowed per-crawl-day metrics over the stream: watermarked event
-    time (warc_ts), tumbling windows.  Update-mode memory sink — the
-    watermark actually BINDS in update mode (state for windows older than
-    the watermark is evicted and late data beyond it is dropped); in
-    complete mode Spark ignores the watermark and retains every window
-    ever seen, which grows state without bound on a continuous stream.
-    Swap the memory sink for a kafka/parquet sink in production."""
+    time (warc_ts), tumbling windows, update mode — the watermark actually
+    BINDS in update mode (state for windows older than the watermark is
+    evicted and late data beyond it is dropped); in complete mode Spark
+    ignores the watermark and retains every window ever seen, which grows
+    state without bound on a continuous stream.
+
+    Sink: foreachBatch upsert keyed by window_start (see _METRICS_STORE
+    note).  Read results with ``metrics_snapshot``."""
+    store = _METRICS_STORE.setdefault(query_name, {})
+    store.clear()
     pages = read_pages_stream(spark, source_dir)
     agg = (
         pages.withWatermark("warc_ts", watermark)
@@ -86,10 +101,28 @@ def streaming_metrics(
             F.col("bytes_in"),
         )
     )
+
+    def _upsert(batch_df, _batch_id) -> None:
+        # update-mode batches contain one row per window TOUCHED this
+        # batch, already fully re-aggregated — last write wins
+        for r in batch_df.collect():
+            store[r["window_start"]] = (r["n_pages"], r["bytes_in"])
+
     return (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
+        agg.writeStream.foreachBatch(_upsert)
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def metrics_snapshot(spark: SparkSession, query_name: str = "pages_metrics") -> DataFrame:
+    """Current upserted window metrics as a DataFrame (exactly one row per
+    window regardless of how many micro-batches updated it)."""
+    store = _METRICS_STORE.get(query_name, {})
+    rows = [
+        (ws, n, b) for ws, (n, b) in sorted(store.items())
+    ]
+    return spark.createDataFrame(
+        rows, "window_start timestamp, n_pages long, bytes_in long"
     )

@@ -8,11 +8,12 @@ last event time, running aggregates) across micro-batches, a >30-min gap
 closes the session, and closed sessions are emitted exactly once.
 
 State schema: (session_no, last_ts_us, start_ts_us, n_events, total_cents)
-Output: one row per CLOSED session.  An OPEN session flushes only via the
-``flush_idle_ms`` ProcessingTimeTimeout — Structured Streaming has no
-end-of-stream callback, so in the default drain mode (availableNow,
-flush_idle_ms=None) each user's final open session stays in state for the
-next run rather than being emitted.
+Output: one row per CLOSED session.  An OPEN session flushes via the
+``flush_idle_ms`` ProcessingTimeTimeout on continuous streams, or — after
+an availableNow drain, where Structured Streaming has no end-of-stream
+callback — via ``drain_open_sessions``, which reads the final open
+sessions straight out of the checkpointed state store (state data
+source), completing the batch-equality contract.
 
 Totals accumulate in integer CENTS (each event value is quantized exactly
 like Spark's ``cast(value AS decimal(18,2))`` — HALF_UP on the binary
@@ -26,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 GAP_US = 30 * 60 * 1_000_000
@@ -182,3 +183,40 @@ def streaming_sessionize(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def drain_open_sessions(spark, checkpoint: str) -> DataFrame:
+    """End-of-stream flush: the still-open sessions left in state by an
+    availableNow run over ``checkpoint``, as a batch DataFrame with the
+    same schema as the closed-session stream (OUTPUT_DDL).
+
+    Structured Streaming has no end-of-stream callback, so a NoTimeout
+    drain leaves each user's final session in the state store.  Rather
+    than replaying the query with a ProcessingTimeTimeout — which cannot
+    work: switching timeoutConf changes the state VALUE schema (Spark
+    appends the timeout timestamp), so the restart dies with
+    STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE — this reads the checkpoint
+    directly with Spark's state data source (``format("statestore")``),
+    which is also the 100 TB form: a parallel scan of the state files, no
+    micro-batch machinery, no sentinels.
+
+    Read-only: state is not modified.  If the stream RESUMES after a
+    drain, the drained session continues accumulating and is eventually
+    emitted closed under the same (user_id, session_no) — consumers that
+    merge a drain with later stream output take the later row per key.
+    Session-number tombstones (n_events = 0) are excluded."""
+    st = spark.read.format("statestore").option("path", checkpoint).load()
+    key_field = st.schema["key"].dataType.fieldNames()[0]
+    val_field = st.schema["value"].dataType.fieldNames()[0]
+    v = F.col(f"value.{val_field}")
+    return (
+        st.select(
+            F.col(f"key.{key_field}").cast("long").alias("user_id"),
+            v["session_no"].cast("long").alias("session_no"),
+            v["n_events"].cast("long").alias("n_events"),
+            F.timestamp_micros(v["start_ts"]).alias("session_start"),
+            F.timestamp_micros(v["last_ts"]).alias("session_end"),
+            (v["total_cents"] / 100.0).cast("double").alias("total_value"),
+        )
+        .where(F.col("n_events") > 0)
+    )

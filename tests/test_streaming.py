@@ -34,10 +34,12 @@ def test_streaming_extract_and_resume(spark, dirs):
 
 
 def test_streaming_windowed_metrics(spark, dirs):
+    from doctor_spark.streaming.pipeline import metrics_snapshot
+
     src, _out, _ckpt = dirs
     q = streaming_metrics(spark, src, query_name="m1")
     q.awaitTermination()
-    rows = spark.sql("select * from m1").collect()
+    rows = metrics_snapshot(spark, "m1").collect()
     assert rows
     assert sum(r.n_pages for r in rows) == 80
     assert all(r.bytes_in > 0 for r in rows)
@@ -83,3 +85,63 @@ def test_stateful_sessionize(spark, tmp_path):
         k for k in batch_sessions if k[1] < open_sessions[k[0]]
     }
     assert {(r.user_id, r.session_no) for r in got} == expected_closed
+
+
+def test_drain_open_sessions(spark, tmp_path):
+    """After an availableNow drain, drain_open_sessions must flush each
+    user's final open session so streaming equals FULL batch
+    sessionization — the end-of-stream gap the round-2 docstring only
+    documented."""
+    from doctor_spark.streaming.sessionize import (
+        drain_open_sessions,
+        streaming_sessionize,
+    )
+
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(src)
+
+    out = str(tmp_path / "sessions_out")
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = streaming_sessionize(stream, checkpoint=ckpt, out_dir=out)
+    q.awaitTermination()
+    closed = spark.read.parquet(out).collect()
+
+    final = drain_open_sessions(spark, ckpt).collect()
+    assert final, "no open sessions drained"
+    all_rows = list(closed) + list(final)
+
+    import __spark_entry__ as e
+
+    batch = e.q_events_sessionize(spark, "/root/testdata/sf0.001").collect()
+    batch_map = {
+        (r.user_id, r.session_no): (r.n_events, float(r.total_value))
+        for r in batch
+    }
+    got_map = {
+        (r.user_id, r.session_no): (r.n_events, r.total_value)
+        for r in all_rows
+    }
+    assert got_map == batch_map
+
+
+def test_streaming_metrics_no_double_count_across_batches(spark, tmp_path):
+    """A window updated by several micro-batches must appear ONCE in the
+    snapshot with its final aggregate (the memory sink appended one row
+    per update and consumers double-counted)."""
+    from doctor_spark.streaming.pipeline import metrics_snapshot, streaming_metrics
+
+    src = str(tmp_path / "pages_src")
+    # same crawl day split across MANY files; maxFilesPerTrigger=8 forces
+    # multiple micro-batches all updating the same window
+    pages_dataframe(spark, 120, partitions=30).write.mode("overwrite").parquet(src)
+    # decade-wide watermark: the synthetic warc_ts spans days across
+    # unordered files, and a tight watermark would (correctly) drop rows
+    # that arrive late relative to earlier batches
+    q = streaming_metrics(spark, src, query_name="m_multi", watermark="3650 days")
+    q.awaitTermination()
+    snap = metrics_snapshot(spark, "m_multi").collect()
+    assert sum(r.n_pages for r in snap) == 120
+    assert len({r.window_start for r in snap}) == len(snap)
