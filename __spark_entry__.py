@@ -11,11 +11,14 @@ driver-provided tables at ``sf_dir``.  Every oracle is an *exact* ANSI-SQL
 mirror (hashing via md5, decimal-exact sums, fixed rounding) — verified
 cross-engine by tests/test_entry_contract.py.
 
-Known cross-engine caveat (documented, not observable on the provided
-tables): Python/JVM full-Unicode lowercasing expands a handful of
-codepoints (e.g. Turkish U+0130 'İ' → 'i' + U+0307) where DuckDB's
-``lower`` applies simple codepoint mapping — documents containing those
-codepoints would tokenize differently under the md5-based oracles.
+Cross-engine ``lower`` safety is an ENFORCED invariant, not a caveat:
+Python and Spark lowercase identically on every printable BMP codepoint
+(so the Arrow kernels mirror the JVM exactly), and the small set where
+DuckDB's simple mapping diverges (U+0130 plus a few Coptic/Latin-Extended
+letters, and the context-sensitive Σ) is proven absent from the oracle
+tables and the synthetic corpus by
+tests/test_entry_contract.py::test_lowercase_divergence_excluded_by_construction,
+which computes the divergent set from the live engines each run.
 """
 
 from __future__ import annotations

@@ -73,9 +73,18 @@ def extract_by_ocr_bytes(
 
     Returns (success, content): True = OCR ran and produced text;
     False = OCR ran and failed (the reference's sentinel path);
-    None = no OCR engine is available for this page (pluggable backend
-    raised NotImplementedError) — the caller must keep its layout text,
-    as if ocr_available were false."""
+    None = no OCR engine is available (pluggable backend raised
+    NotImplementedError) — the caller must keep its layout text, as if
+    ocr_available were false.
+
+    Availability is DOCUMENT-granular by design: a real engine (the
+    reference's tesseract) is installed or it isn't — that is a
+    deployment property, not a page property — so the first
+    NotImplementedError aborts the whole document and discards any pages
+    already assembled.  Emitting the partial text instead would label a
+    mix of OCR'd and non-OCR'd pages ``extracted_by_ocr=True``, which
+    downstream quality gates treat as a uniform provenance claim.  (Only
+    the synthetic test backend can raise on some pages and not others.)"""
     try:
         doc = doc or parse_pdf(data)
     except Exception:

@@ -222,7 +222,7 @@ def embedding_neardup_pairs(
     vec_d = F.col(vec_col).cast("array<double>")
     a = df.select(F.col(id_col).alias("id_a"), vec_d.alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), vec_d.alias("vb"))
-    cos_udf = _cosine_pairs_udf()
+    cos_udf = _cosine_pairs_udf(dim)
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -237,10 +237,17 @@ def embedding_neardup_pairs(
     )
 
 
-def _cosine_pairs_udf():
+def _cosine_pairs_udf(dim: int):
     """Arrow-batched raw cosine over pair rows — vectorized across pairs,
     sequential over components (bit-identical operands to the JVM fold and
-    the oracle's list_sum)."""
+    the oracle's list_sum).
+
+    ``dim`` is the caller's declared vector dimension: each row is
+    validated against it independently, so a ragged/wrong-dim row degrades
+    only itself.  (Inferring the shape from the first non-null row of each
+    Arrow batch made every well-formed pair in a batch score NaN whenever
+    a ragged row happened to arrive first — output depended on batch
+    boundaries rather than row content.)"""
 
     @F.pandas_udf("double")
     def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
@@ -248,12 +255,9 @@ def _cosine_pairs_udf():
 
         def clean(series):
             rows, valid = [], []
-            want = None
             for v in series:
                 arr = None if v is None else np.asarray(v, dtype=np.float64)
-                if arr is not None and want is None:
-                    want = arr.shape
-                ok = arr is not None and want is not None and arr.shape == want
+                ok = arr is not None and arr.shape == (dim,)
                 valid.append(ok)
                 rows.append(arr if ok else None)
             return rows, valid
@@ -263,12 +267,9 @@ def _cosine_pairs_udf():
         n = len(ra)
         if n == 0:
             return pd.Series([], dtype=float)
-        dim = next((len(r) for r in ra if r is not None), 0)
         zero = np.zeros(dim) if dim else None
         ok = np.array([
-            x and y and ra[i] is not None and rb[i] is not None
-            and len(ra[i]) == dim and len(rb[i]) == dim
-            for i, (x, y) in enumerate(zip(va_ok, vb_ok))
+            x and y for x, y in zip(va_ok, vb_ok)
         ])
         if dim == 0 or not ok.any():
             return pd.Series([float("nan")] * n)

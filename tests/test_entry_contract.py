@@ -9,6 +9,7 @@ from pathlib import Path
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -110,3 +111,52 @@ def test_ivf_ann_recall(spark):
     got = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.4, f"recall {recall}"
+
+
+def test_lowercase_divergence_excluded_by_construction(spark):
+    """Cross-engine ``lower`` safety for the md5-based oracles.
+
+    Empirically (asserted here, not assumed): Python's str.lower and
+    Spark's lower agree on every printable BMP codepoint — so the Arrow
+    kernels mirror the JVM exactly.  DuckDB's lower applies simple
+    codepoint mapping and diverges on a small set (U+0130 'İ' plus a few
+    Coptic/Latin-Extended letters) and on U+03A3 'Σ' (the context-
+    sensitive Final_Sigma rule).  Rather than emulating Unicode special
+    casing in SQL, the contract EXCLUDES those codepoints from oracle
+    inputs: this test computes the divergent set from the live engines
+    and asserts the driver tables and the synthetic corpus contain none
+    of them."""
+    import duckdb
+
+    con = duckdb.connect()
+    chars = [chr(c) for c in range(0x20, 0x10000) if chr(c).isprintable()]
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (SELECT unnest(?) AS ch)", [chars]
+    )
+    duck = con.execute("SELECT ch, lower(ch) FROM t").fetchall()
+    divergent = {ch for ch, dl in duck if ch.lower() != dl}
+    divergent.add("Σ")  # Final_Sigma: context-sensitive, per-char safe
+    assert "İ" in divergent  # the İ caveat this test retires
+
+    # python lower == spark lower on everything (kernels mirror the JVM)
+    sdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(chars)], "id long, ch string"
+    )
+    spark_low = {
+        r["id"]: r["l"] for r in sdf.selectExpr("id", "lower(ch) AS l").collect()
+    }
+    py_spark_diff = [
+        chars[i] for i in range(len(chars)) if chars[i].lower() != spark_low[i]
+    ]
+    assert py_spark_diff == [], [hex(ord(c)) for c in py_spark_diff[:5]]
+
+    # the oracle tables must not contain any divergent codepoint
+    pattern = "[" + "".join(divergent) + "]"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert docs.where(F.col("text").rlike(pattern)).count() == 0
+
+    from doctor_spark.corpus import generate_pages
+
+    assert not any(
+        ch in p["text"] for p in generate_pages(0, 300) for ch in divergent
+    )

@@ -375,3 +375,27 @@ def test_strip_common_lines_behavior_and_plan(spark):
     )
     r0 = strip_common_lines(all_hot, max_line_df=5).collect()[0]
     assert (r0["n_kept"], r0["n_dropped"], r0["text"]) == (0, 1, "")
+
+
+def test_cosine_pairs_ragged_first_row_degrades_only_itself(spark):
+    """A ragged/wrong-dim vector arriving FIRST in an Arrow batch must not
+    poison the well-formed pairs behind it (the kernel used to infer the
+    expected shape from the first non-null row per batch, making output
+    depend on batch boundaries)."""
+    from doctor_spark.operators.similarity import embedding_neardup_pairs
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    rows = [
+        (0, [1.0, 2.0]),          # ragged, sorts first
+        (1, base),
+        (2, base),                 # identical to 1 -> cos 1.0
+        (3, None),                 # NULL row
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_pairs(df, threshold=0.9, dim=dim).collect()
+    }
+    assert got.get((1, 2)) == 1.0
+    assert all(0 not in k and 3 not in k for k in got)
