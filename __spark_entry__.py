@@ -635,6 +635,24 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_ann_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus ANN: top-2 neighbors for EVERY vector via the
+    bucket self-join (no broadcast of a query set anywhere — the scale
+    form when 'queries = the whole corpus').  ONE bucket exchange feeds
+    both join sides (ReusedExchange); exact-cosine rescore in the Arrow
+    pair kernel."""
+    from doctor_spark.operators.similarity import lsh_ann_corpus_topk
+
+    t = lsh_ann_corpus_topk(
+        _emb(spark, sf_dir), dim=64, k=2, n_planes=4, n_tables=3
+    )
+    return t.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (scale path #2): centroid choice (smallest ids) and
     assignment (rounded-argmax) are deterministic and mirrored exactly in
@@ -838,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "lsh_ann_corpus_topk": q_lsh_ann_corpus_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "media_features_mismatch": q_media_features_mismatch,
@@ -1049,6 +1068,42 @@ WITH e AS (
   SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
   FROM b q JOIN b c ON ({same_bucket})
   WHERE q.id < {n_queries} AND c.id >= {n_queries}
+), scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(list_sum(list_transform(range(1, {dim + 1}),
+                                       i -> qe.v[i] * ce.v[i]))
+               / (sqrt(list_sum(list_transform(qe.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ce.v, x -> x * x)))), 4)
+           AS score
+  FROM pairs p JOIN e qe ON qe.id = p.query_id JOIN e ce ON ce.id = p.neighbor_id
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+       score::DOUBLE AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= {k}
+"""
+
+
+def _lsh_ann_corpus_sql(
+    k: int = 2, dim: int = 64, n_planes: int = 4, n_tables: int = 3,
+) -> str:
+    """Corpus-vs-corpus mirror of _lsh_ann_sql: every id is a query,
+    directed same-bucket pairs (q ≠ c)."""
+    buckets = ", ".join(
+        f"{_bucket_expr('v', t, n_planes, dim)} AS b{t}" for t in range(n_tables)
+    )
+    same_bucket = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT id, {buckets} FROM e
+), pairs AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+  FROM b q JOIN b c ON ({same_bucket})
+  WHERE q.id <> c.id
 ), scored AS (
   SELECT p.query_id, p.neighbor_id,
          round(list_sum(list_transform(range(1, {dim + 1}),
@@ -1459,6 +1514,7 @@ WITH q AS (
 SELECT * FROM ranked WHERE rank <= 3
 """,
         "lsh_ann_topk": _lsh_ann_sql(),
+        "lsh_ann_corpus_topk": _lsh_ann_corpus_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "embedding_neardup": _neardup_sql(),
         "media_features_mismatch": (

@@ -452,3 +452,58 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def lsh_ann_corpus_topk(
+    df: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 4,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-vs-corpus ANN: top-k neighbors for EVERY vector, candidates
+    = same-bucket rows in any of ``n_tables`` OR-amplified tables.
+
+    The broadcast-queries form (``lsh_ann_topk``) is right when the query
+    set is small; when "queries = the whole corpus" the broadcast would
+    ship the corpus to every executor.  This form is the scale shape:
+
+    - ONE bucket exchange, self-joined (ReusedExchange) — directed pairs
+      (query_id ≠ neighbor_id), linear in bucket occupancy;
+    - vectors attached by keyed joins (no broadcast anywhere);
+    - exact cosine rescore in the Arrow pair kernel (bit-identical to the
+      JVM fold / SQL oracle);
+    - per-query top-k via one window on query_id.
+
+    Columns: query_id, neighbor_id, score, rank."""
+    stacked = stacked_lsh_buckets(df, dim, n_planes, n_tables, id_col, vec_col)
+    left = stacked.select("table_no", "bucket", F.col("id").alias("query_id"))
+    right = stacked.select("table_no", "bucket", F.col("id").alias("neighbor_id"))
+    pairs = (
+        left.join(right, ["table_no", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vec_d = F.col(vec_col).cast("array<double>")
+    qv = df.select(F.col(id_col).alias("query_id"), vec_d.alias("va"))
+    cv = df.select(F.col(id_col).alias("neighbor_id"), vec_d.alias("vb"))
+    cos_udf = _cosine_pairs_udf(dim)
+    scored = (
+        pairs.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos_udf(F.col("va"), F.col("vb")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

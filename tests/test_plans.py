@@ -399,3 +399,22 @@ def test_cosine_pairs_ragged_first_row_degrades_only_itself(spark):
     }
     assert got.get((1, 2)) == 1.0
     assert all(0 not in k and 3 not in k for k in got)
+
+
+def test_lsh_corpus_ann_no_broadcast_keyed_joins(spark):
+    """Corpus-vs-corpus ANN must not broadcast anything explicitly: with
+    auto-broadcast disabled the plan is keyed shuffled joins only, and the
+    bucket exchange is computed once (ReusedExchange on the self-join)."""
+    from doctor_spark.operators.similarity import lsh_ann_corpus_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = lsh_ann_corpus_topk(emb, dim=64, k=2)
+        q.collect()  # ReusedExchange shows in the POST-execution AQE plan
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
