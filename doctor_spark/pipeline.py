@@ -46,6 +46,70 @@ def _tolerate_own_output_corruption(spark: SparkSession):
         spark.conf.set(key, old)
 
 
+def resume_done_urls(
+    spark: SparkSession,
+    results_path: str,
+    pages: DataFrame,
+    *,
+    date_partitioned: bool = True,
+) -> DataFrame | None:
+    """The already-extracted url set for the resume anti-join, or None on
+    a fresh start.
+
+    Scale shape (the 10^12-row form):
+
+    - existence is probed by the parquet read itself — no driver-side
+      filesystem walk (``Path.glob`` is the wrong primitive on an object
+      store; a missing or _temporary-only table raises and means fresh
+      start).  A crash DURING the first write leaves files only under
+      _temporary/, which the read cannot see (underscore paths are
+      hidden) — treated as fresh start rather than failing on an
+      unreadable empty table.
+    - the done-set read is PARTITION-PRUNED to the input's crawl-date
+      range: the output table is hive-partitioned by crawl_date, so the
+      scan touches only the overlapping day directories
+      (``PartitionFilters`` in the plan) and the materialized url set is
+      bounded by the re-crawl window, not by the corpus's full history.
+      (An Iceberg manifest read replaces this 1:1 when the sink is an
+      Iceberg table.)
+    - resumability is file-granular: every fully-written part file holds
+      complete rows, so anti-joining against them is exactly-once per
+      url; an in-flight footer-less file from a crashed run is skipped
+      (corruption-tolerant scope) rather than failing resume.
+
+    The url set is localCheckpoint-materialized inside the corruption-
+    tolerant scope so the tolerant conf never applies to input scans;
+    after pruning its size is proportional to one crawl window.
+
+    Semantics: resume dedupes by url WITHIN the input's crawl-date range.
+    Re-running the same interrupted input skips everything already
+    written (dates identical); a url re-crawled later with a NEW warc_ts
+    outside the original window is re-extracted by design — its content
+    may have changed, and the date-partitioned output keeps both
+    observations."""
+    with _tolerate_own_output_corruption(spark):
+        try:
+            done = spark.read.parquet(results_path)
+        except Exception:
+            return None  # nothing committed yet (or _temporary-only)
+        if date_partitioned and "crawl_date" in done.columns:
+            try:
+                bounds = pages.select(
+                    F.date_format(F.min("warc_ts"), "yyyy-MM-dd").alias("lo"),
+                    F.date_format(F.max("warc_ts"), "yyyy-MM-dd").alias("hi"),
+                ).collect()[0]
+                if bounds["lo"] is not None:
+                    done = done.where(
+                        F.col("crawl_date").between(bounds["lo"], bounds["hi"])
+                    )
+            except Exception:
+                pass  # un-datable input: fall back to the unpruned set
+        try:
+            return done.select("url").localCheckpoint(eager=True)
+        except Exception:
+            return None  # only footer-less debris present: fresh start
+
+
 def run_extraction_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -88,33 +152,13 @@ def run_extraction_pipeline(
     scan_partitions = classified.rdd.getNumPartitions()
 
     already = 0
-    committed = [
-        p for p in Path(results_path).glob("**/*.parquet")
-        if "_temporary" not in p.parts
-    ]
-    if resume and committed:
-        # resumability is file-granular: every fully-written part file holds
-        # complete rows, so anti-joining against them is exactly-once per
-        # url; an in-flight file from a crashed run has no parquet footer
-        # and is skipped rather than failing resume.  A crash DURING the
-        # first write leaves files only under _temporary/, which the read
-        # cannot see (underscore paths are hidden) — treat that as a fresh
-        # start rather than failing on an unreadable empty table.
-        with _tolerate_own_output_corruption(spark):
-            # localCheckpoint materializes the url set NOW (inside the
-            # conf scope); the anti-join executes later, during the main
-            # write, where the corruption-tolerant conf must not apply to
-            # input scans
-            try:
-                done = (
-                    spark.read.parquet(results_path)
-                    .select("url")
-                    .localCheckpoint(eager=True)
-                )
-                already = done.count()
-            except Exception:
-                done = None  # only footer-less debris present: fresh start
+    if resume:
+        done = resume_done_urls(
+            spark, results_path, pages,
+            date_partitioned=(partition_output_by == "crawl_date"),
+        )
         if done is not None:
+            already = done.count()
             classified = classified.join(done, "url", "left_anti")
 
     target = num_partitions or max(

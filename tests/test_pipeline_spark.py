@@ -81,3 +81,49 @@ def test_resume_survives_crash_during_first_write(spark, tmp_path):
     summary = run_extraction_pipeline(spark, pages, str(out), run_id="r1")
     assert summary["total_rows"] == 120
     assert summary["resumed_skip"] == 0
+
+
+def test_resume_done_set_prunes_partitions(spark, tmp_path_factory):
+    """The resume done-set read must be partition-pruned to the input's
+    crawl-date range: the scan's PartitionFilters carries crawl_date, the
+    materialized url set is bounded by the re-crawl window (not the whole
+    output history), and no driver-side filesystem walk happens (a
+    missing table is probed by the read itself)."""
+    from doctor_spark.corpus import pages_dataframe
+    from doctor_spark.pipeline import resume_done_urls, run_extraction_pipeline
+
+    out = str(tmp_path_factory.mktemp("prune_resume"))
+    pages = pages_dataframe(spark, 120, partitions=2)
+    run_extraction_pipeline(spark, pages, out, run_id="pr")
+    results_path = f"{out}/extracted"
+    dates = sorted(
+        r.crawl_date
+        for r in spark.read.parquet(results_path)
+        .select("crawl_date").distinct().collect()
+    )
+    assert len(dates) > 1
+
+    # narrow input to ONE crawl day → done set must contain only that day
+    one_day = pages.where(
+        F.date_format("warc_ts", "yyyy-MM-dd") == dates[0]
+    )
+    done = resume_done_urls(spark, results_path, one_day)
+    n_day = spark.read.parquet(results_path).where(
+        F.col("crawl_date") == dates[0]
+    ).count()
+    assert done is not None and done.count() == n_day < 120
+
+    # the pruning must reach the SCAN as a partition filter (checked on
+    # the pre-checkpoint plan the pipeline builds)
+    with_filter = spark.read.parquet(results_path).where(
+        F.col("crawl_date").between(dates[0], dates[0])
+    ).select("url")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        with_filter._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:250]
+    assert "crawl_date" in seg, seg
+
+    # fresh start: probing a missing table returns None, never raises
+    assert resume_done_urls(spark, f"{out}/nope", pages) is None
