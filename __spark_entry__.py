@@ -573,6 +573,44 @@ def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones/SSNs/IPv4 → typed placeholders) — the
+    standard pre-training scrub, as whole-stage-codegen'd Column exprs
+    (zero shuffles, zero Python).  The synthetic documents carry no PII,
+    so the query plants deterministic PII derived from doc_id (mirrored
+    exactly in the oracle), then scrubs it."""
+    from doctor_spark.functions.text import pii_counts, scrub_pii
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" ssn 123-45-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" from 10.0."),
+                     (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    aug = d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                   planted.alias("text"))
+    counts = pii_counts(F.col("text"))
+    return aug.select(
+        "doc_id",
+        counts["email"].cast("bigint").alias("n_emails"),
+        counts["phone"].cast("bigint").alias("n_phones"),
+        counts["ssn"].cast("bigint").alias("n_ssns"),
+        counts["ip"].cast("bigint").alias("n_ips"),
+        F.md5(scrub_pii(F.col("text")).cast("binary")).alias("scrubbed_hash"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish token counts per document (token-budget
     accounting for training pipelines)."""
@@ -851,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "repetition_gopher": q_repetition_gopher,
         "line_dedup": q_line_dedup,
+        "pii_scrub": q_pii_scrub,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1431,6 +1470,36 @@ FROM sl
         "text_quality": _quality_sql(),
         "gopher_quality": _gopher_sql(),
         "repetition_gopher": _repetition_gopher_sql(),
+        "pii_scrub": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact user' || doc_id::VARCHAR || '@example.com or 555-010-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              || (CASE WHEN doc_id % 3 = 0
+                       THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       ELSE '' END)
+              || (CASE WHEN doc_id % 5 = 0
+                       THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+                       ELSE '' END) AS text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text,
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phones,
+       len(regexp_extract_all(text,
+           '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssns,
+       len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+         AS scrubbed_hash
+FROM aug
+""",
         "line_dedup": """
 WITH aug AS (
   SELECT doc_id,

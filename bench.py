@@ -159,11 +159,16 @@ def main() -> None:
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "embedding_neardup",
+        "line_dedup",
+        "pii_scrub",
         "text_quality",
+        "gopher_quality",
+        "repetition_gopher",
         "lang_id",
         "fingerprint",
         "ann_cosine_topk",
         "lsh_ann_topk",
+        "lsh_ann_corpus_topk",
         "events_daily",
         "events_user_topk",
         "lineitem_pricing",

@@ -317,6 +317,41 @@ def gopher_metrics_row(s: str | None) -> tuple:
 
 
 # --------------------------------------------------------------------------
+# PII scrubbing — the standard pre-training redaction pass (emails, phone
+# numbers, SSNs, IPv4s → typed placeholders).  Pure Column expressions
+# (regexp_replace/regexp_count chains, whole-stage codegen'd, zero
+# shuffles); patterns are written in the Java∩RE2 subset (no lookaround,
+# no backreferences) so the DuckDB oracle evaluates them identically.
+# Scrub ORDER is part of the contract: SSN before phone (both are dashed
+# digit groups; the \b guards keep them disjoint but order makes the
+# composition deterministic), then email, then IP.
+# --------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind match counts on the RAW text (before any replacement)."""
+    return {
+        kind: F.regexp_count(col, F.lit(pat)) for kind, pat, _tok in PII_PATTERNS
+    }
+
+
+def scrub_pii(col: Column) -> Column:
+    """Text with every PII match replaced by its typed placeholder, in the
+    fixed PII_PATTERNS order."""
+    out = col
+    for _kind, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+# --------------------------------------------------------------------------
 # Gopher repetition family (Rae et al. 2021 §A1.1): top {2,3,4}-gram and
 # duplicate {5..10}-gram character fractions.
 #

@@ -418,3 +418,34 @@ def test_lsh_corpus_ann_no_broadcast_keyed_joins(spark):
         assert "ReusedExchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pii_scrub_jvm_only_zero_shuffle(spark):
+    """PII scrubbing is pure Column expressions: whole-stage-codegen'd,
+    no Python nodes, no exchanges — a pure map at any corpus size."""
+    from doctor_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.co.uk now"),
+            (2, "call 555-010-1234 or 555.010.4321"),
+            (3, "ssn 123-45-6789 ip 10.0.0.7 v 1.2.3.4.5"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    counts = pii_counts(F.col("text"))
+    q = df.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("scrubbed"),
+        *[c.alias(k) for k, c in counts.items()],
+    )
+    assert_jvm_only(q)
+    assert count_exchanges(q) == 0
+    rows = {r.doc_id: r for r in q.collect()}
+    assert rows[1].scrubbed == "mail <EMAIL> now" and rows[1].email == 1
+    assert rows[2].scrubbed == "call <PHONE> or <PHONE>" and rows[2].phone == 2
+    assert rows[3].ssn == 1 and rows[3].scrubbed.startswith("ssn <SSN> ip <IP>")
+    # "1.2.3.4.5" — the \b-guarded IPv4 matches its leading 4 octets;
+    # documented greedy-left behavior shared by both engines
+    assert rows[4].scrubbed is None and rows[4].email is None
