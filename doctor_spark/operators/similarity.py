@@ -481,11 +481,19 @@ def lsh_ann_corpus_topk(
     stacked = stacked_lsh_buckets(df, dim, n_planes, n_tables, id_col, vec_col)
     left = stacked.select("table_no", "bucket", F.col("id").alias("query_id"))
     right = stacked.select("table_no", "bucket", F.col("id").alias("neighbor_id"))
-    pairs = (
+    # dedupe UNDIRECTED pairs (half the distinct's shuffle volume), then
+    # mirror map-side: the candidate relation is symmetric
+    undirected = (
         left.join(right, ["table_no", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        .where(F.col("query_id") < F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
+    )
+    pairs = undirected.unionByName(
+        undirected.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+        )
     )
     vec_d = F.col(vec_col).cast("array<double>")
     qv = df.select(F.col(id_col).alias("query_id"), vec_d.alias("va"))
