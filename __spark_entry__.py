@@ -573,6 +573,44 @@ def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-appendix / Dolma method): flag
+    training documents sharing any 8-token n-gram with an evaluation set.
+    The synthetic corpus has no real contamination, so the query derives
+    one deterministically — every doc_id % 50 == 0 document is "the
+    benchmark", and docs with doc_id % 10 == 3 leak the first 80 chars of
+    their block's benchmark doc into their text — mirrored exactly in the
+    oracle.  One keyed equi-join on md5(n-gram); no cross product."""
+    from doctor_spark.operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    bench = d.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    leak = bench.select(
+        F.col("bench_id").alias("leak_src"),
+        F.substring("text", 1, 80).alias("snippet"),
+    )
+    train = (
+        d.where(F.col("doc_id") % 50 != 0)
+        .withColumn("leak_src", F.col("doc_id") - (F.col("doc_id") % 50))
+        .join(leak, "leak_src", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 3) & F.col("snippet").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("snippet")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    out = decontaminate(train, bench, n=8)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.col("n_bench_docs").cast("bigint").alias("n_bench_docs"),
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails/phones/SSNs/IPv4 → typed placeholders) — the
     standard pre-training scrub, as whole-stage-codegen'd Column exprs
@@ -890,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_gopher": q_repetition_gopher,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1470,6 +1509,40 @@ FROM sl
         "text_quality": _quality_sql(),
         "gopher_quality": _gopher_sql(),
         "repetition_gopher": _repetition_gopher_sql(),
+        "decontaminate": r"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id % 50 = 0
+), train AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 3 AND b.text IS NOT NULL
+              THEN d.text || ' ' || substring(b.text, 1, 80)
+              ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN bench b ON b.bench_id = d.doc_id - (d.doc_id % 50)
+  WHERE d.text IS NOT NULL AND d.doc_id % 50 <> 0
+), tg AS (
+  SELECT doc_id, md5(unnest(list_distinct(list_transform(
+           range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))))) AS gh
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM train)
+  WHERE len(tk) >= 8
+), bg AS (
+  SELECT bench_id AS bid, md5(unnest(list_distinct(list_transform(
+           range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))))) AS gh
+  FROM (SELECT bench_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM bench)
+  WHERE len(tk) >= 8
+)
+SELECT t.doc_id::BIGINT AS doc_id,
+       count(DISTINCT t.gh)::BIGINT AS n_hits,
+       count(DISTINCT b.bid)::BIGINT AS n_bench_docs
+FROM tg t JOIN bg b ON t.gh = b.gh
+GROUP BY t.doc_id
+HAVING count(DISTINCT t.gh) >= 1
+""",
         "pii_scrub": r"""
 WITH aug AS (
   SELECT doc_id,

@@ -161,6 +161,7 @@ def main() -> None:
         "embedding_neardup",
         "line_dedup",
         "pii_scrub",
+        "decontaminate",
         "text_quality",
         "gopher_quality",
         "repetition_gopher",

@@ -609,3 +609,47 @@ def strip_common_lines(
             F.col("id").alias(id_col), "n_kept", "n_dropped", "text"
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    ``n``-token n-gram with an evaluation set (the GPT-3-appendix /
+    Dolma method; n=8 is the conventional window — long enough that a
+    collision implies copied text, short enough to catch partial
+    inclusions).
+
+    Returns one row per CONTAMINATED document: ``(id_col, n_hits,
+    n_bench_docs)`` — distinct colliding n-grams and distinct benchmark
+    documents hit.  Filter these ids out of the training corpus.
+
+    Plan shape: both sides explode to (md5(ngram), id) and meet in ONE
+    keyed equi-join on the hash — never a cross product; the benchmark
+    side is small in practice, so AQE broadcasts it when that is cheaper,
+    but nothing forces a broadcast (corpus-scale benchmark sets still
+    work as a shuffled join)."""
+    def grams(df, src_id, out_id):
+        return df.select(
+            F.col(src_id).alias(out_id),
+            F.explode(shingles(F.col(text_col), n)).alias("g"),
+        ).select(out_id, F.md5(F.col("g").cast("binary")).alias("gh"))
+
+    doc_grams = grams(docs, id_col, "id")
+    bench_grams = grams(benchmark, bench_id_col, "bid")
+    return (
+        doc_grams.join(bench_grams, "gh")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("gh").alias("n_hits"),
+            F.countDistinct("bid").alias("n_bench_docs"),
+        )
+        .where(F.col("n_hits") >= min_hits)
+        .select(F.col("id").alias(id_col), "n_hits", "n_bench_docs")
+    )

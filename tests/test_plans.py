@@ -449,3 +449,30 @@ def test_pii_scrub_jvm_only_zero_shuffle(spark):
     # "1.2.3.4.5" — the \b-guarded IPv4 matches its leading 4 octets;
     # documented greedy-left behavior shared by both engines
     assert rows[4].scrubbed is None and rows[4].email is None
+
+
+def test_decontaminate_flags_ngram_leaks(spark):
+    """A training doc containing any 8-token window of a benchmark doc is
+    flagged; clean docs are not; the match is a keyed equi-join (no
+    cross product in the plan)."""
+    from doctor_spark.operators.dedup import decontaminate
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "bench_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "clean document with entirely original words here okay"),
+            (2, "prefix words then alpha bravo charlie delta echo foxtrot golf hotel tail"),
+            (3, "only seven alpha bravo charlie delta echo foxtrot golf"),  # 7-gram: no
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in decontaminate(train, bench, n=8).collect()}
+    assert set(got) == {2}
+    assert got[2].n_hits == 1 and got[2].n_bench_docs == 1
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        decontaminate(train, bench, n=8)._jdf.queryExecution(), "simple"
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
