@@ -951,7 +951,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles (DuckDB SQL) — exact mirrors of the Spark expressions
 # --------------------------------------------------------------------------
 
-_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+# Java \s is [ \t\n\x0b\f\r]; RE2's \s EXCLUDES \x0b (vertical tab), so
+# every oracle regex spells the class out explicitly — a VT in a document
+# must tokenize identically on both engines (caught by the adversarial
+# differential test, not by the sf tables)
+_JAVA_WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
+_TOKS = f"regexp_split_to_array(trim(lower(text)), '{_JAVA_WS_CLASS}+')"
 
 _STOPS = {
     "en": "('the','and','of','to','in','is','that')",
@@ -1410,7 +1415,7 @@ GROUP BY lang, lang_guess
 
 
 _FP = (
-    "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+    f"md5(regexp_replace(trim(lower(text)), '{_JAVA_WS_CLASS}+', ' ', 'g'))"
 )
 
 
@@ -1486,7 +1491,7 @@ FROM walk GROUP BY doc_id
         "dedup_ngram_jaccard": _jaccard_sql(),
         "winnow_fingerprints": """
 WITH norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id, regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS t
   FROM documents
 ), g AS (
   SELECT doc_id,
@@ -1525,14 +1530,14 @@ WITH bench AS (
   SELECT doc_id, md5(unnest(list_distinct(list_transform(
            range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))))) AS gh
   FROM (SELECT doc_id,
-               regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS tk
         FROM train)
   WHERE len(tk) >= 8
 ), bg AS (
   SELECT bench_id AS bid, md5(unnest(list_distinct(list_transform(
            range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))))) AS gh
   FROM (SELECT bench_id,
-               regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS tk
         FROM bench)
   WHERE len(tk) >= 8
 )
@@ -1585,7 +1590,7 @@ WITH aug AS (
   SELECT doc_id, str_split(text, chr(10)) AS ls FROM aug
 ), lines AS (
   SELECT doc_id, e.pos AS pos, e.ln AS ln,
-         regexp_replace(trim(lower(e.ln)), '\\s+', ' ', 'g') AS norm
+         regexp_replace(trim(lower(e.ln)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS norm
   FROM (
     SELECT doc_id,
            unnest(list_transform(range(1, len(ls) + 1),
@@ -1627,7 +1632,8 @@ SELECT doc_id::BIGINT AS doc_id,
        (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)::BIGINT
          AS ws_tokens,
        len(regexp_extract_all(text,
-         '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+         '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+'
+         || '| ?[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+'
        ))::BIGINT AS bpe_tokens
 FROM documents
 """,

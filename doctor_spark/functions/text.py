@@ -96,9 +96,11 @@ def lang_guess(col: Column) -> Column:
 # GPT-2-style pre-tokenizer shape (public pattern family): contractions,
 # letter runs, digit runs, punctuation runs, whitespace runs — expressed in
 # RE2/Java-compatible syntax so the DuckDB oracle matches byte-for-byte
+# whitespace spelled out as the explicit Java class: RE2 (the DuckDB
+# oracle engine) excludes \x0b from \s, Java includes it
 BPE_TOKEN_PATTERN = (
     r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+"
 )
 
 

@@ -160,3 +160,60 @@ def test_lowercase_divergence_excluded_by_construction(spark):
     assert not any(
         ch in p["text"] for p in generate_pages(0, 300) for ch in divergent
     )
+
+
+ADVERSARIAL_QUERIES = [
+    "repetition_gopher", "gopher_quality", "token_stats", "fingerprint",
+    "line_dedup", "pii_scrub", "text_quality", "dedup_simhash",
+]
+
+
+@pytest.mark.parametrize("qname", ADVERSARIAL_QUERIES)
+def test_text_oracles_on_adversarial_corpus(spark, tmp_path, qname):
+    """Every text-based query vs its DuckDB oracle on adversarial strings
+    (the sf tables are too tame to stress tokenizer/rounding edges):
+    every whitespace class — including \x0b, which RE2's \s EXCLUDES and
+    Java's includes, the divergence this test originally caught — plus
+    single-token docs, coverage ties, unicode, NULLs, and highly
+    repetitive text."""
+    import random
+
+    nasty = [
+        None, "", " ", "\t\t", "a", "a a a a a a a a a a",
+        "x y x y x y x y x y x y",
+        "one two three four five six seven eight nine ten",
+        ("spam ham " * 30).strip(),
+        "tab\tand\nnewline\x0bvt\x0cff\rcr mix",
+        "ünïcode wörds ünïcode wörds ünïcode wörds",
+        " leading trailing ", "a  b   c    d",
+    ]
+    r = random.Random(7)
+    words = ["w%d" % i for i in range(6)] + ["the", "dup"]
+    for _ in range(60):
+        nasty.append(" ".join(r.choice(words) for _ in range(r.randint(0, 40))))
+    rows = [(i, t) for i, t in enumerate(nasty)]
+
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    # NaN vs None is a pandas representation detail, not a value diff:
+    # canonicalize BEFORE _normalize stringifies object columns
+    def canon(df):
+        return _normalize(
+            df.astype(object).map(lambda x: None if pd.isna(x) else x)
+        )
+
+    spark_pdf = canon(entry.queries()[qname](spark, sf).toPandas())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    oracle_pdf = canon(con.execute(entry.oracle_sql()[qname]).fetch_df())
+    assert list(spark_pdf.columns) == list(oracle_pdf.columns)
+    assert len(spark_pdf) == len(oracle_pdf)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)
