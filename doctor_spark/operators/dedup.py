@@ -428,10 +428,10 @@ def winnow_fingerprints(
     a keyed equi-join on fp."""
     import re as _re
 
-    # mirror the oracle's normalization exactly: DuckDB trim() strips
-    # spaces only, RE2 \s is [\t\n\f\r ] (python \s/.strip() are unicode
-    # and would diverge on NBSP/NEL/\x0b documents)
-    ws_re = _re.compile(r"[\t\n\f\r ]+")
+    # the engine-wide whitespace contract is Java's \s = [ \t\n\x0b\f\r]
+    # (python \s/.strip() are unicode and would diverge on NBSP/NEL); the
+    # oracle spells the same class out because RE2's \s EXCLUDES \x0b
+    ws_re = _re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf("array<struct<pos: int, fp: string>>")
     def winnow(texts: pd.Series) -> pd.Series:

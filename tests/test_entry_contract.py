@@ -165,6 +165,13 @@ def test_lowercase_divergence_excluded_by_construction(spark):
 ADVERSARIAL_QUERIES = [
     "repetition_gopher", "gopher_quality", "token_stats", "fingerprint",
     "line_dedup", "pii_scrub", "text_quality", "dedup_simhash",
+    # pair-generating dedup families: the nasty corpus plants exact dups,
+    # near-dups and whitespace-variant dups so the joins produce rows
+    "dedup_exact", "dedup_stats", "dedup_minhash_pairs",
+    "dedup_ngram_jaccard", "dedup_simhash_near", "dedup_components",
+    "winnow_fingerprints", "repetition_stats",
+    # (lang_id and doc_metrics_by_lang need the full table schema — they
+    # run on the sf tables in the main matrix above)
 ]
 
 
@@ -191,6 +198,16 @@ def test_text_oracles_on_adversarial_corpus(spark, tmp_path, qname):
     words = ["w%d" % i for i in range(6)] + ["the", "dup"]
     for _ in range(60):
         nasty.append(" ".join(r.choice(words) for _ in range(r.randint(0, 40))))
+    # planted duplicate structure for the pair queries
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    nasty += [
+        base,
+        base,                              # exact duplicate
+        base + " tail",                    # near-duplicate
+        base.replace(" ", "\t"),           # whitespace-variant (tab)
+        base.upper(),                      # case-variant
+        "  " + base + "  ",                # padding-variant
+    ]
     rows = [(i, t) for i, t in enumerate(nasty)]
 
     sf = str(tmp_path)
