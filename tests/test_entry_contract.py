@@ -177,7 +177,7 @@ ADVERSARIAL_QUERIES = [
 
 @pytest.mark.parametrize("qname", ADVERSARIAL_QUERIES)
 def test_text_oracles_on_adversarial_corpus(spark, tmp_path, qname):
-    """Every text-based query vs its DuckDB oracle on adversarial strings
+    r"""Every text-based query vs its DuckDB oracle on adversarial strings
     (the sf tables are too tame to stress tokenizer/rounding edges):
     every whitespace class — including \x0b, which RE2's \s EXCLUDES and
     Java's includes, the divergence this test originally caught — plus
