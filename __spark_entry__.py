@@ -573,6 +573,29 @@ def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (training-mix building block): a ~20%
+    sample plus a disjoint validation band from the same hashing, keyed
+    on md5 hex-prefix order — reproducible on any engine/cluster/retry,
+    zero shuffles (pure codegen'd filter over the scan)."""
+    from doctor_spark.operators.sampling import hash_sample, sample_bucket
+
+    d = _docs(spark, sf_dir)
+    train = hash_sample(d, key_col="doc_id", rate=0.2, salt="mix1").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit("train").alias("split"),
+        sample_bucket(F.col("doc_id"), "mix1").alias("bucket"),
+    )
+    val = hash_sample(
+        d, key_col="doc_id", salt="mix1", band=(0.2, 0.25)
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit("val").alias("split"),
+        sample_bucket(F.col("doc_id"), "mix1").alias("bucket"),
+    )
+    return train.unionByName(val)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3-appendix / Dolma method): flag
     training documents sharing any 8-token n-gram with an evaluation set.
@@ -929,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "corpus_sample": q_corpus_sample,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1514,6 +1538,18 @@ FROM sl
         "text_quality": _quality_sql(),
         "gopher_quality": _gopher_sql(),
         "repetition_gopher": _repetition_gopher_sql(),
+        "corpus_sample": """
+WITH b AS (
+  SELECT doc_id,
+         substring(md5('mix1' || doc_id::VARCHAR), 1, 4) AS bucket
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, 'train' AS split, bucket
+FROM b WHERE bucket >= '0000' AND bucket < printf('%04x', 13107)
+UNION ALL
+SELECT doc_id::BIGINT AS doc_id, 'val' AS split, bucket
+FROM b WHERE bucket >= printf('%04x', 13107) AND bucket < printf('%04x', 16384)
+""",
         "decontaminate": r"""
 WITH bench AS (
   SELECT doc_id AS bench_id, text FROM documents

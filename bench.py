@@ -162,6 +162,7 @@ def main() -> None:
         "line_dedup",
         "pii_scrub",
         "decontaminate",
+        "corpus_sample",
         "text_quality",
         "gopher_quality",
         "repetition_gopher",

@@ -476,3 +476,23 @@ def test_decontaminate_flags_ngram_leaks(spark):
         decontaminate(train, bench, n=8)._jdf.queryExecution(), "simple"
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_hash_sample_deterministic_zero_shuffle(spark):
+    """Deterministic sampling: JVM-only map (no exchange, no Python),
+    identical membership across runs and partition layouts, disjoint
+    bands carve disjoint splits, and the rate lands near nominal."""
+    from doctor_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 20_000).selectExpr("id AS url")
+    s1 = hash_sample(df, key_col="url", rate=0.1, salt="s")
+    assert_jvm_only(s1)
+    assert count_exchanges(s1) == 0
+    a = {r.url for r in s1.collect()}
+    b = {r.url for r in hash_sample(df.repartition(7), "url", 0.1, "s").collect()}
+    assert a == b  # layout-independent
+    assert abs(len(a) / 20_000 - 0.1) < 0.01
+    val = {r.url for r in hash_sample(df, "url", salt="s", band=(0.1, 0.15)).collect()}
+    assert a.isdisjoint(val)
+    other = {r.url for r in hash_sample(df, "url", 0.1, salt="other").collect()}
+    assert a != other  # a new salt draws an independent sample
