@@ -239,10 +239,6 @@ _REF_EXPECTED: list[tuple[str, str, str]] = [
      "Attorneys for AppelleeSteve Carter"),
     ("word-doc.doc", "page_count", "None"),
     ("word-perfect.wpd", "contains_attorney_for_appellant", "true"),
-    # cleaned-HTML length (reference golden is 14,259 after wpd2html+lxml;
-    # the residual is libwpd serialization framing — see
-    # tests/test_reference_fixtures.py for the char-by-char account)
-    ("word-perfect.wpd", "content_len", "11928"),
     ("recap_extract/gov.uscourts.azd.1085839.3.0.pdf",
      "recap_first_line_strip_margin", "1   WO"),
     ("recap_extract/gov.uscourts.cacd.652774.40.0.pdf",
@@ -262,17 +258,33 @@ _REF_EXPECTED: list[tuple[str, str, str]] = [
     ("x-ray/rectangles_no.pdf", "xray_found", "false"),
 ]
 
+# Known divergences from the upstream reference, pinned to the ENGINE'S
+# deterministic output so regressions are still caught, but explicitly NOT
+# reference goldens: (fixture, check, engine_value, reference_value).
+# word-perfect.wpd: cleaned-HTML length is 11,928 here vs the reference's
+# 14,259 (83.7%); the residual is libwpd serialization framing — see
+# tests/test_reference_fixtures.py for the char-by-char account.
+_ENGINE_DIVERGENCES: list[tuple[str, str, str, str]] = [
+    ("word-perfect.wpd", "content_len", "11928", "14259"),
+]
+
 
 def q_reference_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star gate: kernels over doctor's REAL fixture files, checked
     against the literal goldens of the reference's own test suite.  The
     oracle is those literals, so any regression on real-world documents
-    hash-mismatches here."""
+    hash-mismatches here.  Checks listed in ``_ENGINE_DIVERGENCES`` are
+    pinned to the engine's own deterministic value and carry
+    ``source='engine-divergence(...)'`` so a CORRECTNESS pass on them
+    reads as regression-pinning, never as reference parity."""
     import pandas as pd
 
     # read the fixture bytes ONCE on the driver and ship them as payload
     # columns — executors on a real cluster have no /root/reference
-    names = sorted({f for f, _c, _v in _REF_EXPECTED})
+    names = sorted(
+        {f for f, _c, _v in _REF_EXPECTED}
+        | {f for f, _c, _v, _r in _ENGINE_DIVERGENCES}
+    )
     rows = []
     for n in names:
         with open(f"{_REF_ASSETS}/{n}", "rb") as f:
@@ -280,6 +292,13 @@ def q_reference_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = spark.createDataFrame(
         rows, "fixture string, payload binary"
     ).repartition(8)
+
+    # (fixture, check) → source tag; closed over by value so executors
+    # never need the module global
+    div_note = {
+        (f, c): f"engine-divergence(reference={r})"
+        for f, c, _v, r in _ENGINE_DIVERGENCES
+    }
 
     def run(batches):
         from doctor_spark.kernels.docx import extract_from_docx_bytes
@@ -338,10 +357,15 @@ def q_reference_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "true" if "ATTORNEY FOR APPELLANT" in content
                                  else "false"))
                     rows.append((name, "content_len", str(len(content))))
-            yield pd.DataFrame(rows, columns=["fixture", "check", "value"])
+            out = pd.DataFrame(rows, columns=["fixture", "check", "value"])
+            out["source"] = [
+                div_note.get((f, c), "reference")
+                for f, c in zip(out["fixture"], out["check"])
+            ]
+            yield out
 
     return paths.mapInPandas(
-        run, schema="fixture string, check string, value string"
+        run, schema="fixture string, check string, value string, source string"
     )
 
 
@@ -1474,10 +1498,16 @@ UNION ALL SELECT 'https://pacer.test/doc4.pdf', '9', 1::BIGINT, 1::BIGINT,
             "SELECT ''::VARCHAR AS url, ''::VARCHAR AS content WHERE 1 = 0"
         ),
         "reference_fixtures": " UNION ALL ".join(
-            "SELECT '{}' AS fixture, '{}' AS \"check\", '{}' AS value".format(
-                f, c, v.replace("'", "''")
-            )
-            for f, c, v in _REF_EXPECTED
+            [
+                "SELECT '{}' AS fixture, '{}' AS \"check\", '{}' AS value,"
+                " 'reference' AS source".format(f, c, v.replace("'", "''"))
+                for f, c, v in _REF_EXPECTED
+            ]
+            + [
+                "SELECT '{}' AS fixture, '{}' AS \"check\", '{}' AS value,"
+                " 'engine-divergence(reference={})' AS source".format(f, c, v, r)
+                for f, c, v, r in _ENGINE_DIVERGENCES
+            ]
         ),
         "doc_metrics_by_lang": """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,

@@ -680,6 +680,51 @@ def _find_encrypt(
     return None
 
 
+def _encrypt_value_is_crypt_dict(data: bytes, vstart: int, objects) -> bool:
+    """True when the bytes after an ``/Encrypt`` key parse as a value that
+    resolves to a plausible encryption dictionary — an indirect reference
+    ``N G R`` to an object carrying standard-security-handler keys, or an
+    inline ``<< ... >>`` dict with them.  This is what separates a real
+    (but trailer-damaged) encrypted file from an unencrypted one that
+    merely carries the token in a string, comment, or unrelated dict."""
+    tail = data[vstart:vstart + 64]
+    m = re.match(rb"[\x00\t\n\x0c\r ]*(\d+)[\x00\t\n\x0c\r ]+\d+"
+                 rb"[\x00\t\n\x0c\r ]+R\b", tail)
+    if m:
+        obj = objects.get(int(m.group(1)))
+        attrs = obj.attrs if isinstance(obj, StreamObj) else obj
+        if isinstance(attrs, dict):
+            return ("O" in attrs and "U" in attrs) or "V" in attrs or \
+                str(attrs.get("Filter")) == "Standard"
+        return False
+    if re.match(rb"[\x00\t\n\x0c\r ]*<<", tail):
+        inline = data[vstart:vstart + 1024]
+        return (b"/O" in inline and b"/U" in inline) or b"/V" in inline or \
+            b"/Standard" in inline
+    return False
+
+
+def _in_trailer_or_xref_dict(data: bytes, pos: int) -> bool:
+    """True when the byte at ``pos`` lies in a region where an /Encrypt
+    key is structurally meaningful: a classic ``trailer`` dictionary
+    (between the keyword and the following ``startxref``) or an XRef
+    stream's object dictionary (between ``N G obj`` and its ``stream``
+    keyword, with ``/XRef`` in the dict).  ISO 32000-1 §7.5.5 / §7.5.8."""
+    t = data.rfind(b"trailer", max(0, pos - 4096), pos)
+    if t != -1 and data.find(b"startxref", t, pos) == -1:
+        return True
+    o = data.rfind(b"obj", max(0, pos - 4096), pos)
+    if o != -1:
+        stop = data.find(b"stream", o, pos + 4096)
+        if stop == -1:
+            stop = data.find(b"endobj", o, pos + 4096)
+        if stop == -1:
+            stop = pos + 4096
+        if stop > pos and b"/XRef" in data[o:stop]:
+            return True
+    return False
+
+
 def _decrypt_streams(
     data: bytes,
     objects,
@@ -697,12 +742,22 @@ def _decrypt_streams(
         # /Encrypt present but no parseable trailer/xref Encrypt dict
         # (e.g. damaged trailer on an encrypted file): proceeding would
         # interpret still-encrypted streams as plaintext and emit garbage
-        # rows that poison dedup fingerprints downstream.  Occurrences
-        # inside stream payloads (an unencrypted doc carrying an encrypted
-        # attachment) are fine — only out-of-stream markers fail closed.
+        # rows that poison dedup fingerprints downstream.  Only markers in
+        # the places the spec puts the Encrypt entry fail closed — after a
+        # ``trailer`` keyword or inside an XRef-stream object dict.
+        # Occurrences inside stream payloads (an unencrypted doc carrying
+        # an encrypted attachment), string objects, comments, or ordinary
+        # content dicts are NOT encryption and must extract normally —
+        # fail closed only when the marker sits where the spec puts the
+        # Encrypt entry (trailer / XRef-stream dict) or its value resolves
+        # to an actual encryption dictionary (trailer keyword damaged).
         spans = stream_spans or []
         for m in re.finditer(rb"/Encrypt[\x00\t\n\x0c\r (/<\[]", data):
-            if not any(s <= m.start() < e for s, e in spans):
+            pos = m.start()
+            if any(s <= pos < e for s, e in spans):
+                continue  # inside a stream payload: not a trailer
+            if _in_trailer_or_xref_dict(data, pos) or \
+                    _encrypt_value_is_crypt_dict(data, pos + 8, objects):
                 raise PdfParseError(
                     "encrypted document with unparseable trailer"
                 )

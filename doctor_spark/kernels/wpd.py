@@ -207,7 +207,9 @@ def _tokenize(data: bytes, pos: int, n: int) -> list[tuple]:
                     ev.append(("font_change",))
                 elif sub == 0x5F:
                     ev.append(("lang",))
-            elif b == 0xD7 and sub == 0x00:  # footnote anchor
+            elif b == 0xD7 and sub == 0x00 and size >= 8:  # footnote anchor
+                # size >= 8 guarantees flags (pos+4), numPIDs (pos+5) and
+                # the first PID u16 (pos+6..7) all lie inside the group
                 flags = data[pos + 4]
                 if flags & 0x80 and data[pos + 5] >= 1:
                     (pid,) = struct.unpack_from("<H", data, pos + 6)
@@ -439,7 +441,7 @@ def extract_from_wpd_bytes(data: bytes,
 
     try:
         html = wpd_to_html(data, opts)
-    except WpdParseError as exc:
+    except (WpdParseError, IndexError, struct.error, ValueError) as exc:
         return "", f"wpd parse failure: {exc}", 1
     return "<div>" + clean_html(html) + "</div>", "", 0
 

@@ -503,6 +503,14 @@ def ngram_jaccard_pairs(
     semantics for library callers; scale call sites must opt into the cap
     explicitly (the entry-point query passes 100).
 
+    .. versionchanged:: round 3
+       **Breaking**: ``max_shingle_df`` defaulted to 1000 before round 3;
+       it now defaults to None (exact semantics).  Callers that relied on
+       the implicit boilerplate cap to avoid near-quadratic hot-shingle
+       buckets at scale MUST now pass a finite cap themselves — on a
+       web-scale corpus an uncapped hot shingle (e.g. a footer shared by
+       10^6 docs) turns the self-join quadratic.
+
     Plan shape: shingling runs in ONE Arrow batch kernel (the equivalent
     higher-order Catalyst expression is interpreted at ~1 ms/row and gets
     re-inlined into both join branches), behind one exchange on shingle

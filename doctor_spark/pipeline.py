@@ -23,6 +23,7 @@ import json
 import time
 from pathlib import Path
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .corpus import pages_dataframe
@@ -44,6 +45,32 @@ def _tolerate_own_output_corruption(spark: SparkSession):
         yield
     finally:
         spark.conf.set(key, old)
+
+
+# Error classes that mean "no committed output exists yet" — a missing
+# results path or a directory holding only hidden/_temporary debris (so
+# schema inference finds no data files).  ANY other failure (transient
+# object-store IO, permission denied, corrupt manifest) must propagate:
+# treating it as fresh-start would skip the anti-join and double-write
+# every previously committed row into the append-mode sink.
+_FRESH_START_ERROR_CLASSES = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+
+
+def _is_fresh_start_error(exc: BaseException) -> bool:
+    if not isinstance(exc, AnalysisException):
+        return False
+    cls = None
+    get = getattr(exc, "getErrorClass", None)
+    if callable(get):
+        try:
+            cls = get()
+        except Exception:
+            cls = None
+    if cls is not None:
+        return cls in _FRESH_START_ERROR_CLASSES
+    msg = str(exc)
+    return any(tag in msg for tag in _FRESH_START_ERROR_CLASSES) or \
+        "Path does not exist" in msg or "Unable to infer schema" in msg
 
 
 def resume_done_urls(
@@ -90,8 +117,10 @@ def resume_done_urls(
     with _tolerate_own_output_corruption(spark):
         try:
             done = spark.read.parquet(results_path)
-        except Exception:
-            return None  # nothing committed yet (or _temporary-only)
+        except Exception as exc:
+            if _is_fresh_start_error(exc):
+                return None  # nothing committed yet (or _temporary-only)
+            raise  # transient IO / permission error: abort, don't double-write
         if date_partitioned and "crawl_date" in done.columns:
             try:
                 bounds = pages.select(
@@ -104,10 +133,11 @@ def resume_done_urls(
                     )
             except Exception:
                 pass  # un-datable input: fall back to the unpruned set
-        try:
-            return done.select("url").localCheckpoint(eager=True)
-        except Exception:
-            return None  # only footer-less debris present: fresh start
+        # ignoreCorruptFiles (scoped above) makes the scan skip footer-less
+        # in-flight debris; if ALL files were debris, schema inference
+        # already raised UNABLE_TO_INFER_SCHEMA and was handled as fresh
+        # start.  A failure here is a real job error — propagate it.
+        return done.select("url").localCheckpoint(eager=True)
 
 
 def run_extraction_pipeline(

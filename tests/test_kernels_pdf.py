@@ -593,6 +593,30 @@ class TestEncryptedPdf:
         content, err, rc = extract_pdf_layout_text(spliced)
         assert "unparseable trailer" not in err
 
+    def test_encrypt_token_in_comment_or_plain_dict_extracts(self):
+        """An UNencrypted document carrying '/Encrypt' out-of-stream — in
+        a comment, a string object, or a non-crypt dict — must extract
+        normally: the fail-closed scan only fires in trailer/XRef regions
+        or when the value resolves to a real encryption dict."""
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+        from doctor_spark.kernels.pdfwriter import (
+            PageSpec,
+            build_pdf,
+            text_to_lines,
+        )
+
+        plain = build_pdf([PageSpec(lines=text_to_lines("Visible body"))])
+        for marker in (
+            b"% note: /Encrypt (not really)\n",
+            b"7 0 obj\n<< /Notes (/Encrypt <as text>) >>\nendobj\n",
+            b"8 0 obj\n<< /Encrypt /SomeName >>\nendobj\n",
+        ):
+            # insert BEFORE the first object, outside every stream span
+            i = plain.index(b"1 0 obj")
+            spliced = plain[:i] + marker + plain[i:]
+            content, err, rc = extract_pdf_layout_text(spliced)
+            assert rc == 0 and "Visible body" in content, (marker, err)
+
 
 class TestProportionalLayout:
     """Glyph-accurate layout regressions: TJ kerning must not split words,

@@ -79,6 +79,27 @@ class TestWpdRoundTrip:
         content, _, rc = extract_from_wpd_bytes(bytes(raw))
         assert rc == 0 and "before after" in content
 
+    def test_truncated_footnote_group_at_buffer_end(self):
+        """A 0xD7 footnote group whose declared size (5-7 bytes) is too
+        short to hold flags/numPIDs/PID, sitting at the very end of the
+        buffer, must not crash the parser (advisor r3: IndexError/
+        struct.error escaped extract_from_wpd_bytes)."""
+        base = build_wpd("body text")
+        for size in (5, 6, 7):
+            grp = bytes([0xD7, 0x00]) + size.to_bytes(2, "little")
+            grp = grp + bytes([0x80] * (size - len(grp) - 1)) + bytes([0xD7])
+            assert len(grp) == size
+            content, err, rc = extract_from_wpd_bytes(base + grp)
+            # either parses (group skipped) or errs cleanly — never raises
+            assert rc in (0, 1)
+            if rc == 0:
+                assert "body text" in content
+        # and the direct-caller path must not leak IndexError either
+        try:
+            wpd_plain_text(base + bytes([0xD7, 0x00, 0x05, 0x00, 0xD7]))
+        except Exception as exc:
+            assert "wpd parse failure" in str(exc)
+
     def test_undo_region_dropped(self):
         # text between undo type-0 and type-1 groups is deleted revision
         # history (libwpd drops it); [F1 type level:u16 F1]

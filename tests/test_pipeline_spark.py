@@ -83,6 +83,25 @@ def test_resume_survives_crash_during_first_write(spark, tmp_path):
     assert summary["resumed_skip"] == 0
 
 
+def test_resume_probe_errors_propagate(spark, tmp_path):
+    """Only missing-path / no-data-files reads mean fresh start.  Any
+    OTHER probe failure (here: an unknown filesystem scheme standing in
+    for a transient object-store error) must PROPAGATE — treating it as
+    fresh start would skip the anti-join and double-write every
+    previously committed row (advisor r3)."""
+    import pytest
+
+    from doctor_spark.corpus import pages_dataframe
+    from doctor_spark.pipeline import resume_done_urls
+
+    pages = pages_dataframe(spark, 10, partitions=1)
+    # missing path → fresh start (None)
+    assert resume_done_urls(spark, str(tmp_path / "never_written"), pages) is None
+    # unreadable filesystem → propagate, never silently fresh-start
+    with pytest.raises(Exception):
+        resume_done_urls(spark, "bogus-fs://bucket/extracted", pages)
+
+
 def test_resume_done_set_prunes_partitions(spark, tmp_path_factory):
     """The resume done-set read must be partition-pruned to the input's
     crawl-date range: the scan's PartitionFilters carries crawl_date, the
