@@ -46,6 +46,8 @@ import zlib
 from dataclasses import dataclass, field
 from typing import Callable, NamedTuple
 
+import numpy as np
+
 # fixed-pitch font model shared with pdfwriter: glyph advance = 0.6 * size
 CHAR_WIDTH_FACTOR = 0.6
 X_DENSITY = 7.2   # one text column, points (pdfplumber layout default 7.25≈)
@@ -402,7 +404,7 @@ class Page:
     width: float
     height: float
     runs: list[TextRun] = field(default_factory=list)
-    chars: list["Char"] = field(default_factory=list)
+    chars: "CharArray" = field(default_factory=lambda: _empty_chars())
     images: list[ImageInfo] = field(default_factory=list)
     annot_subtypes: list[str] = field(default_factory=list)
     curve_count: int = 0
@@ -865,9 +867,8 @@ def _mat_translate(m, tx, ty):
 
 
 class Char(NamedTuple):
-    """One positioned glyph in device space (real-PDF layout path).
-    NamedTuple: C-level construction — this is built once per glyph and
-    was the third-hottest line of the interpreter profile."""
+    """One positioned glyph in device space (kept for API compatibility;
+    the hot path now stores glyphs columnar in :class:`CharArray`)."""
 
     text: str
     x0: float
@@ -876,6 +877,116 @@ class Char(NamedTuple):
     size: float
     skewed: bool
     fontname: str
+
+
+class CharArray:
+    """Columnar per-page glyph store (real-PDF layout path).
+
+    Replaces ``list[Char]``: one flat list of glyph texts plus float64
+    numpy arrays of device-space positions.  Built by
+    :class:`_CharCollector`, which defers ALL position arithmetic out of
+    the interpreter's per-glyph loop into one vectorized pass per page —
+    elementwise numpy ops in the same IEEE order as the old scalar chain,
+    so extracted text stays byte-identical.  Per round-3 profiling the
+    per-glyph ``Char`` construction alone was ~7% of wall."""
+
+    __slots__ = ("text", "x0", "x1", "y", "size", "skewed", "_isspace")
+
+    def __init__(self, text, x0, x1, y, size, skewed):
+        self.text = text          # list[str], all non-empty
+        self.x0 = x0              # np.float64[n]
+        self.x1 = x1
+        self.y = y                # device baseline, bottom-up
+        self.size = size
+        self.skewed = skewed      # np.bool_[n]
+        self._isspace = None
+
+    def __len__(self) -> int:
+        return len(self.text)
+
+    def isspace_mask(self):
+        """Per-glyph ``str.isspace()`` — computed once, reused by every
+        layout engine on the page."""
+        m = self._isspace
+        if m is None:
+            m = np.fromiter(
+                (t.isspace() for t in self.text), dtype=bool,
+                count=len(self.text),
+            )
+            self._isspace = m
+        return m
+
+    def subset(self, mask) -> "CharArray":
+        idx = np.flatnonzero(mask)
+        sub = CharArray(
+            [self.text[i] for i in idx.tolist()],
+            self.x0[idx], self.x1[idx], self.y[idx],
+            self.size[idx], self.skewed[idx],
+        )
+        if self._isspace is not None:
+            sub._isspace = self._isspace[idx]
+        return sub
+
+
+_EMPTY_F64 = np.empty(0, dtype=np.float64)
+_EMPTY_BOOL = np.empty(0, dtype=bool)
+
+
+def _empty_chars() -> CharArray:
+    return CharArray([], _EMPTY_F64, _EMPTY_F64, _EMPTY_F64, _EMPTY_F64,
+                     _EMPTY_BOOL)
+
+
+class _CharCollector:
+    """Accumulates glyphs during content-stream interpretation.
+
+    The interpreter appends, per glyph, only (text, cum, width) — the
+    text-space x displacement before the glyph and its advance width,
+    both with Tz folded in — plus one segment record per show op carrying
+    the device matrix terms.  ``finalize`` reconstructs device positions
+    in one vectorized pass:
+
+        x0 = base_x + cum * ma        (scalar chain: base_x + cum * ma)
+        x1 = x0 + width * ma          (scalar: x0 + (w_text*Tz) * ma)
+        y  = base_y + cum * mb
+
+    elementwise float64 — identical IEEE rounding to the per-glyph scalar
+    code it replaces."""
+
+    __slots__ = ("texts", "cums", "wths", "seg_end", "seg_meta")
+
+    def __init__(self):
+        self.texts: list[str] = []
+        self.cums: list[float] = []
+        self.wths: list[float] = []
+        self.seg_end: list[int] = []       # cumulative glyph count
+        self.seg_meta: list[tuple] = []    # (bx, by, ma, mb, size, skew)
+
+    def close_segment(self, bx: float, by: float, ma: float, mb: float,
+                      size: float, skew: bool) -> None:
+        n = len(self.texts)
+        if n > (self.seg_end[-1] if self.seg_end else 0):
+            self.seg_end.append(n)
+            self.seg_meta.append((bx, by, ma, mb, size, skew))
+
+    def finalize(self) -> CharArray:
+        if not self.texts:
+            return _empty_chars()
+        cum = np.asarray(self.cums, dtype=np.float64)
+        wth = np.asarray(self.wths, dtype=np.float64)
+        ends = np.asarray(self.seg_end, dtype=np.int64)
+        counts = np.diff(ends, prepend=0)
+        meta = np.asarray(self.seg_meta, dtype=np.float64)
+        bx = np.repeat(meta[:, 0], counts)
+        by = np.repeat(meta[:, 1], counts)
+        ma = np.repeat(meta[:, 2], counts)
+        mb = np.repeat(meta[:, 3], counts)
+        size = np.repeat(meta[:, 4], counts)
+        skew = np.repeat(meta[:, 5] != 0.0, counts)
+        x0 = bx + cum * ma
+        x1 = x0 + wth * ma
+        y = by + cum * mb
+        return CharArray(self.texts, x0, x1, y, size, skew)
 
 
 _CONTENT_TOKEN = re.compile(
@@ -900,7 +1011,8 @@ _EI_RE = re.compile(rb"\sEI(?=[\s<\[/%(]|$)")
 # of real-PDF interpretation time, almost all of it under TJ arrays.
 _TJ_TOK = re.compile(
     rb"""[\x00\t\n\x0c\r ]*
-      (?:(?P<str>\()
+      (?:(?P<sstr>\([^()\\\r]*\))   # simple literal: no escapes/nesting
+        |(?P<str>\()
         |(?P<hex><(?!<))
         |(?P<close>\])
         |(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
@@ -921,7 +1033,13 @@ def _parse_tj_array(lex, content: bytes, start: int):
         if m is None:
             return None
         g = m.lastgroup
-        if g == "str":
+        if g == "sstr":
+            # escape-free literal: the bytes between the parens verbatim
+            # (same result as _parse_string's no-escape fast path)
+            s, e = m.span("sstr")
+            items.append(content[s + 1:e - 1])
+            pos = m.end()
+        elif g == "str":
             lex.pos = m.end() - 1
             try:
                 items.append(lex._parse_string())
@@ -966,10 +1084,11 @@ def _interpret_content(
     depth: int = 0,
     ctm0=_IDENT,
     font_cache: dict | None = None,
-) -> tuple[list[TextRun], list[Char], int, list[tuple[float, float, float, float]]]:
+    collector: "_CharCollector | None" = None,
+) -> tuple[list[TextRun], "_CharCollector", int, list[tuple[float, float, float, float]]]:
     """Execute the text subset of a content stream.
 
-    Returns (runs, chars, curve_op_count, black_filled_rects).  Unknown
+    Returns (runs, char_collector, curve_op_count, black_filled_rects).  Unknown
     operators are ignored; the operand stack is cleared per operator like a
     real interpreter.  Filled near-black rectangles are tracked for the
     bad-redaction detector (reference tasks.py:134-152).
@@ -988,7 +1107,7 @@ def _interpret_content(
     composed into the CTM (bounded depth).
     """
     runs: list[TextRun] = []
-    chars: list[Char] = []
+    col = collector if collector is not None else _CharCollector()
     curves = 0
     black_rects: list[tuple[float, float, float, float]] = []
     pending_rects: list[tuple[float, float, float, float]] = []
@@ -1038,20 +1157,21 @@ def _interpret_content(
                 # phantom column gaps mid-sentence)
                 w_text = CHAR_WIDTH_FACTOR * size
                 eff = size * abs(m[3]) if m[3] else size
-                skew = m[1] != 0
+                wth = w_text * t_h
+                texts_append = col.texts.append
+                cums_append = col.cums.append
+                wths_append = col.wths.append
                 for gi, ch in enumerate(text):
-                    x0 = m[4] + gi * w_text * t_h * m[0]
-                    chars.append(
-                        Char(ch, x0, x0 + w_text * t_h * m[0],
-                             m[5] + gi * w_text * t_h * m[1],
-                             eff, skew, fontname)
-                    )
+                    texts_append(ch)
+                    cums_append(gi * w_text * t_h)
+                    wths_append(wth)
+                col.close_segment(m[4], m[5], m[0], m[1], eff, m[1] != 0)
             tm = _mat_translate(tm, len(text) * CHAR_WIDTH_FACTOR * size, 0.0)
             return
-        # glyph-accurate path: one matrix product per show op, glyph
-        # origins advanced incrementally (translate-then-multiply equals
-        # origin + cum·(a,b) exactly)
-        pieces: list[str] = []
+        # glyph-accurate path: one matrix product per show op; glyph
+        # positions deferred to _CharCollector.finalize (origin + cum·
+        # (a,b), vectorized page-wide with identical IEEE order).  The
+        # per-glyph loop is one layout-table index + one float add.
         two_byte = font.two_byte
         m = _mat_mul(tm, ctm)
         ma, mb, md = m[0], m[1], m[3]
@@ -1060,51 +1180,151 @@ def _interpret_content(
         eff_size = size * abs(md) if md else size
         skew = mb != 0
         cum = 0.0  # text-space x displacement within this show op
-        chars_append = chars.append
-        pieces_append = pieces.append
+        texts = col.texts
+        seg_start = len(texts)
+        texts_append = texts.append
+        cums_append = col.cums.append
+        wths_append = col.wths.append
         if not two_byte:
-            # hot loop: memoized decode table, no generator frames
-            tbl = font.table1()
+            # hot loop: per-(size,Tz) table bakes in the width arithmetic
+            # (bit-identical chain — see Font.layout_table); Tc/Tw stay
+            # in-loop because kerned docs reset them per show op
+            tbl = font.layout_table(size, t_h)
             for code in raw:
-                text, w1000 = tbl[code]
-                w_text = w1000 / 1000.0 * size
+                text, w_text, wth = tbl[code]
                 disp = w_text + t_c
                 if code == 32:
                     disp += t_w
                 if text:
-                    x0 = base_x + cum * ma
-                    chars_append(
-                        Char(text, x0, x0 + w_text * t_h * ma,
-                             base_y + cum * mb, eff_size, skew, fontname)
-                    )
-                    pieces_append(text)
+                    texts_append(text)
+                    cums_append(cum)
+                    wths_append(wth)
                 cum += disp * t_h
         else:
-            for text, w1000, code in font.decode(raw):
-                w_text = w1000 / 1000.0 * size
+            tbl2 = font.layout_table2(size, t_h)
+            to_uni = font.to_unicode
+            widths = font.widths
+            default_w = font.default_width
+            for i2 in range(0, len(raw) - 1, 2):
+                code = (raw[i2] << 8) | raw[i2 + 1]
+                e2 = tbl2.get(code)
+                if e2 is None:
+                    text = to_uni.get(code)
+                    if text is None:
+                        text = "" if code == 0 else "�"
+                    w_text = widths.get(code, default_w) / 1000.0 * size
+                    e2 = (text, w_text, w_text * t_h)
+                    tbl2[code] = e2
+                text, w_text, wth = e2
                 disp = w_text + t_c
                 if text:
-                    x0 = base_x + cum * ma
-                    chars_append(
-                        Char(text, x0, x0 + w_text * t_h * ma,
-                             base_y + cum * mb, eff_size, skew, fontname)
-                    )
-                    pieces_append(text)
+                    texts_append(text)
+                    cums_append(cum)
+                    wths_append(wth)
                 cum += disp * t_h
         tm = _mat_translate(tm, cum, 0.0)
-        if pieces:
+        if len(texts) > seg_start:
+            col.close_segment(base_x, base_y, ma, mb, eff_size, skew)
             runs.append(
-                TextRun(text="".join(pieces), x=m[4], y=m[5],
+                TextRun(text="".join(texts[seg_start:]), x=m[4], y=m[5],
                         size=size, skewed=skew, fontname=fontname)
             )
 
     def show_tj_array(arr) -> None:
         nonlocal tm
+        font = slot.font if slot is not None else None
+        if not emit_chars or font is None or not font.has_metrics:
+            for item in arr:
+                if isinstance(item, bytes):
+                    show(item)
+                elif isinstance(item, (int, float)):
+                    tm = _mat_translate(tm, -item / 1000.0 * size * t_h, 0.0)
+            return
+        # fused fast path (metric fonts — the kerned-court-document
+        # shape): within one TJ array only tm's e/f terms change
+        # (translations), so the device a/b/c/d terms, the layout table
+        # and the local bindings are computed ONCE for the whole array
+        # instead of once per kern fragment.  Every float op below is the
+        # _mat_translate/_mat_mul/show chain verbatim, same order.
+        tm_a, tm_b, tm_c, tm_d, tm_e, tm_f = tm
+        ca_, cb_, cc_, cd_, ce_, cf_ = ctm
+        ma = tm_a * ca_ + tm_b * cc_
+        mb = tm_a * cb_ + tm_b * cd_
+        mc = tm_c * ca_ + tm_d * cc_
+        md = tm_c * cb_ + tm_d * cd_
+        eff_size = size * abs(md) if md else size
+        skew = mb != 0
+        rise_x = rise * mc
+        rise_y = rise * md
+        two_byte = font.two_byte
+        if two_byte:
+            tbl2 = font.layout_table2(size, t_h)
+            to_uni = font.to_unicode
+            widths = font.widths
+            default_w = font.default_width
+        else:
+            tbl = font.layout_table(size, t_h)
+        texts = col.texts
+        texts_append = texts.append
+        cums_append = col.cums.append
+        wths_append = col.wths.append
+        seg_end = col.seg_end
+        seg_meta = col.seg_meta
+        runs_append = runs.append
+        tc, tw, th = t_c, t_w, t_h
         for item in arr:
             if isinstance(item, bytes):
-                show(item)
+                me = tm_e * ca_ + tm_f * cc_ + ce_
+                mf = tm_e * cb_ + tm_f * cd_ + cf_
+                base_x = me + rise_x
+                base_y = mf + rise_y
+                seg_start = len(texts)
+                cum = 0.0
+                if two_byte:
+                    for i2 in range(0, len(item) - 1, 2):
+                        code = (item[i2] << 8) | item[i2 + 1]
+                        e2 = tbl2.get(code)
+                        if e2 is None:
+                            text = to_uni.get(code)
+                            if text is None:
+                                text = "" if code == 0 else "�"
+                            w_text = widths.get(code, default_w) / 1000.0 * size
+                            e2 = (text, w_text, w_text * th)
+                            tbl2[code] = e2
+                        text, w_text, wth = e2
+                        disp = w_text + tc
+                        if text:
+                            texts_append(text)
+                            cums_append(cum)
+                            wths_append(wth)
+                        cum += disp * th
+                else:
+                    for code in item:
+                        text, w_text, wth = tbl[code]
+                        disp = w_text + tc
+                        if code == 32:
+                            disp += tw
+                        if text:
+                            texts_append(text)
+                            cums_append(cum)
+                            wths_append(wth)
+                        cum += disp * th
+                # tm = _mat_translate(tm, cum, 0.0): e/f only, with the
+                # 0.0*c / 0.0*d terms kept for bit-exact zero signs
+                tm_e = cum * tm_a + 0.0 * tm_c + tm_e
+                tm_f = cum * tm_b + 0.0 * tm_d + tm_f
+                if len(texts) > seg_start:
+                    seg_end.append(len(texts))
+                    seg_meta.append((base_x, base_y, ma, mb, eff_size, skew))
+                    runs_append(
+                        TextRun(text="".join(texts[seg_start:]), x=me, y=mf,
+                                size=size, skewed=skew, fontname=fontname)
+                    )
             elif isinstance(item, (int, float)):
-                tm = _mat_translate(tm, -item / 1000.0 * size * t_h, 0.0)
+                tx = -item / 1000.0 * size * th
+                tm_e = tx * tm_a + 0.0 * tm_c + tm_e
+                tm_f = tx * tm_b + 0.0 * tm_d + tm_f
+        tm = (tm_a, tm_b, tm_c, tm_d, tm_e, tm_f)
 
     while pos < n:
         m = _CONTENT_TOKEN.search(content, pos)
@@ -1158,27 +1378,38 @@ def _interpret_content(
         op = m.group()
         pos = m.end()
         try:
-            if op == b"Tf" and len(stack) >= 2:
+            # dispatch ordered by measured op frequency on the reference
+            # fixtures (TJ/Tc/Tw/Tm dominate kerned court documents)
+            if op == b"TJ" and stack and isinstance(stack[-1], list):
+                show_tj_array(stack[-1])
+            elif op == b"Tc" and stack:
+                t_c = float(stack[-1])
+            elif op == b"Tw" and stack:
+                t_w = float(stack[-1])
+            elif op == b"Tm" and len(stack) >= 6:
+                tm = tuple(float(v) for v in stack[-6:])
+                lm = tm
+            elif op == b"BT":
+                tm = _IDENT
+                lm = _IDENT
+            elif op == b"ET":
+                pass
+            elif op == b"Tj" and stack:
+                show(stack[-1])
+            elif op == b"Td" and len(stack) >= 2:
+                lm = _mat_translate(lm, float(stack[-2]), float(stack[-1]))
+                tm = lm
+            elif op == b"Tf" and len(stack) >= 2:
                 size = float(stack[-1])
                 alias = str(stack[-2])
                 slot = fonts.get(alias)
                 fontname = slot.name if slot is not None else alias
-            elif op == b"Tm" and len(stack) >= 6:
-                tm = tuple(float(v) for v in stack[-6:])
-                lm = tm
-            elif op == b"Td" and len(stack) >= 2:
-                lm = _mat_translate(lm, float(stack[-2]), float(stack[-1]))
-                tm = lm
             elif op == b"TD" and len(stack) >= 2:
                 leading = -float(stack[-1])
                 lm = _mat_translate(lm, float(stack[-2]), float(stack[-1]))
                 tm = lm
             elif op == b"TL" and stack:
                 leading = float(stack[-1])
-            elif op == b"Tc" and stack:
-                t_c = float(stack[-1])
-            elif op == b"Tw" and stack:
-                t_w = float(stack[-1])
             elif op == b"Tz" and stack:
                 t_h = float(stack[-1]) / 100.0
             elif op == b"Ts" and stack:
@@ -1186,11 +1417,6 @@ def _interpret_content(
             elif op == b"T*":
                 lm = _mat_translate(lm, 0.0, -leading)
                 tm = lm
-            elif op == b"BT":
-                tm = _IDENT
-                lm = _IDENT
-            elif op == b"ET":
-                pass
             elif op == b"q":
                 # the graphics state includes the text-state parameters
                 # (ISO 32000-1 §8.4.1): font, sizes and spacings restore
@@ -1206,8 +1432,6 @@ def _interpret_content(
             elif op == b"cm" and len(stack) >= 6:
                 mat = tuple(float(v) for v in stack[-6:])
                 ctm = _mat_mul(mat, ctm)
-            elif op == b"Tj" and stack:
-                show(stack[-1])
             elif op == b"'" and stack:
                 lm = _mat_translate(lm, 0.0, -leading)
                 tm = lm
@@ -1218,8 +1442,6 @@ def _interpret_content(
                 lm = _mat_translate(lm, 0.0, -leading)
                 tm = lm
                 show(stack[-1])
-            elif op == b"TJ" and stack and isinstance(stack[-1], list):
-                show_tj_array(stack[-1])
             elif op in (b"c", b"v", b"y"):
                 curves += 1
             elif op == b"rg" and len(stack) >= 3:
@@ -1251,17 +1473,17 @@ def _interpret_content(
             elif op == b"Do" and stack and objects is not None and depth < 4:
                 curves += _do_xobject(
                     str(stack[-1]), resources, objects, ctm, emit_chars,
-                    depth, runs, chars, black_rects, font_cache,
+                    depth, runs, col, black_rects, font_cache,
                 )
         except (TypeError, ValueError):
             pass
         stack.clear()
 
-    return runs, chars, curves, black_rects
+    return runs, col, curves, black_rects
 
 
 def _do_xobject(
-    alias, resources, objects, ctm, emit_chars, depth, runs, chars,
+    alias, resources, objects, ctm, emit_chars, depth, runs, collector,
     black_rects, font_cache=None,
 ) -> int:
     """Execute a Form XObject's content with its /Matrix composed in.
@@ -1286,13 +1508,12 @@ def _do_xobject(
     except (PdfParseError, zlib.error, ValueError):
         return 0
     sub_fonts = _build_fonts(sub_res, objects, font_cache)
-    r, c, curves, b = _interpret_content(
+    r, _c, curves, b = _interpret_content(
         payload, sub_fonts, emit_chars=emit_chars, objects=objects,
         resources=sub_res, depth=depth + 1, ctm0=sub_ctm,
-        font_cache=font_cache,
+        font_cache=font_cache, collector=collector,
     )
     runs.extend(r)
-    chars.extend(c)
     black_rects.extend(b)
     return curves
 
@@ -1475,11 +1696,12 @@ def parse_pdf(data: bytes, max_pages: int | None = None) -> PdfDocument:
                     pass
         # media-box translation: device origin at the box corner
         ctm0 = (1.0, 0.0, 0.0, 1.0, -x0_m, -y0_m) if (x0_m or y0_m) else _IDENT
-        runs, chars, curves, black_rects = _interpret_content(
+        runs, col, curves, black_rects = _interpret_content(
             b"\n".join(content_parts), fonts, emit_chars=emit_chars,
             objects=objects, resources=res, ctm0=ctm0,
             font_cache=font_cache,
         )
+        chars = col.finalize()
 
         # images (XObjects in resources)
         images: list[ImageInfo] = []
@@ -1582,23 +1804,35 @@ def layout_page_text(
 
 
 def _chars_to_lines(
-    chars: list[Char], page_height: float, tol_factor: float = 0.5,
+    ca: CharArray, page_height: float, tol_factor: float = 0.5,
     abs_tol: float = 2.0,
-) -> list[tuple[float, list[Char]]]:
+):
     """Cluster chars into visual lines by baseline (top-based), tolerance
     ``max(abs_tol, tol_factor * char size)`` — poppler's maxIntraLineDelta
-    analog."""
-    if not chars:
-        return []
-    items = sorted(chars, key=lambda c: (page_height - c.y, c.x0))
-    lines: list[tuple[float, list[Char]]] = []
-    for c in items:
-        top = page_height - c.y
-        if lines and top - lines[-1][0] <= max(abs_tol, tol_factor * c.size):
-            lines[-1][1].append(c)
-        else:
-            lines.append((top, [c]))
-    return lines
+    analog.
+
+    Columnar: returns (order, line_bounds) where ``order`` is the
+    permutation sorting chars by (top, x0) (np.lexsort — stable, same
+    order as the old ``sorted`` on key tuples) and ``line_bounds`` is a
+    list of (line_top, start, end) index ranges into that order."""
+    if not len(ca):
+        return None, []
+    top = page_height - ca.y
+    order = np.lexsort((ca.x0, top))
+    tops = top[order].tolist()
+    sizes = ca.size[order].tolist()
+    bounds: list[tuple[float, int, int]] = []
+    cur_top = tops[0]
+    start = 0
+    for i in range(1, len(tops)):
+        t = tops[i]
+        if t - cur_top <= max(abs_tol, tol_factor * sizes[i]):
+            continue
+        bounds.append((cur_top, start, i))
+        cur_top = t
+        start = i
+    bounds.append((cur_top, start, len(tops)))
+    return order, bounds
 
 
 # pdftotext -layout column cell, as a fraction of the line's smallest
@@ -1619,18 +1853,27 @@ def poppler_layout_text(page: Page) -> str:
     fragment is column-positioned linearly in x (half-em cell, origin at
     the page's minimum x).  Kerning-sized gaps (< 0.3 em) never split a
     word — the 'TARRA NT' failure mode of run-based layout."""
-    all_chars = [c for c in page.chars if c.text]
-    solid = [c for c in all_chars if not c.text.isspace()]
-    if not solid:
+    ca = page.chars
+    space = ca.isspace_mask()
+    if not len(ca) or bool(space.all()):
         return ""
-    x_min = min(c.x0 for c in solid)
-    lines = _chars_to_lines(all_chars, page.height)
+    x_min = float(ca.x0[~space].min())
+    order, bounds = _chars_to_lines(ca, page.height)
+    # materialize the sorted columns once as plain lists — the per-line
+    # loops below then index python floats/strs, not numpy scalars
+    s_text = [ca.text[i] for i in order.tolist()]
+    s_x0 = ca.x0[order].tolist()
+    s_x1 = ca.x1[order].tolist()
+    s_size = ca.size[order].tolist()
+    s_space = space[order].tolist()
     out: list[str] = []
     prev_top: float | None = None
     prev_size = 12.0
-    for top, line_chars in lines:
-        cs = [c for c in sorted(line_chars, key=lambda c: c.x0)]
-        sizes = [c.size for c in cs if not c.text.isspace()]
+    for top, lo, hi in bounds:
+        # within-line order: stable sort by x0 alone (matches the old
+        # ``sorted(line_chars, key=c.x0)`` over (top,x0)-ordered input)
+        idx = sorted(range(lo, hi), key=s_x0.__getitem__)
+        sizes = [s_size[i] for i in idx if not s_space[i]]
         if not sizes:
             continue
         if prev_top is not None:
@@ -1646,23 +1889,24 @@ def poppler_layout_text(page: Page) -> str:
         # then group words into fragments (break at gap > 1.5 em)
         frags: list[tuple[float, list[str]]] = []
         space_pending = False
-        prev = None
-        for cur2 in cs:
-            if cur2.text.isspace():
+        prev_x1: float | None = None
+        for i in idx:
+            if s_space[i]:
                 space_pending = True
                 continue
+            cx0 = s_x0[i]
             if not frags:
-                frags.append((cur2.x0, [cur2.text]))
+                frags.append((cx0, [s_text[i]]))
             else:
-                gap_x = cur2.x0 - prev.x1 if prev is not None else 0.0
-                if gap_x > 1.5 * cur2.size:
-                    frags.append((cur2.x0, [cur2.text]))
-                elif space_pending or gap_x > 0.3 * cur2.size:
+                gap_x = cx0 - prev_x1 if prev_x1 is not None else 0.0
+                if gap_x > 1.5 * s_size[i]:
+                    frags.append((cx0, [s_text[i]]))
+                elif space_pending or gap_x > 0.3 * s_size[i]:
                     frags[-1][1].append(" ")
-                    frags[-1][1].append(cur2.text)
+                    frags[-1][1].append(s_text[i])
                 else:
-                    frags[-1][1].append(cur2.text)
-            prev = cur2
+                    frags[-1][1].append(s_text[i])
+            prev_x1 = s_x1[i]
             space_pending = False
 
         buf: list[str] = []
@@ -1710,53 +1954,60 @@ def plumber_layout_text(
     lines by top with tolerance 5; blank lines per 25 pt of vertical gap;
     a word placed at-or-before the current column gets a single space.
     """
-    chars = page.chars
-    if drop_skewed:
-        chars = [c for c in chars if not c.skewed]
+    ca = page.chars
+    if drop_skewed and len(ca):
+        ca = ca.subset(~ca.skewed)
     y_shift = 0.0
     if crop_band is not None:
-        lo, hi = crop_band
-        chars = [c for c in chars if lo <= (page.height - c.y) <= hi]
-        y_shift = lo
-    if not chars:
+        lo_b, hi_b = crop_band
+        if len(ca):
+            top_all = page.height - ca.y
+            ca = ca.subset((top_all >= lo_b) & (top_all <= hi_b))
+        y_shift = lo_b
+    if not len(ca):
         return ""
 
     # words: pdfplumber WordExtractor(keep_blank_chars=True) — split on
     # x-gaps > x_tolerance or vertical jumps; blanks stay inside words
-    items = sorted(chars, key=lambda c: (page.height - c.y, c.x0))
-    words: list[list[Char]] = []
-    cur: list[Char] = []
-    for c in items:
-        if cur:
-            prev = cur[-1]
-            same_line = abs((page.height - c.y) - (page.height - prev.y)) <= y_tolerance
-            if not same_line or c.x0 > prev.x1 + PLUMBER_X_TOLERANCE or c.x0 < prev.x0:
-                words.append(cur)
-                cur = []
-        cur.append(c)
-    if cur:
-        words.append(cur)
+    top = page.height - ca.y
+    order = np.lexsort((ca.x0, top))
+    s_text = [ca.text[i] for i in order.tolist()]
+    s_x0 = ca.x0[order].tolist()
+    s_x1 = ca.x1[order].tolist()
+    s_top = top[order].tolist()
+    s_space = ca.isspace_mask()[order].tolist()
+    n = len(s_text)
+    # word boundaries as index ranges into the sorted order
+    words: list[tuple[int, int]] = []
+    start = 0
+    for i in range(1, n):
+        same_line = abs(s_top[i] - s_top[i - 1]) <= y_tolerance
+        if (not same_line or s_x0[i] > s_x1[i - 1] + PLUMBER_X_TOLERANCE
+                or s_x0[i] < s_x0[i - 1]):
+            words.append((start, i))
+            start = i
+    words.append((start, n))
 
     # drop whitespace-only words (pdfplumber keeps blank chars inside
     # words, but a bare run of spaces produces no visible word)
-    words = [w for w in words if any(not c.text.isspace() for c in w)]
+    words = [w for w in words if not all(s_space[i] for i in range(*w))]
     if not words:
         return ""
 
     # cluster words into lines by doctop of the word's first char
-    words.sort(key=lambda w: (page.height - w[0].y, w[0].x0))
-    lines: list[tuple[float, list[list[Char]]]] = []
+    words.sort(key=lambda w: (s_top[w[0]], s_x0[w[0]]))
+    lines: list[tuple[float, list[tuple[int, int]]]] = []
     for w in words:
-        top = page.height - w[0].y
-        if lines and top - lines[-1][0] <= y_tolerance:
+        w_top = s_top[w[0]]
+        if lines and w_top - lines[-1][0] <= y_tolerance:
             lines[-1][1].append(w)
         else:
-            lines.append((top, [w]))
+            lines.append((w_top, [w]))
 
     out: list[str] = []
     num_newlines = 0
-    for i, (top, line_words) in enumerate(lines):
-        y_dist = (top - y_shift) / y_density
+    for i, (line_top, line_words) in enumerate(lines):
+        y_dist = (line_top - y_shift) / y_density
         # prepend >= min(1, i) by construction; for i == 0 the leading
         # blank lines are COUNTED but not emitted — pdfplumber emits them
         # and the pipeline strips them again via remove_excess_whitespace,
@@ -1767,12 +2018,12 @@ def plumber_layout_text(
         num_newlines += prepend
         line_len = 0
         buf: list[str] = []
-        for w in sorted(line_words, key=lambda w: w[0].x0):
-            x_dist = w[0].x0 / PLUMBER_X_DENSITY
+        for w in sorted(line_words, key=lambda w: s_x0[w[0]]):
+            x_dist = s_x0[w[0]] / PLUMBER_X_DENSITY
             n_sp = max(min(1, line_len), _plumber_round(x_dist) - line_len)
             buf.append(" " * n_sp)
             line_len += n_sp
-            text = "".join(c.text for c in w)
+            text = "".join(s_text[w[0]:w[1]])
             buf.append(text)
             line_len += len(text)
         out.append("".join(buf))

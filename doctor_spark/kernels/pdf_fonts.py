@@ -86,6 +86,7 @@ class Font:
     has_metrics: bool = False  # real /Widths (or /W) present
     fixed_pitch_600: bool = False  # Courier-family / synthetic-corpus model
     _tbl1: list | None = field(default=None, repr=False, compare=False)
+    _ltbl: dict = field(default_factory=dict, repr=False, compare=False)
 
     def table1(self) -> list:
         """Memoized single-byte decode table: code → (text, width).  The
@@ -105,6 +106,46 @@ class Font:
                         text = ""
                 tbl.append((text, self.widths.get(code, self.default_width)))
             self._tbl1 = tbl
+        return tbl
+
+    def layout_table(self, size: float, t_h: float) -> list:
+        """Memoized per-(size, Tz) layout table: code → (text, w_text,
+        glyph_width) with the size/Tz arithmetic baked in: ``w_text =
+        w1000 / 1000.0 * size`` and ``width = w_text * Tz``.  Tc/Tw stay
+        OUT of the table — documents kern by resetting Tc per show op, so
+        a Tc-keyed cache would miss on almost every call (measured), and
+        IEEE ordering forbids factoring them out of ``(w_text+Tc)*Tz``.
+        Cached on the font, which persists across a document's pages via
+        font_cache, so a 30-page brief builds each table once."""
+        key = (size, t_h)
+        tbl = self._ltbl.get(key)
+        if tbl is None:
+            if len(self._ltbl) > 64:  # hostile doc cycling text states
+                self._ltbl.clear()
+            base = self.table1()
+            tbl = []
+            for code in range(256):
+                text, w1000 = base[code]
+                w_text = w1000 / 1000.0 * size
+                tbl.append((text, w_text, w_text * t_h))
+            self._ltbl[key] = tbl
+        return tbl
+
+    def layout_table2(self, size: float, t_h: float) -> dict:
+        """Two-byte (CID) analog of :meth:`layout_table`: a lazily-filled
+        dict code → (text, w_text, width) memoizing the decode+width
+        arithmetic per glyph code actually seen.  The caller fills
+        misses with exactly the scalar chain: ``text =
+        to_unicode.get(code)`` (``""`` for 0, ``"�"`` otherwise when
+        absent); ``w_text = widths.get(code, default_width) / 1000.0 *
+        size``; ``width = w_text * Tz``."""
+        key = (size, t_h, 2)
+        tbl = self._ltbl.get(key)
+        if tbl is None:
+            if len(self._ltbl) > 64:
+                self._ltbl.clear()
+            tbl = {}
+            self._ltbl[key] = tbl
         return tbl
 
     def decode(self, raw: bytes):
