@@ -125,13 +125,15 @@ def main() -> None:
             ref_assets.glob("*.doc*"),
         ):
             payloads.append((f"https://real.test/{p.name}", p.read_bytes()))
-        # 40 replicas: at 8 the wall was dominated by the ~1.4 s Spark
-        # job overhead (160 docs finish in ~0.3 s of compute at 32 cores),
-        # hiding kernel throughput changes entirely
+        # 160 replicas: measured in round 4, at 40 replicas the wall was
+        # ~60% scheduler/Arrow overhead + straggler tail (a 1.63x kernel
+        # speedup moved the metric 3%); at 160 the run is compute-bound
+        # and kernel changes show through (within-session A/B: 329 → 402
+        # docs/s for the same change that was invisible at 40)
         replicas = [
             (f"{url}?copy={i}", data)
             for url, data in payloads
-            for i in range(40)
+            for i in range(160)
         ]
         real_df = (
             spark.createDataFrame(replicas, "url string, html binary")
@@ -196,6 +198,13 @@ def main() -> None:
                 "cpus": cpus,
                 "docs_per_sec": round(n_docs / timings["extract"], 1),
                 "real_docs_per_sec": real_docs_per_sec,
+                # measurement caveats (BENCH/BASELINE.md §2d): local[32]
+                # on a 32-CPU box oversubscribes (driver JVM + 32 Python
+                # workers), and this box's walls drift ±40% under
+                # sustained/competing load — compare runs within one
+                # session or on a cold box, never raw across rounds
+                "caveats": "local[N=cpus] oversubscription + thermal "
+                           "drift; see BENCH/BASELINE.md §2d",
             }
         )
     )

@@ -227,54 +227,113 @@ class _Lexer:
             else:
                 return
 
+    # ws/comment skip + token class in ONE regex — parse_value is called
+    # ~45k times per document batch and the _skip_ws + startswith chain
+    # was a measured hotspot.  Alternation order mirrors the old dispatch
+    # exactly (ref before bare number, keywords before numbers).
+    _VALUE_RE = re.compile(
+        rb"""(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*
+          (?:(?P<dict><<)
+            |(?P<hex><)
+            |(?P<str>\()
+            |(?P<name>/)
+            |(?P<arr>\[)
+            |(?P<true>true)|(?P<false>false)|(?P<null>null)
+            |(?P<ref>(?P<rnum>\d+)\s+(?P<rgen>\d+)\s+R\b)
+            |(?P<num>[+-]?\d*\.?\d+)
+          )""",
+        re.VERBOSE,
+    )
+
     def parse_value(self):
-        self._skip_ws()
-        d, p = self.data, self.pos
-        if p >= len(d):
-            raise PdfParseError("eof")
-        c = d[p]
-        if d.startswith(b"<<", p):
-            return self._parse_dict()
-        if c == 0x3C:  # '<' hex string
-            return self._parse_hex_string()
-        if c == 0x28:  # '('
-            return self._parse_string()
-        if c == 0x2F:  # '/'
+        m = self._VALUE_RE.match(self.data, self.pos)
+        if m is None:
+            self._skip_ws()
+            if self.pos >= len(self.data):
+                raise PdfParseError("eof")
+            raise PdfParseError(
+                f"bad token at {self.pos}: "
+                f"{self.data[self.pos:self.pos + 20]!r}"
+            )
+        g = m.lastgroup
+        if g == "num":
+            self.pos = m.end()
+            tok = m.group("num")
+            return float(tok) if b"." in tok else int(tok)
+        if g == "ref":
+            self.pos = m.end()
+            return Ref(int(m.group("rnum")), int(m.group("rgen")))
+        if g == "name":
+            self.pos = m.end() - 1
             return self._parse_name()
-        if c == 0x5B:  # '['
+        if g == "str":
+            self.pos = m.end() - 1
+            return self._parse_string()
+        if g == "dict":
+            self.pos = m.end() - 2
+            return self._parse_dict()
+        if g == "arr":
+            self.pos = m.end() - 1
             return self._parse_array()
-        if d.startswith(b"true", p):
-            self.pos = p + 4
+        if g == "hex":
+            self.pos = m.end() - 1
+            return self._parse_hex_string()
+        self.pos = m.end()
+        if g == "true":
             return True
-        if d.startswith(b"false", p):
-            self.pos = p + 5
+        if g == "false":
             return False
-        if d.startswith(b"null", p):
-            self.pos = p + 4
-            return None
-        return self._parse_number_or_ref()
+        return None  # null
 
     _NAME_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+    # raw bytes → Name memo: /Type, /Length, /Font etc. repeat tens of
+    # thousands of times per document; interning also makes later dict
+    # hashing cheaper.  Bounded for hostile inputs.
+    _NAME_CACHE: dict[bytes, "Name"] = {}
 
     def _parse_name(self) -> Name:
         self.pos += 1
         m = self._NAME_RE.match(self.data, self.pos)
         self.pos = m.end()
         raw = m.group()
+        cache = self._NAME_CACHE
+        name = cache.get(raw)
+        if name is not None:
+            return name
         # #xx escapes
         if b"#" in raw:
-            raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw)
-        return Name(raw.decode("latin-1"))
+            decoded = re.sub(
+                rb"#([0-9A-Fa-f]{2})",
+                lambda m: bytes([int(m.group(1), 16)]), raw,
+            )
+        else:
+            decoded = raw
+        name = Name(decoded.decode("latin-1"))
+        if len(cache) < 4096:
+            cache[raw] = name
+        return name
+
+    _DICT_TOK = re.compile(
+        rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*(?:(?P<end>>>)|(?P<name>/))"
+    )
 
     def _parse_dict(self) -> dict:
         self.pos += 2
         out: dict = {}
+        data = self.data
         while True:
-            self._skip_ws()
-            if self.data.startswith(b">>", self.pos):
-                self.pos += 2
+            m = self._DICT_TOK.match(data, self.pos)
+            if m is None:
+                # same failure shape as the old _parse_name_at_cursor
+                self._skip_ws()
+                if self.pos >= len(data):
+                    raise IndexError("eof in dict")
+                raise PdfParseError(f"expected name at {self.pos}")
+            if m.lastgroup == "end":
+                self.pos = m.end()
                 return out
-            key = self._parse_name_at_cursor()
+            self.pos = m.end() - 1
+            key = self._parse_name()
             val = self.parse_value()
             out[str(key)] = val
 
@@ -284,8 +343,21 @@ class _Lexer:
             raise PdfParseError(f"expected name at {self.pos}")
         return self._parse_name()
 
+    # all-numeric array (the /Widths, kern and matrix shape): one regex +
+    # findall instead of a parse_value call per element.  Anything else
+    # (refs, names, nested) fails the match and takes the generic loop.
+    _NUMARR_RE = re.compile(  # atomic number tokens: no backtracking blowup
+        rb"(?:[\x00\t\n\x0c\r ]*(?>[+-]?\d*\.?\d+))*[\x00\t\n\x0c\r ]*\]"
+    )
+    _NUM_TOK_RE = re.compile(rb"[+-]?\d*\.?\d+")
+
     def _parse_array(self) -> list:
         self.pos += 1
+        m = self._NUMARR_RE.match(self.data, self.pos)
+        if m is not None:
+            toks = self._NUM_TOK_RE.findall(self.data, self.pos, m.end() - 1)
+            self.pos = m.end()
+            return [float(t) if b"." in t else int(t) for t in toks]
         out = []
         while True:
             self._skip_ws()
@@ -910,7 +982,7 @@ class CharArray:
         m = self._isspace
         if m is None:
             m = np.fromiter(
-                (t.isspace() for t in self.text), dtype=bool,
+                map(str.isspace, self.text), dtype=bool,
                 count=len(self.text),
             )
             self._isspace = m
@@ -991,13 +1063,13 @@ class _CharCollector:
 
 _CONTENT_TOKEN = re.compile(
     rb"""
-      (?P<str>\()                       # string start
+      (?P<num>[+-]?\d*\.?\d+)           # most frequent token first
+    | (?P<op>[A-Za-z'"*]{1,3})
+    | (?P<name>/[^\s()<>\[\]{}/%]*)
+    | (?P<arr>\[)                       # array start
+    | (?P<str>\()                       # string start
     | (?P<dict><<)                      # inline dict (BDC/DP operands)
     | (?P<hex><)                        # hex string
-    | (?P<arr>\[)                       # array start
-    | (?P<name>/[^\s()<>\[\]{}/%]*)
-    | (?P<num>[+-]?\d*\.?\d+)
-    | (?P<op>[A-Za-z'"*]{1,3})
     """,
     re.VERBOSE,
 )
@@ -1011,11 +1083,12 @@ _EI_RE = re.compile(rb"\sEI(?=[\s<\[/%(]|$)")
 # of real-PDF interpretation time, almost all of it under TJ arrays.
 _TJ_TOK = re.compile(
     rb"""[\x00\t\n\x0c\r ]*
-      (?:(?P<sstr>\([^()\\\r]*\))   # simple literal: no escapes/nesting
+      (?:(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))  # kern numbers: most frequent
+        |(?P<sstr>\([^()\\\r]*\))   # simple literal: no escapes/nesting
         |(?P<str>\()
+        |(?P<shex><[0-9A-Fa-f\s]*>) # plain hex string
         |(?P<hex><(?!<))
         |(?P<close>\])
-        |(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
         |(?P<comment>%[^\r\n]*)
       )""",
     re.VERBOSE,
@@ -1033,11 +1106,26 @@ def _parse_tj_array(lex, content: bytes, start: int):
         if m is None:
             return None
         g = m.lastgroup
-        if g == "sstr":
+        if g == "num":
+            tok = m.group("num")
+            items.append(float(tok) if b"." in tok else int(tok))
+            pos = m.end()
+        elif g == "sstr":
             # escape-free literal: the bytes between the parens verbatim
             # (same result as _parse_string's no-escape fast path)
             s, e = m.span("sstr")
             items.append(content[s + 1:e - 1])
+            pos = m.end()
+        elif g == "shex":
+            # plain hex string: same result as _parse_hex_string
+            s, e = m.span("shex")
+            hx = re.sub(rb"\s", b"", content[s + 1:e - 1])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                items.append(bytes.fromhex(hx.decode()))
+            except ValueError:
+                return None
             pos = m.end()
         elif g == "str":
             lex.pos = m.end() - 1
@@ -1055,10 +1143,6 @@ def _parse_tj_array(lex, content: bytes, start: int):
             pos = lex.pos
         elif g == "close":
             return items, m.end()
-        elif g == "num":
-            tok = m.group("num")
-            items.append(float(tok) if b"." in tok else int(tok))
-            pos = m.end()
         else:  # comment
             pos = m.end()
     return None
@@ -1331,48 +1415,50 @@ def _interpret_content(
         if not m:
             break
         g = m.lastgroup
-        if g == "str":
-            lex.pos = m.start()
-            stack.append(lex._parse_string())
-            pos = lex.pos
+        # frequency order: numbers ≫ operators ≫ arrays/names ≫ strings
+        if g == "num":
+            tok = m.group()
+            stack.append(float(tok) if b"." in tok else int(tok))
+            pos = m.end()
             continue
-        if g == "dict":
+        if g != "op":
+            if g == "arr":
+                fast = _parse_tj_array(lex, content, m.start())
+                if fast is not None:
+                    stack.append(fast[0])
+                    pos = fast[1]
+                    continue
+                lex.pos = m.start()
+                try:
+                    stack.append(lex._parse_array())
+                    pos = lex.pos
+                except (PdfParseError, IndexError):
+                    pos = m.end()
+                continue
+            if g == "name":
+                stack.append(m.group()[1:].decode("latin-1"))
+                pos = m.end()
+                continue
+            if g == "str":
+                lex.pos = m.start()
+                stack.append(lex._parse_string())
+                pos = lex.pos
+                continue
+            if g == "hex":
+                lex.pos = m.start()
+                try:
+                    stack.append(lex._parse_hex_string())
+                    pos = lex.pos
+                except (PdfParseError, IndexError, ValueError):
+                    pos = m.end()
+                continue
+            # dict
             lex.pos = m.start()
             try:
                 stack.append(lex.parse_value())
                 pos = lex.pos
             except (PdfParseError, IndexError, ValueError):
                 pos = m.end()
-            continue
-        if g == "hex":
-            lex.pos = m.start()
-            try:
-                stack.append(lex._parse_hex_string())
-                pos = lex.pos
-            except (PdfParseError, IndexError, ValueError):
-                pos = m.end()
-            continue
-        if g == "arr":
-            fast = _parse_tj_array(lex, content, m.start())
-            if fast is not None:
-                stack.append(fast[0])
-                pos = fast[1]
-                continue
-            lex.pos = m.start()
-            try:
-                stack.append(lex._parse_array())
-                pos = lex.pos
-            except (PdfParseError, IndexError):
-                pos = m.end()
-            continue
-        if g == "name":
-            stack.append(m.group()[1:].decode("latin-1"))
-            pos = m.end()
-            continue
-        if g == "num":
-            tok = m.group()
-            stack.append(float(tok) if b"." in tok else int(tok))
-            pos = m.end()
             continue
 
         op = m.group()
@@ -1819,14 +1905,17 @@ def _chars_to_lines(
         return None, []
     top = page_height - ca.y
     order = np.lexsort((ca.x0, top))
-    tops = top[order].tolist()
-    sizes = ca.size[order].tolist()
+    tops_arr = top[order]
+    tops = tops_arr.tolist()
+    # per-char threshold max(abs_tol, tol_factor*size), vectorized (same
+    # float ops elementwise as the old per-char max())
+    thr = np.maximum(abs_tol, tol_factor * ca.size[order]).tolist()
     bounds: list[tuple[float, int, int]] = []
     cur_top = tops[0]
     start = 0
     for i in range(1, len(tops)):
         t = tops[i]
-        if t - cur_top <= max(abs_tol, tol_factor * sizes[i]):
+        if t - cur_top <= thr[i]:
             continue
         bounds.append((cur_top, start, i))
         cur_top = t
@@ -1861,18 +1950,25 @@ def poppler_layout_text(page: Page) -> str:
     order, bounds = _chars_to_lines(ca, page.height)
     # materialize the sorted columns once as plain lists — the per-line
     # loops below then index python floats/strs, not numpy scalars
+    x0_arr = ca.x0[order]
     s_text = [ca.text[i] for i in order.tolist()]
-    s_x0 = ca.x0[order].tolist()
+    s_x0 = x0_arr.tolist()
     s_x1 = ca.x1[order].tolist()
     s_size = ca.size[order].tolist()
     s_space = space[order].tolist()
+    # within-line order: stable sort by x0 alone (matches the old
+    # ``sorted(line_chars, key=c.x0)`` over (top,x0)-ordered input) —
+    # done for ALL lines in one stable lexsort keyed (line_id, x0)
+    line_ids = np.repeat(
+        np.arange(len(bounds)),
+        np.asarray([hi - lo for _t, lo, hi in bounds]),
+    )
+    perm2 = np.lexsort((x0_arr, line_ids)).tolist()
     out: list[str] = []
     prev_top: float | None = None
     prev_size = 12.0
     for top, lo, hi in bounds:
-        # within-line order: stable sort by x0 alone (matches the old
-        # ``sorted(line_chars, key=c.x0)`` over (top,x0)-ordered input)
-        idx = sorted(range(lo, hi), key=s_x0.__getitem__)
+        idx = perm2[lo:hi]
         sizes = [s_size[i] for i in idx if not s_space[i]]
         if not sizes:
             continue

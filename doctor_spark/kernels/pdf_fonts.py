@@ -75,6 +75,13 @@ def glyph_to_unicode(name: str) -> str:
     return ""
 
 
+# shared single-byte decode base: cp1252, undecodable codes → ""
+_CP1252_TEXTS: list = []
+for _code in range(256):
+    _t = bytes([_code]).decode("cp1252", errors="replace")
+    _CP1252_TEXTS.append("" if _t == "�" else _t)
+
+
 @dataclass
 class Font:
     name: str = ""
@@ -92,19 +99,24 @@ class Font:
         """Memoized single-byte decode table: code → (text, width).  The
         per-glyph generator + two dict lookups was the hottest line of the
         real-PDF interpreter (profiled: ~260k resumptions per 24 docs);
-        one 256-entry list lookup replaces all of it."""
+        one 256-entry list lookup replaces all of it.  Built by overlaying
+        the font's differences/ToUnicode/widths onto a shared cp1252 base
+        (same precedence as the old per-code chain: ToUnicode, then
+        Differences, then cp1252)."""
         tbl = self._tbl1
         if tbl is None:
-            tbl = []
-            for code in range(256):
-                text = self.to_unicode.get(code)
-                if text is None:
-                    text = self.differences.get(code)
-                if text is None:
-                    text = bytes([code]).decode("cp1252", errors="replace")
-                    if text == "�":
-                        text = ""
-                tbl.append((text, self.widths.get(code, self.default_width)))
+            texts = _CP1252_TEXTS.copy()
+            for code, t in self.differences.items():
+                if 0 <= code < 256:
+                    texts[code] = t
+            for code, t in self.to_unicode.items():
+                if 0 <= code < 256:
+                    texts[code] = t
+            w = [self.default_width] * 256
+            for code, v in self.widths.items():
+                if 0 <= code < 256:
+                    w[code] = v
+            tbl = list(zip(texts, w))
             self._tbl1 = tbl
         return tbl
 
