@@ -413,6 +413,30 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the Lee-et-al./Dolma-style production operating point: 128 permutations,
+# 16 bands x 8 rows — the width at which the band fan-out (16 rows/doc)
+# and the per-doc kernel cost actually bite at scale
+MINHASH_PROD_SEEDS = tuple(f"s{i}" for i in range(128))
+MINHASH_PROD_ROWS_PER_BAND = 8
+
+
+def q_dedup_minhash_pairs_w128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH at production width (128 perms / 16 bands), same ONE-
+    exchange plan as the demo width — proves the operator at the point a
+    real 100 TB dedup would run it, not just the 4-seed demo."""
+    from doctor_spark.operators.dedup import minhash_candidate_pairs
+
+    p = minhash_candidate_pairs(
+        _docs(spark, sf_dir),
+        seeds=MINHASH_PROD_SEEDS,
+        rows_per_band=MINHASH_PROD_ROWS_PER_BAND,
+    )
+    return p.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import with_simhash
 
@@ -710,11 +734,15 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doctor_spark.functions.text import lang_guess
+    # Arrow kernel, bit-identical to the lang_guess Column spec
+    # (differential-tested in tests/test_text_functions.py) — the Column
+    # form evaluates 18 interpreted higher-order filters per row
+    from doctor_spark.functions.text import lang_guess_udf
 
+    guess = lang_guess_udf()
     return (
         _docs(spark, sf_dir)
-        .select(F.col("lang"), lang_guess(F.col("text")).alias("lang_guess"))
+        .select(F.col("lang"), guess(F.col("text")).alias("lang_guess"))
         .groupBy("lang", "lang_guess")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
@@ -964,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_stats": q_dedup_stats,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash_pairs_w128": q_dedup_minhash_pairs_w128,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_components": q_dedup_components,
@@ -1006,11 +1035,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _JAVA_WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
 _TOKS = f"regexp_split_to_array(trim(lower(text)), '{_JAVA_WS_CLASS}+')"
 
+# generated from the single source of truth so the Spark side and the
+# oracle can never drift (round-4: 18 Latin-script inventories)
+from doctor_spark.functions.text import (  # noqa: E402
+    LANG_STOPWORDS as _LANG_STOPWORDS,
+    LATIN_CLASS as _LATIN_CLASS,
+    SCRIPT_RANGES as _SCRIPT_RANGES,
+)
+
 _STOPS = {
-    "en": "('the','and','of','to','in','is','that')",
-    "fr": "('le','la','les','et','de','un','est')",
-    "es": "('el','los','y','de','que','es','una')",
-    "de": "('der','die','das','und','ist','nicht','ein')",
+    lg: "(" + ",".join("'" + w.replace("'", "''") + "'" for w in ws) + ")"
+    for lg, ws in _LANG_STOPWORDS.items()
 }
 
 
@@ -1065,26 +1100,39 @@ SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, hamming FROM (
 """
 
 
-def _minhash_sql(n: int = 3) -> str:
-    # 3-gram shingles, mirroring doctor_spark.operators.dedup.shingles()
+def _minhash_sql(n: int = 3, n_seeds: int = 4, rows_per_band: int = 2) -> str:
+    """3-gram shingles, mirroring doctor_spark.operators.dedup.shingles();
+    parameterized over the signature width so the same generator covers
+    the 4-seed demo AND the production 128-permutation/16-band operating
+    point (Lee et al. dedup / Dolma shape)."""
     shingle = (
         f"list_distinct(list_transform(range(1, len({_TOKS}) - {n - 2}), "
         f"i -> array_to_string(({_TOKS})[i:i+{n - 1}], ' ')))"
     )
-    mh = {
-        i: f"list_aggregate(list_transform(sh, s -> md5('s{i}' || s)), 'min')"
-        for i in range(4)
-    }
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('s{i}' || s)), 'min')"
+        f" AS mh{i}"
+        for i in range(n_seeds)
+    )
+    n_bands = n_seeds // rows_per_band
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_no, md5({key}) AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"mh{i}"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
     return f"""
 WITH sh_t AS (
   SELECT doc_id, {shingle} AS sh FROM documents WHERE len({_TOKS}) >= {n}
 ), sigs AS (
-  SELECT doc_id, {mh[0]} AS mh0, {mh[1]} AS mh1, {mh[2]} AS mh2, {mh[3]} AS mh3
+  SELECT doc_id, {mh_cols}
   FROM sh_t
 ), banded AS (
-  SELECT doc_id, 0 AS band_no, md5(mh0 || '|' || mh1) AS band_key FROM sigs
-  UNION ALL
-  SELECT doc_id, 1 AS band_no, md5(mh2 || '|' || mh3) AS band_key FROM sigs
+  {band_selects}
 )
 SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
 FROM banded a JOIN banded b
@@ -1444,17 +1492,46 @@ FROM documents
 
 
 def _lang_id_sql() -> str:
+    """Mirror of functions.text.lang_guess: script vote (explicit BMP
+    ranges, character-identical classes), then the 18-language Latin
+    stopword argmax; both tie-break orders are the dict orders."""
+    s_cnt = {
+        s: f"len(regexp_extract_all(text, '{_SCRIPT_RANGES[s]}'))"
+        for s in _SCRIPT_RANGES
+    }
+    latin = f"len(regexp_extract_all(text, '{_LATIN_CLASS}'))"
+    best_script = (
+        "greatest(" + ", ".join([latin] + list(s_cnt.values())) + ")"
+    )
     hits = {
         lg: f"len(list_filter({_TOKS}, tk -> tk IN {_STOPS[lg]}))"
         for lg in _STOPS
     }
-    best = f"greatest({hits['en']}, {hits['fr']}, {hits['es']}, {hits['de']})"
-    guess = f"""CASE WHEN {best} = 0 THEN 'und'
-      WHEN {hits['en']} = {best} THEN 'en'
-      WHEN {hits['fr']} = {best} THEN 'fr'
-      WHEN {hits['es']} = {best} THEN 'es'
-      WHEN {hits['de']} = {best} THEN 'de'
-      ELSE 'und' END"""
+    best_stop = "greatest(" + ", ".join(hits.values()) + ")"
+    latin_case = (
+        f"CASE WHEN {best_stop} = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN {hits[lg]} = {best_stop} THEN '{lg}'" for lg in _STOPS
+        )
+        + " ELSE 'und' END"
+    )
+    script_whens = []
+    for s in _SCRIPT_RANGES:
+        if s == "zh":
+            script_whens.append(
+                f"WHEN {s_cnt['zh']} = {best_script} THEN "
+                f"(CASE WHEN {s_cnt['ja']} > 0 THEN 'ja' ELSE 'zh' END)"
+            )
+        else:
+            script_whens.append(
+                f"WHEN {s_cnt[s]} = {best_script} THEN '{s}'"
+            )
+    guess = (
+        f"CASE WHEN {best_script} = 0 THEN 'und' "
+        f"WHEN {latin} = {best_script} THEN ({latin_case}) "
+        + " ".join(script_whens)
+        + " ELSE 'und' END"
+    )
     return f"""
 SELECT lang, lang_guess, count(*)::BIGINT AS n_docs
 FROM (SELECT lang, {guess} AS lang_guess FROM documents)
@@ -1525,6 +1602,9 @@ SELECT count(*)::BIGINT AS n_total, count(DISTINCT {_FP})::BIGINT AS n_unique
 FROM documents
 """,
         "dedup_minhash_pairs": _minhash_sql(),
+        "dedup_minhash_pairs_w128": _minhash_sql(
+            n_seeds=128, rows_per_band=MINHASH_PROD_ROWS_PER_BAND
+        ),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_near": _simhash_near_sql(),
         "dedup_components": f"""

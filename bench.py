@@ -158,6 +158,7 @@ def main() -> None:
     for name in (
         "dedup_exact",
         "dedup_minhash_pairs",
+        "dedup_minhash_pairs_w128",
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "embedding_neardup",

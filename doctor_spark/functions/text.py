@@ -11,14 +11,84 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-# stopword inventories for the language-ID heuristic (tiny by design: this
-# is an n-gram/stopword-hit scorer, not a model)
+# stopword inventories for the language-ID heuristic: top function words
+# per language (public frequency-list knowledge).  Dict order is the
+# argmax tie-break order; the first four keys keep round-1..3 precedence
+# (en > fr > es > de) so earlier contracts are unchanged on ties.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "in", "is", "that"),
-    "fr": ("le", "la", "les", "et", "de", "un", "est"),
-    "es": ("el", "los", "y", "de", "que", "es", "una"),
-    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was",
+           "for", "on", "are", "with", "as", "be", "at", "this", "have",
+           "from", "or", "had", "by", "not", "but"),
+    "fr": ("le", "la", "les", "et", "de", "un", "est", "une", "des", "du",
+           "en", "que", "qui", "dans", "pour", "pas", "au", "sur", "ne",
+           "se", "ce", "il", "elle", "avec", "mais"),
+    "es": ("el", "los", "y", "de", "que", "es", "una", "en", "la", "las",
+           "un", "del", "se", "por", "con", "para", "su", "al", "lo",
+           "como", "más", "pero", "sus", "ha"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "zu", "den", "von", "mit", "auf", "für", "im", "dem", "sich",
+           "des", "ich", "war", "er", "sie", "aber", "auch", "als"),
+    "it": ("il", "di", "che", "è", "per", "della", "con", "non", "si",
+           "dei", "nel", "alla", "gli", "come", "anche", "più", "ma",
+           "sono", "questo", "essere"),
+    "pt": ("o", "os", "as", "do", "da", "em", "uma", "não", "no", "na",
+           "dos", "mais", "foi", "ele", "são", "pelo", "pela", "até",
+           "isso", "há"),
+    "nl": ("het", "een", "van", "dat", "op", "te", "zijn", "met", "voor",
+           "niet", "aan", "er", "om", "ook", "dan", "maar", "bij", "uit",
+           "naar", "dit"),
+    "pl": ("i", "w", "się", "na", "nie", "z", "do", "to", "że", "jest",
+           "po", "co", "tak", "jak", "o", "ale", "od", "za", "przez",
+           "był", "przy", "czy", "tylko", "już"),
+    "sv": ("och", "att", "det", "som", "på", "är", "av", "den", "till",
+           "inte", "om", "ett", "han", "var", "jag", "så", "har", "hon",
+           "vid", "kan"),
+    "da": ("og", "at", "det", "er", "den", "til", "af", "på", "som",
+           "der", "ikke", "med", "han", "et", "var", "jeg", "har", "om",
+           "men", "sig"),
+    "no": ("og", "er", "det", "som", "på", "til", "av", "at", "den",
+           "for", "med", "ikke", "om", "han", "et", "var", "jeg", "har",
+           "så", "seg"),
+    "fi": ("ja", "on", "ei", "että", "oli", "hän", "se", "en", "mutta",
+           "kun", "niin", "joka", "myös", "ovat", "jos", "mitä", "tämä",
+           "ole", "sen", "vain"),
+    "ro": ("și", "în", "cu", "pe", "este", "care", "din", "nu", "mai",
+           "pentru", "sunt", "dar", "ca", "fost", "său", "această",
+           "sau", "când", "dacă", "fi"),
+    "cs": ("a", "se", "na", "je", "v", "že", "s", "ale", "pro", "jako",
+           "jsou", "byl", "za", "po", "jeho", "který", "už", "tak",
+           "nebo", "když"),
+    "tr": ("ve", "bir", "bu", "da", "için", "ile", "çok", "daha", "ama",
+           "gibi", "en", "ki", "ne", "var", "olarak", "sonra", "kadar",
+           "her", "değil", "olan"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada", "juga", "saya", "ke",
+           "karena", "ada", "mereka", "sebagai", "oleh"),
+    "vi": ("và", "của", "là", "có", "trong", "được", "các", "một",
+           "cho", "không", "người", "này", "với", "những", "đã", "khi",
+           "đến", "từ", "về", "cũng"),
+    "hu": ("az", "és", "hogy", "nem", "egy", "meg", "ha", "már", "csak",
+           "van", "volt", "mint", "még", "el", "ki", "be", "vagy",
+           "nagy", "lesz", "kell"),
 }
+
+# script routing for languages written without (reliable) spaces or in
+# non-Latin scripts: explicit BMP codepoint ranges (NOT \p{script} — the
+# Java and RE2 spellings differ; literal ranges mean the Spark pattern and
+# the DuckDB oracle pattern are character-for-character the same set).
+# Dict order is the script tie-break order (after Latin, which wins ties).
+SCRIPT_RANGES: dict[str, str] = {
+    "zh": "[一-鿿]",            # Han → zh, unless kana present
+    "ja": "[぀-ヿ]",            # Hiragana + Katakana
+    "ko": "[가-힯ᄀ-ᇿ]",  # Hangul syllables + jamo
+    "ar": "[؀-ۿ]",
+    "ru": "[Ѐ-ӿ]",            # Cyrillic → ru (coarse)
+    "el": "[Ͱ-Ͽ]",
+    "he": "[֐-׿]",
+    "th": "[฀-๿]",
+    "hi": "[ऀ-ॿ]",            # Devanagari → hi (coarse)
+}
+LATIN_CLASS = "[A-Za-zÀ-ɏḀ-ỿ]"
 
 _PUNCT_CLASS = r"[.,;:!?'\"()\[\]-]"
 
@@ -82,15 +152,108 @@ def lang_stop_hits(col: Column, lang: str) -> Column:
     return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))
 
 
+def script_char_count(col: Column, script: str) -> Column:
+    """Count of characters in the script's codepoint range (JVM
+    regexp_count; the oracle mirrors with the same literal class)."""
+    return F.regexp_count(col, F.lit(SCRIPT_RANGES[script]))
+
+
 def lang_guess(col: Column) -> Column:
-    """argmax over per-language stopword hits; ties break in the fixed
-    order en > fr > es > de; zero hits everywhere → 'und' (undetermined)."""
-    hits = {lg: lang_stop_hits(col, lg) for lg in LANG_STOPWORDS}
-    best = F.greatest(*hits.values())
-    expr = F.when(best == 0, F.lit("und"))
+    """Two-stage language ID, fully Column-expression (JVM) and exactly
+    SQL-mirrorable:
+
+    1. script vote: per-script character counts (explicit BMP ranges).
+       If a non-Latin script strictly outnumbers Latin letters the doc
+       routes by script — Han → ja when any kana present else zh,
+       Hangul → ko, Arabic → ar, Cyrillic → ru, Greek → el, Hebrew → he,
+       Thai → th, Devanagari → hi.  This handles scripts without spaces,
+       which a stopword scorer can never see.
+    2. Latin stopword argmax over the 18 LANG_STOPWORDS inventories;
+       ties break in dict order (en first — the round-1 contract);
+       zero hits everywhere → 'und'.
+
+    No letters at all → 'und'."""
+    script_hits = {s: script_char_count(col, s) for s in SCRIPT_RANGES}
+    latin = F.regexp_count(col, F.lit(LATIN_CLASS))
+    best_script = F.greatest(latin, *script_hits.values())
+
+    stop_hits = {lg: lang_stop_hits(col, lg) for lg in LANG_STOPWORDS}
+    best_stop = F.greatest(*stop_hits.values())
+    latin_expr = F.when(best_stop == 0, F.lit("und"))
     for lg in LANG_STOPWORDS:  # insertion order = tie-break order
-        expr = expr.when(hits[lg] == best, F.lit(lg))
+        latin_expr = latin_expr.when(stop_hits[lg] == best_stop, F.lit(lg))
+    latin_expr = latin_expr.otherwise(F.lit("und"))
+
+    expr = F.when(best_script == 0, F.lit("und"))
+    expr = expr.when(latin == best_script, latin_expr)  # Latin wins ties
+    for s in SCRIPT_RANGES:  # insertion order = script tie-break order
+        if s == "zh":
+            expr = expr.when(
+                script_hits["zh"] == best_script,
+                F.when(script_hits["ja"] > 0, F.lit("ja")).otherwise(
+                    F.lit("zh")
+                ),
+            )
+        else:
+            expr = expr.when(script_hits[s] == best_script, F.lit(s))
     return expr.otherwise(F.lit("und"))
+
+
+def lang_guess_udf():
+    """Arrow-batched kernel mirroring :func:`lang_guess` bit-for-bit (the
+    Column form evaluates 18 interpreted higher-order filters per row;
+    the kernel is one pass per doc).  Differential-tested against the
+    Column spec on the corpus + hostile strings."""
+    import re as _re
+
+    import pandas as pd
+
+    script_res = {s: _re.compile(SCRIPT_RANGES[s]) for s in SCRIPT_RANGES}
+    latin_re = _re.compile(LATIN_CLASS)
+    stop_sets = {lg: frozenset(ws) for lg, ws in LANG_STOPWORDS.items()}
+    ws_re = _re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s mirror
+
+    def guess(texts):
+        out = []
+        for text in texts:
+            t = text or ""
+            script_hits = {
+                s: len(r.findall(t)) for s, r in script_res.items()
+            }
+            latin = len(latin_re.findall(t))
+            best_script = max(latin, *script_hits.values())
+            if best_script == 0:
+                out.append("und")
+                continue
+            if latin == best_script:
+                toks = ws_re.split(t.strip(" ").lower())
+                hits = {
+                    lg: sum(1 for tk in toks if tk in sw)
+                    for lg, sw in stop_sets.items()
+                }
+                best = max(hits.values())
+                if best == 0:
+                    out.append("und")
+                    continue
+                out.append(
+                    next(lg for lg in stop_sets if hits[lg] == best)
+                )
+                continue
+            for s in script_res:
+                if script_hits[s] == best_script:
+                    if s == "zh":
+                        out.append(
+                            "ja" if script_hits["ja"] > 0 else "zh"
+                        )
+                    else:
+                        out.append(s)
+                    break
+        return pd.Series(out)
+
+    # real-type annotations (from __future__ annotations stringifies the
+    # inline form, which pandas_udf can't resolve)
+    guess.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(guess, "string")
 
 
 # GPT-2-style pre-tokenizer shape (public pattern family): contractions,

@@ -131,6 +131,33 @@ def test_minhash_udf_tokens_match_jvm_on_unicode_ws(spark):
             assert tuple(r.bands) == expect, r.doc_id
 
 
+def test_minhash_production_width_plan_and_fanout(spark):
+    """MinHash at the production operating point (128 permutations, 16
+    bands x 8 rows) must keep the demo-width plan shape: the banded table
+    is materialized through ONE exchange and the self-join reuses it
+    (ReusedExchange) — signatures are computed once per doc, and the band
+    fan-out is exactly n_bands rows/doc, not n_seeds."""
+    from doctor_spark.operators.dedup import (
+        _minhash_bands_udf,
+        minhash_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    seeds = tuple(f"s{i}" for i in range(128))
+    q = minhash_candidate_pairs(docs, seeds=seeds, rows_per_band=8)
+    q.collect()  # ReusedExchange shows in the POST-execution AQE plan
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    # one ArrowEvalPython in the FINAL plan: the signature kernel runs
+    # once, not per join side
+    assert final.count("ArrowEvalPython") == 1, final
+    # fan-out: 16 band keys per (long-enough) doc
+    bands = _minhash_bands_udf(seeds, 8)
+    one = docs.limit(1).select(F.size(bands(F.col("text"))).alias("n"))
+    assert one.collect()[0]["n"] in (0, 16)
+
+
 def test_ngram_jaccard_shingle_df_cap(spark):
     """A boilerplate shingle shared by every document must not create a
     quadratic bucket: with the document-frequency cap the candidate join

@@ -141,3 +141,104 @@ class TestGopherKernel:
         )
         row = df.collect()[0]
         assert row["mean_word_len"] is None and row["passes"] is None
+
+
+class TestLangGuess:
+    """Round-4 language ID: 18 Latin stopword inventories + script
+    routing for spaceless/non-Latin scripts, Arrow kernel bit-identical
+    to the Column spec."""
+
+    FIXTURES = [
+        # (snippet, expected)
+        ("The quick brown fox and the lazy dog that was here", "en"),
+        ("Le chat est sur la table et il ne veut pas descendre", "fr"),
+        ("El tribunal considera que la prueba es suficiente para el caso",
+         "es"),
+        ("Der Richter hat das Urteil mit einer Begründung nicht verkündet",
+         "de"),
+        ("Il tribunale ha stabilito che la prova non è sufficiente per il "
+         "processo", "it"),
+        ("O tribunal considerou que não há provas para o caso em questão",
+         "pt"),
+        ("De rechtbank heeft het vonnis met een motivering niet "
+         "uitgesproken", "nl"),
+        ("Sąd uznał, że dowody nie są wystarczające do skazania", "pl"),
+        ("Domstolen ansåg att bevisen inte är tillräckliga för att fälla",
+         "sv"),
+        ("Mahkeme, delillerin mahkumiyet için yeterli olmadığına karar "
+         "verdi ve bu karar kesin", "tr"),
+        ("Pengadilan memutuskan bahwa bukti tidak cukup untuk menghukum "
+         "mereka dan itu final", "id"),
+        ("Tòa án đã quyết định rằng bằng chứng là không đủ để kết án",
+         "vi"),
+        # spaceless / non-Latin scripts: a stopword scorer alone is blind
+        # to ALL of these
+        ("法院认为证据不足以定罪因此宣告被告无罪", "zh"),
+        ("裁判所は証拠が不十分であると判断したため被告人は無罪となった", "ja"),
+        ("법원은 증거가 불충분하다고 판단하여 피고인에게 무죄를 선고했다",
+         "ko"),
+        ("قررت المحكمة أن الأدلة غير كافية للإدانة", "ar"),
+        ("Суд решил что доказательств недостаточно для обвинения", "ru"),
+        ("Το δικαστήριο έκρινε ότι τα στοιχεία δεν επαρκούν", "el"),
+        ("בית המשפט קבע כי הראיות אינן מספיקות להרשעה", "he"),
+        ("ศาลตัดสินว่าหลักฐานไม่เพียงพอต่อการลงโทษ", "th"),
+        ("अदालत ने फैसला किया कि सबूत पर्याप्त नहीं हैं", "hi"),
+        # undetermined: no letters / Latin without stopword hits
+        ("12345 67890 !!! ???", "und"),
+        ("zzzz qqqq xxxx wwww", "und"),
+        ("", "und"),
+    ]
+
+    def test_multilingual_fixtures_column_spec(self, spark):
+        rows = [(i, s) for i, (s, _e) in enumerate(self.FIXTURES)]
+        df = spark.createDataFrame(rows, "i int, text string")
+        got = {
+            r["i"]: r["g"]
+            for r in df.select(
+                "i", T.lang_guess(F.col("text")).alias("g")
+            ).collect()
+        }
+        bad = [
+            (s, e, got[i])
+            for i, (s, e) in enumerate(self.FIXTURES)
+            if got[i] != e
+        ]
+        assert not bad, bad
+
+    def test_udf_matches_column_spec(self, spark):
+        corpus = [s for s, _e in self.FIXTURES] + _nasty_corpus() + [
+            None,
+            "the le el der und",          # cross-language tie bait
+            "汉字 with latin the and of",  # mixed script, Latin majority
+            "the 汉字汉字汉字汉字汉字汉字",   # mixed script, Han majority
+            "ひらがな漢字まじり",            # kana+han → ja
+        ]
+        rows = [(i, s) for i, s in enumerate(corpus)]
+        df = spark.createDataFrame(rows, "i int, text string")
+        guess = T.lang_guess_udf()
+        a = {
+            r["i"]: r["g"]
+            for r in df.select(
+                "i", T.lang_guess(F.col("text")).alias("g")
+            ).collect()
+        }
+        b = {
+            r["i"]: r["g"]
+            for r in df.select("i", guess(F.col("text")).alias("g")).collect()
+        }
+        diffs = {i: (a[i], b[i], corpus[i]) for i in a if a[i] != b[i]}
+        assert not diffs, list(diffs.items())[:5]
+
+    def test_script_routing_edges(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the 汉字汉字汉字汉字汉字汉字"), (1, "汉字ひら"), (2, "ها")],
+            "i int, text string",
+        )
+        got = [
+            r["g"]
+            for r in df.select(
+                T.lang_guess(F.col("text")).alias("g")
+            ).collect()
+        ]
+        # Han majority → zh; any kana alongside han → ja; short Arabic → ar
+        assert got == ["zh", "ja", "ar"], got
