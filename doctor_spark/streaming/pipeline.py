@@ -57,24 +57,29 @@ def streaming_extract(
     return query
 
 
-# driver-side upsert stores for streaming_metrics, keyed by query name.
 # Update-mode emits each window's LATEST aggregate per micro-batch; a
 # memory sink would APPEND those rows, so any window updated in more than
 # one batch (maxFilesPerTrigger splits, a second availableNow run, a
 # restart) shows up multiple times and consumers that SUM the table
-# double-count.  foreachBatch upserting by window key is the correct
-# update-mode consumer (the production analog is a kafka-compacted topic
-# or a MERGE INTO).  Row count is bounded by live-window cardinality.
-_METRICS_STORE: dict[str, dict] = {}
+# double-count.  The correct update-mode consumer is a keyed MERGE:
+# foreachBatch overwrites exactly the touched windows' partitions in a
+# window-keyed parquet table (dynamic partition overwrite = last write
+# wins per window).  The sink lives in STORAGE — it survives a driver
+# restart, is bounded by live-window cardinality (not batch count, not
+# driver memory), and re-processing a batch after recovery is idempotent
+# because re-writing a window partition with the same aggregate is a
+# no-op.  (An Iceberg/Delta MERGE INTO replaces this 1:1 when available.)
+_METRICS_SCHEMA = "window_start timestamp, n_pages long, bytes_in long"
 
 
 def streaming_metrics(
     spark: SparkSession,
     source_dir: str,
+    metrics_dir: str,
     *,
     window: str = "1 day",
     watermark: str = "2 days",
-    query_name: str = "pages_metrics",
+    checkpoint_dir: str | None = None,
 ):
     """Windowed per-crawl-day metrics over the stream: watermarked event
     time (warc_ts), tumbling windows, update mode — the watermark actually
@@ -83,10 +88,9 @@ def streaming_metrics(
     ignores the watermark and retains every window ever seen, which grows
     state without bound on a continuous stream.
 
-    Sink: foreachBatch upsert keyed by window_start (see _METRICS_STORE
-    note).  Read results with ``metrics_snapshot``."""
-    store = _METRICS_STORE.setdefault(query_name, {})
-    store.clear()
+    Sink: foreachBatch MERGE into the window-keyed parquet table at
+    ``metrics_dir`` (see note above).  Pass ``checkpoint_dir`` to make the
+    query itself resumable; read results with ``metrics_snapshot``."""
     pages = read_pages_stream(spark, source_dir)
     agg = (
         pages.withWatermark("warc_ts", watermark)
@@ -104,25 +108,37 @@ def streaming_metrics(
 
     def _upsert(batch_df, _batch_id) -> None:
         # update-mode batches contain one row per window TOUCHED this
-        # batch, already fully re-aggregated — last write wins
-        for r in batch_df.collect():
-            store[r["window_start"]] = (r["n_pages"], r["bytes_in"])
+        # batch, already fully re-aggregated — overwrite only those
+        # windows' partitions (a string partition key keeps the on-disk
+        # layout portable; window_start stays a typed data column)
+        (
+            batch_df.withColumn(
+                "window_key",
+                F.date_format("window_start", "yyyy-MM-dd'T'HH.mm.ss"),
+            )
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_key")
+            .parquet(metrics_dir)
+        )
 
-    return (
-        agg.writeStream.foreachBatch(_upsert)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = agg.writeStream.foreachBatch(_upsert).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
 
 
-def metrics_snapshot(spark: SparkSession, query_name: str = "pages_metrics") -> DataFrame:
-    """Current upserted window metrics as a DataFrame (exactly one row per
-    window regardless of how many micro-batches updated it)."""
-    store = _METRICS_STORE.get(query_name, {})
-    rows = [
-        (ws, n, b) for ws, (n, b) in sorted(store.items())
-    ]
-    return spark.createDataFrame(
-        rows, "window_start timestamp, n_pages long, bytes_in long"
-    )
+def metrics_snapshot(spark: SparkSession, metrics_dir: str) -> DataFrame:
+    """Current upserted window metrics from the storage-backed sink —
+    exactly one row per window regardless of how many micro-batches (or
+    restarted runs) updated it."""
+    from ..pipeline import _is_fresh_start_error
+
+    try:
+        df = spark.read.parquet(metrics_dir)
+    except Exception as exc:
+        if _is_fresh_start_error(exc):  # no metrics written yet
+            return spark.createDataFrame([], _METRICS_SCHEMA)
+        raise
+    return df.select("window_start", "n_pages", "bytes_in")

@@ -33,13 +33,14 @@ def test_streaming_extract_and_resume(spark, dirs):
     assert again.count() == 80
 
 
-def test_streaming_windowed_metrics(spark, dirs):
+def test_streaming_windowed_metrics(spark, dirs, tmp_path):
     from doctor_spark.streaming.pipeline import metrics_snapshot
 
     src, _out, _ckpt = dirs
-    q = streaming_metrics(spark, src, query_name="m1")
+    mdir = str(tmp_path / "metrics")
+    q = streaming_metrics(spark, src, mdir)
     q.awaitTermination()
-    rows = metrics_snapshot(spark, "m1").collect()
+    rows = metrics_snapshot(spark, mdir).collect()
     assert rows
     assert sum(r.n_pages for r in rows) == 80
     assert all(r.bytes_in > 0 for r in rows)
@@ -140,8 +141,53 @@ def test_streaming_metrics_no_double_count_across_batches(spark, tmp_path):
     # decade-wide watermark: the synthetic warc_ts spans days across
     # unordered files, and a tight watermark would (correctly) drop rows
     # that arrive late relative to earlier batches
-    q = streaming_metrics(spark, src, query_name="m_multi", watermark="3650 days")
+    mdir = str(tmp_path / "metrics")
+    q = streaming_metrics(spark, src, mdir, watermark="3650 days")
     q.awaitTermination()
-    snap = metrics_snapshot(spark, "m_multi").collect()
+    snap = metrics_snapshot(spark, mdir).collect()
     assert sum(r.n_pages for r in snap) == 120
     assert len({r.window_start for r in snap}) == len(snap)
+
+
+def test_streaming_metrics_sink_survives_restart(spark, tmp_path):
+    """The metrics sink is STORAGE, not driver memory: a second run (the
+    restart analog — fresh query object, same metrics table) must upsert
+    by window, never duplicate, and the final aggregates must equal a
+    batch recompute over everything ingested."""
+    from doctor_spark.streaming.pipeline import metrics_snapshot, streaming_metrics
+
+    src = str(tmp_path / "pages_src")
+    mdir = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "m_ckpt")
+    pages_dataframe(spark, 60, partitions=4).write.mode("overwrite").parquet(src)
+    streaming_metrics(
+        spark, src, mdir, watermark="3650 days", checkpoint_dir=ckpt
+    ).awaitTermination()
+    first = {
+        r.window_start: r.n_pages
+        for r in metrics_snapshot(spark, mdir).collect()
+    }
+    assert sum(first.values()) == 60
+
+    # "restart": new drop lands, a new query resumes from the checkpoint
+    # and merges into the SAME table
+    pages_dataframe(spark, 90, partitions=3).write.mode("append").parquet(src)
+    streaming_metrics(
+        spark, src, mdir, watermark="3650 days", checkpoint_dir=ckpt
+    ).awaitTermination()
+    snap = metrics_snapshot(spark, mdir)
+    got = {r.window_start: (r.n_pages, r.bytes_in) for r in snap.collect()}
+    # exactly one row per window, totals match a batch recompute
+    assert len(got) == snap.count()
+    batch = {
+        r.window_start: (r.n_pages, r.bytes_in)
+        for r in spark.read.parquet(src)
+        .groupBy(F.window("warc_ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("html")).alias("bytes_in"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_pages", "bytes_in")
+        .collect()
+    }
+    assert got == batch
