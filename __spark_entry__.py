@@ -474,6 +474,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused fuzzy-dedup end-to-end: pairs → components → keeper → kept
+    corpus, one job (verdict r3 item 5)."""
+    from doctor_spark.operators.dedup import dedup_filtered_corpus
+
+    kept = dedup_filtered_corpus(_docs(spark, sf_dir))
+    return kept.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -996,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_components": q_dedup_components,
+        "dedup_filtered_corpus": q_dedup_filtered_corpus,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_quality": q_text_quality,
@@ -1621,6 +1631,24 @@ walk(doc_id, label) AS (
 )
 SELECT doc_id::BIGINT AS doc_id, min(label)::BIGINT AS component_id
 FROM walk GROUP BY doc_id
+""",
+        "dedup_filtered_corpus": f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.doc_id = e.dst
+),
+comp AS (
+  SELECT doc_id, min(label) AS component_id FROM walk GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component_id)
 """,
         "dedup_ngram_jaccard": _jaccard_sql(),
         "winnow_fingerprints": """

@@ -159,6 +159,7 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_pairs",
         "dedup_minhash_pairs_w128",
+        "dedup_filtered_corpus",
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "embedding_neardup",

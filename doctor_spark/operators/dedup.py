@@ -404,6 +404,34 @@ def duplicate_components(
     )
 
 
+def dedup_filtered_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The fused fuzzy-dedup chain a real pipeline runs as ONE job:
+    MinHash candidate pairs → connected components → keeper selection
+    (cluster's smallest id survives) → filtered corpus.
+
+    The candidate-pair join is computed exactly once: it flows straight
+    into the component iteration's eagerly-checkpointed edge set, and the
+    final filter anti-joins the input against the (already materialized)
+    non-keeper labels — no stage recomputes signatures or pairs.  Scale
+    shape: one banded exchange (ReusedExchange self-join), log-diameter
+    keyed component rounds, one broadcast-able anti-join of losers
+    (|losers| ≤ |duplicates| ≪ |corpus|)."""
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, seeds=seeds, rows_per_band=rows_per_band
+    )
+    comp = duplicate_components(pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -43,4 +43,10 @@ def hash_sample(
     lo, hi = band if band is not None else (0.0, rate)
     lo_i, hi_i = int(lo * BUCKETS), int(hi * BUCKETS)
     b = sample_bucket(F.col(key_col), salt)
-    return df.where((b >= F.lit(f"{lo_i:04x}")) & (b < F.lit(f"{hi_i:04x}")))
+    cond = b >= F.lit(f"{lo_i:04x}")
+    if hi_i < BUCKETS:
+        # hi = 1.0 would format as the 5-char '10000', which sorts BELOW
+        # every 4-char bucket lexicographically and selected nothing; the
+        # top band simply has no upper bound
+        cond = cond & (b < F.lit(f"{hi_i:04x}"))
+    return df.where(cond)

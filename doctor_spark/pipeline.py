@@ -153,6 +153,8 @@ def run_extraction_pipeline(
     num_partitions: int | None = None,
     repartition: bool | str = "auto",
     partition_output_by: str | None = "crawl_date",
+    sample_band: tuple[float, float] | None = None,
+    sample_salt: str = "",
 ) -> dict:
     """Run the full pipeline; returns summary counters.
 
@@ -168,11 +170,26 @@ def run_extraction_pipeline(
     - ``True``: always shuffle — for pathological inputs (few giant files,
       wild per-file skew).
     - ``False``: never shuffle.
+
+    ``sample_band=(lo, hi)`` carves a deterministic url-hash band of the
+    corpus (``operators.sampling.hash_sample``) INSIDE the resumable job:
+    the filter is a codegen'd predicate on md5(salt||url) applied before
+    the scan fans out, so train/val splits from disjoint bands of the
+    SAME hashing are disjoint by construction, identical across retries,
+    resumes and cluster sizes, and each band's run keeps its own
+    resume/lineage story.
     """
     out = Path(out_dir)
     results_path = str(out / "extracted")
     metrics_path = str(out / "metrics")
     lineage_path = str(out / "lineage")
+
+    if sample_band is not None:
+        from .operators.sampling import hash_sample
+
+        pages = hash_sample(
+            pages, key_col="url", salt=sample_salt, band=sample_band
+        )
 
     classified = with_classification(pages)
 
@@ -301,6 +318,12 @@ def main() -> None:
     ap.add_argument("--strip-margin", action="store_true")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--sample-band", nargs=2, type=float, default=None,
+                    metavar=("LO", "HI"),
+                    help="deterministic url-hash band [LO, HI) of the "
+                         "corpus to extract (train/val carving)")
+    ap.add_argument("--sample-salt", default="",
+                    help="salt for --sample-band hashing")
     args = ap.parse_args()
 
     from .session import get_spark
@@ -320,6 +343,8 @@ def main() -> None:
     summary = run_extraction_pipeline(
         spark, pages, args.out, run_id=args.run_id, resume=not args.no_resume,
         recap_mode=args.recap, strip_margin=args.strip_margin,
+        sample_band=tuple(args.sample_band) if args.sample_band else None,
+        sample_salt=args.sample_salt,
     )
     summary["wall_sec"] = round(time.monotonic() - t0, 2)
     if args.verify:

@@ -83,6 +83,45 @@ def test_resume_survives_crash_during_first_write(spark, tmp_path):
     assert summary["resumed_skip"] == 0
 
 
+def test_sample_band_in_pipeline_disjoint_and_resumable(spark, tmp_path):
+    """--sample-band carves train/val INSIDE the resumable job: disjoint
+    bands of one hashing partition the corpus exactly, the carve is
+    deterministic across a resume (re-run extracts nothing new), and each
+    band equals the direct hash_sample filter."""
+    from doctor_spark.corpus import pages_dataframe
+    from doctor_spark.operators.sampling import hash_sample
+    from doctor_spark.pipeline import run_extraction_pipeline
+
+    N = 200
+    pages = pages_dataframe(spark, N, partitions=2)
+    out_a = str(tmp_path / "train")
+    out_b = str(tmp_path / "val")
+    s1 = run_extraction_pipeline(
+        spark, pages, out_a, run_id="t", sample_band=(0.0, 0.8)
+    )
+    s2 = run_extraction_pipeline(
+        spark, pages, out_b, run_id="v", sample_band=(0.8, 1.0)
+    )
+    train = {r.url for r in spark.read.parquet(f"{out_a}/extracted")
+             .select("url").collect()}
+    val = {r.url for r in spark.read.parquet(f"{out_b}/extracted")
+           .select("url").collect()}
+    every = {r.url for r in pages.select("url").collect()}
+    # disjoint, and together exactly the corpus
+    assert train.isdisjoint(val)
+    assert train | val == every
+    # band contents == the direct operator filter (same hashing)
+    direct = {r.url for r in hash_sample(pages, band=(0.0, 0.8))
+              .select("url").collect()}
+    assert train == direct
+    # resume: the carve is deterministic, so a re-run skips everything
+    s3 = run_extraction_pipeline(
+        spark, pages, out_a, run_id="t2", sample_band=(0.0, 0.8)
+    )
+    assert s3["resumed_skip"] == s1["total_rows"] == len(train)
+    assert spark.read.parquet(f"{out_a}/extracted").count() == len(train)
+
+
 def test_resume_probe_errors_propagate(spark, tmp_path):
     """Only missing-path / no-data-files reads mean fresh start.  Any
     OTHER probe failure (here: an unknown filesystem scheme standing in

@@ -245,6 +245,35 @@ def test_simhash_near_pairs_complete(spark):
     assert got == want and len(want) > 0
 
 
+def test_dedup_filtered_corpus_invariants(spark):
+    """The fused chain keeps exactly one member per duplicate cluster
+    (the min id), drops the rest, and passes through every unclustered
+    doc untouched."""
+    from doctor_spark.operators.dedup import (
+        dedup_filtered_corpus,
+        duplicate_components,
+        minhash_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept_ids = {
+        r["doc_id"] for r in dedup_filtered_corpus(docs).select("doc_id").collect()
+    }
+    comp = duplicate_components(minhash_candidate_pairs(docs))
+    clusters: dict = {}
+    clustered = set()
+    for r in comp.collect():
+        clusters.setdefault(r["component_id"], []).append(r["doc_id"])
+        clustered.add(r["doc_id"])
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # every unclustered doc survives; every cluster contributes min-id only
+    assert (all_ids - clustered) <= kept_ids
+    for cid, members in clusters.items():
+        assert min(members) == cid
+        assert kept_ids & set(members) == {cid}
+    assert kept_ids == (all_ids - clustered) | set(clusters)
+
+
 def test_duplicate_components_chain(spark):
     """A long chain (worst-case diameter) and separate clusters must
     converge to min-id labels."""
