@@ -87,8 +87,9 @@ def decode_video(payload: bytes) -> np.ndarray:
 
 
 def decode_image_pillow(payload: bytes):  # pragma: no cover - env-gated
-    """Real-format (JPEG/PNG/TIFF) decode — pluggable backend stub, like the
-    reference's PIL usage (doctor/tasks.py:55-72, utils.py:166-189)."""
+    """JPEG/TIFF decode — pluggable backend stub, like the reference's PIL
+    usage (doctor/tasks.py:55-72, utils.py:166-189).  PNG no longer routes
+    here: :mod:`..kernels.png` decodes it from scratch."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
@@ -97,6 +98,18 @@ def decode_image_pillow(payload: bytes):  # pragma: no cover - env-gated
             "codec or install PIL on the cluster"
         ) from exc
     raise NotImplementedError("wire Image.open(io.BytesIO(payload)) here")
+
+
+def decode_image_any(payload: bytes) -> np.ndarray:
+    """Dispatch on magic: synthetic raster, real PNG (from-scratch codec),
+    else the Pillow stub.  Returns uint8 (h, w) or (h, w, c)."""
+    from ..kernels.png import PNG_SIGNATURE, decode_png
+
+    if payload[:8] == _IMG_MAGIC:
+        return decode_image(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
+    return decode_image_pillow(payload)
 
 
 # --------------------------------------------------------------------------
@@ -112,11 +125,25 @@ def generate_media(media_id: int) -> dict:
     rng = np.random.default_rng(media_id * 7919 + 13)
     if kind == "image":
         h, w = 24 + (media_id % 5) * 8, 32 + (media_id % 7) * 8
-        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
-        payload = encode_image(px)
+        variant = (media_id // 3) % 3
+        if variant == 0:  # real PNG, grayscale (from-scratch codec)
+            from ..kernels.png import encode_png
+
+            px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            payload = encode_png(px)
+            mime = "image/png"
+        elif variant == 1:  # real PNG, RGB
+            from ..kernels.png import encode_png
+
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_png(px)
+            mime = "image/png"
+        else:  # synthetic raster
+            px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            payload = encode_image(px)
+            mime = "image/x-syn"
         meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None}
         expected_mean = round(float(px.mean()), 4)
-        mime = "image/x-syn"
     elif kind == "audio":
         rate = 8000 if media_id % 2 else 16000
         n = rate // 4  # 250 ms
@@ -184,7 +211,7 @@ def media_features(df: DataFrame) -> DataFrame:
                 r4 = lambda v: round(float(v), 4)  # noqa: E731
                 try:
                     if kind == "image":
-                        px = decode_image(b).astype(np.float64)
+                        px = decode_image_any(b).astype(np.float64)
                         rows.append(
                             (mid, kind, r4(px.mean()), r4(px.std()), px.size, None)
                         )
@@ -229,14 +256,20 @@ def image_resize(df: DataFrame, max_dim: int = 350) -> DataFrame:
             ):
                 if kind != "image":
                     continue
-                px = decode_image(bytes(payload))
-                h, w = px.shape
+                px = decode_image_any(bytes(payload))
+                h, w = px.shape[:2]
                 scale = max_dim / max(h, w)
                 nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
                 yi = (np.arange(nh) * (h / nh)).astype(int)
                 xi = (np.arange(nw) * (w / nw)).astype(int)
                 thumb = px[yi][:, xi]
-                rows.append((mid, nw, nh, encode_image(thumb)))
+                if thumb.ndim == 2:
+                    enc = encode_image(thumb)
+                else:
+                    from ..kernels.png import encode_png
+
+                    enc = encode_png(thumb)
+                rows.append((mid, nw, nh, enc))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "thumbnail"]
             )

@@ -170,6 +170,10 @@ ADVERSARIAL_QUERIES = [
     "dedup_exact", "dedup_stats", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_simhash_near", "dedup_components",
     "winnow_fingerprints", "repetition_stats",
+    # round-4 additions: production-width MinHash, the fused dedup chain,
+    # decontamination and hash sampling (all need only doc_id + text)
+    "dedup_minhash_pairs_w128", "dedup_filtered_corpus",
+    "decontaminate", "corpus_sample",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
@@ -193,6 +197,24 @@ def test_text_oracles_on_adversarial_corpus(spark, tmp_path, qname):
         "tab\tand\nnewline\x0bvt\x0cff\rcr mix",
         "ünïcode wörds ünïcode wörds ünïcode wörds",
         " leading trailing ", "a  b   c    d",
+        # PII edge forms (advisor r3 item 9): SSN-vs-phone shape overlap
+        # at string boundaries, IPv4 octets > 255, quoted-local emails
+        "123-45-6789",                       # bare SSN, whole string
+        "555-123-4567",                      # phone shape (3-3-4)
+        "123-45-6789x555-123-4567",          # both, no word boundaries
+        "call 555.123.4567 or 555-123-4567.", # dot form + trailing punct
+        "999.999.999.999 vs 10.0.0.1",       # octets >255 + valid ip
+        "1.2.3.4.5 and 256.1.1.1",           # 5-part dotted run
+        '"quoted local"@example.com x@y.co a.b+c_d%e@sub.domain.org',
+        "not-an-email@ @nope.com a@b",       # near-miss email shapes
+        "ssn 078-05-1120, ip 127.0.0.1, mail j.doe@court.gov end",
+        # line-dedup edge forms: CRLF endings, \x0b INSIDE lines, blank
+        # lines, shared boilerplate lines across docs
+        "header line\r\nbody one\r\nfooter line\r\n",
+        "header line\nbody two\nfooter line\n",
+        "line with\x0bvertical tab\nfooter line",
+        "\n\nonly\n\n\nblanks\n\n",
+        "footer line",                        # the shared line, alone
     ]
     r = random.Random(7)
     words = ["w%d" % i for i in range(6)] + ["the", "dup"]

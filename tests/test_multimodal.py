@@ -68,12 +68,14 @@ class TestSparkOperators:
         assert rows and all(abs(r.duration_sec - 0.25) < 1e-9 for r in rows)
 
     def test_image_resize_bounds(self, media):
+        from doctor_spark.operators.multimodal import decode_image_any
+
         thumbs = image_resize(media, max_dim=16).collect()
         assert thumbs
         for t in thumbs:
             assert max(t.width, t.height) == 16
-            px = decode_image(bytes(t.thumbnail))
-            assert px.shape == (t.height, t.width)
+            px = decode_image_any(bytes(t.thumbnail))
+            assert px.shape[:2] == (t.height, t.width)
 
     def test_video_frame_sample(self, media):
         frames = video_frame_sample(media, every_k=2)
