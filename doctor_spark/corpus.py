@@ -47,7 +47,7 @@ SEED = 42
 # bump whenever a generator change alters payloads or goldens — cache
 # directories (bench/scaling materializations) are keyed on it, so stale
 # corpora can never be verified against a newer extractor
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 _BASE_TS = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
 _WORDS = (
@@ -262,7 +262,18 @@ def _build_wpd_doc(doc_id: int, r: random.Random) -> tuple[bytes, str]:
 
 
 def _build_junk(doc_id: int, r: random.Random) -> tuple[bytes, str]:
-    return bytes(r.getrandbits(8) for _ in range(r.randint(64, 2048))), ""
+    """Undetectable garbage (the err-row bucket).  The bytes must contain
+    NO content-sniff trigger the dispatcher honors: at 11.52M docs a
+    1-in-4e5 random blob carried the literal ``PDF`` inside its first 40
+    bytes (doc_id 3738399), routed to the pdf parser and produced the
+    reference's "Unable to extract" message instead of the bucket's empty
+    golden.  A fixed non-magic 8-byte head kills every ``startswith``
+    magic (OLE2/PK/WPC/ID3/MP3/PNG/JPEG/TIFF/%PDF), and scrubbing the
+    ``PDF`` substring kills both rescue sniffs (``PDF`` in the first 40
+    bytes, ``%PDF-x.y`` in the first 1024)."""
+    raw = bytes(r.getrandbits(8) for _ in range(r.randint(64, 2048)))
+    raw = b"\x01\x9d\x12\x86\x03\x7e\x44\x99" + raw[8:]
+    return raw.replace(b"PDF", b"P\x7fF"), ""
 
 
 # (bucket upper bound, builder, url suffix)

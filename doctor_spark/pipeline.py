@@ -155,6 +155,7 @@ def run_extraction_pipeline(
     partition_output_by: str | None = "crawl_date",
     sample_band: tuple[float, float] | None = None,
     sample_salt: str = "",
+    output_file_buckets: int | None = None,
 ) -> dict:
     """Run the full pipeline; returns summary counters.
 
@@ -235,6 +236,24 @@ def run_extraction_pipeline(
         writer = extracted.withColumn(
             "crawl_date", F.date_format("warc_ts", "yyyy-MM-dd")
         )
+        if output_file_buckets:
+            # CLUSTER/OBJECT-STORE MODE: route rows to writers BY DATE
+            # before the partitioned write.  Without it every task opens
+            # a writer for every date it sees — T tasks × D dates output
+            # files, which at 1000 executors × 1000 days is a
+            # 10^6-small-files-per-day explosion (and a committer-rename
+            # storm on S3-style stores).  A deterministic url-hash bucket
+            # caps files at buckets/date while keeping per-date write
+            # parallelism; partition_id is stamped upstream so lineage
+            # still names the extraction task that produced each row.
+            # Default OFF: measured locally (2.88M docs, local[16]) the
+            # extra full-output shuffle costs more than the committer
+            # savings on a single-node filesystem (74 s → 130 s wall);
+            # the trade reverses exactly where the file explosion bites.
+            writer = writer.repartition(
+                F.col("crawl_date"),
+                F.pmod(F.xxhash64("url"), F.lit(output_file_buckets)),
+            )
         writer.write.mode("append").partitionBy("crawl_date").parquet(results_path)
     elif partition_output_by:
         writer.write.mode("append").partitionBy(partition_output_by).parquet(
@@ -243,32 +262,54 @@ def run_extraction_pipeline(
     else:
         writer.write.mode("append").parquet(results_path)
 
-    # metrics + lineage from the written results: columnar scan, payloads
-    # never re-read, pure built-in aggregates (partial + final hash agg).
-    # These jobs scan only the engine's own output, so they run inside the
-    # corruption-tolerant scope (a stale in-flight file from a previous
-    # crash must not block metrics).
+    # metrics + lineage + row count from the written results in ONE scan:
+    # a fine-grained (run_id, extension, partition_id) pre-aggregation is
+    # materialized (tiny — bounded by runs × extensions × partitions),
+    # then metrics, lineage and the total are rollups of it.  The naive
+    # form scanned the full output three times; at 10^12 rows that is the
+    # difference between one and three passes over the result table, and
+    # even at bench scale it was a measurable level-independent tail in
+    # the N→4N scaling runs.  Payloads are never re-read (columnar scan,
+    # content only via length()).  Runs inside the corruption-tolerant
+    # scope (a stale in-flight file from a previous crash must not block
+    # metrics).
     with _tolerate_own_output_corruption(spark):
         results = spark.read.parquet(results_path)
-        metrics = results.groupBy("run_id", "extension").agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.col("extracted_by_ocr").cast("int")).alias("n_ocr"),
-            F.sum((F.col("err") != "").cast("int")).alias("n_err"),
-            F.avg(F.length("content")).alias("avg_content_chars"),
-            F.sum("size_bytes").alias("input_bytes"),
+        fine = (
+            results.groupBy("run_id", "extension", "partition_id")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.col("extracted_by_ocr").cast("int")).alias("n_ocr"),
+                F.sum((F.col("err") != "").cast("int")).alias("n_err"),
+                F.sum(F.length("content")).alias("chars_out"),
+                F.sum("size_bytes").alias("input_bytes"),
+                F.min("warc_ts").alias("min_ts"),
+                F.max("warc_ts").alias("max_ts"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        metrics = fine.groupBy("run_id", "extension").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_ocr").alias("n_ocr"),
+            F.sum("n_err").alias("n_err"),
+            # identical value to avg(length(content)) on the full table:
+            # Spark's avg is sum/count with the same long-sum + double
+            # division
+            (F.sum("chars_out") / F.sum("n_docs")).alias("avg_content_chars"),
+            F.sum("input_bytes").alias("input_bytes"),
         )
         metrics.write.mode("overwrite").parquet(metrics_path)
 
-        lineage = results.groupBy("run_id", "partition_id").agg(
-            F.count("*").alias("n_docs"),
-            F.sum("size_bytes").alias("bytes_in"),
-            F.sum(F.length("content")).alias("chars_out"),
-            F.min("warc_ts").alias("min_ts"),
-            F.max("warc_ts").alias("max_ts"),
+        lineage = fine.groupBy("run_id", "partition_id").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("input_bytes").alias("bytes_in"),
+            F.sum("chars_out").alias("chars_out"),
+            F.min("min_ts").alias("min_ts"),
+            F.max("max_ts").alias("max_ts"),
         )
         lineage.write.mode("overwrite").parquet(lineage_path)
 
-        total = results.count()
+        total = fine.agg(F.sum("n_docs")).collect()[0][0] or 0
     return {
         "run_id": run_id,
         "total_rows": total,
@@ -287,21 +328,45 @@ def verify_extraction(
     Reads the engine's OWN output, so it runs inside the corruption-
     tolerant scope like the metrics/resume reads — a stale footer-less
     part file from an earlier crash must not kill the verify step after a
-    successful extraction."""
+    successful extraction.
+
+    Two-phase, still byte-exact: phase 1 joins (length, md5) digests —
+    32-byte shuffle rows instead of full document text, which made verify
+    the single largest non-scaling tail of the job (25.7 s of a 74 s
+    local[16] wall at 2.88M docs) — and phase 2 re-checks only the
+    suspect urls with a full-content equality join.  A hash mismatch set
+    is a superset of the true mismatch set, so the exact recheck gives
+    the identical count the naive full-content join produced."""
+    digest = lambda c: F.struct(  # noqa: E731
+        F.length(c).alias("len"), F.md5(c.cast("binary")).alias("md5")
+    )
     with _tolerate_own_output_corruption(spark):
-        results = (
+        res_digest = (
             spark.read.parquet(results_path)
-            .select("url", "content")
+            .select("url", digest(F.col("content")).alias("d"))
             .localCheckpoint(eager=True)
         )
-    golden = pages.select("url", F.col("text").alias("expected"))
-    return (
-        results.join(golden, "url")
-        .where(
-            ~(
-                F.col("content").eqNullSafe(F.col("expected"))
-            )
+    gold = pages.select("url", digest(F.col("text")).alias("e"))
+    suspects = (
+        res_digest.join(gold, "url")
+        .where(~F.col("d").eqNullSafe(F.col("e")))
+        .select("url")
+        .localCheckpoint(eager=True)
+    )
+    n_suspects = suspects.count()
+    if n_suspects == 0:
+        return 0
+    # exact recheck on the (normally tiny) suspect set only
+    sus = F.broadcast(suspects) if n_suspects <= 1_000_000 else suspects
+    with _tolerate_own_output_corruption(spark):
+        sus_rows = (
+            spark.read.parquet(results_path)
+            .join(sus, "url")
+            .select("url", "content")
         )
+    return (
+        sus_rows.join(pages.select("url", F.col("text").alias("expected")), "url")
+        .where(~F.col("content").eqNullSafe(F.col("expected")))
         .count()
     )
 

@@ -8,6 +8,7 @@ set identically in ``spark-submit --conf`` on a real cluster.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -27,10 +28,28 @@ def get_spark(
       reference's LZW-rasterization memory bound, tasks.py:100-106).
     - UTC session TZ so DuckDB oracle comparisons are stable.
     """
-    n = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]")
+    # Respect a master chosen by the LAUNCHER: under spark-submit the
+    # `--master` flag lands in SparkConf as spark.master, and an explicit
+    # builder.master() would silently override it (round-4 finding: every
+    # "local[4]" scaling leg actually ran local[32] this way — the
+    # measurement bug class this block exists to prevent).  An explicit
+    # `cores=` argument or SPARK_GRAFT_CPUS/SPARK_GRAFT_MASTER env still
+    # wins, for tests and the in-process bench.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ  # pre-launched JVM
+    explicit = (
+        cores is not None
+        or "SPARK_GRAFT_CPUS" in os.environ
+        or "SPARK_GRAFT_MASTER" in os.environ
+    )
+    if submitted and not explicit:
+        master = None  # the submitted JVM's spark.master applies
+        n = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    else:
+        n = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]")
     builder = (
-        SparkSession.builder.master(master)
+        (SparkSession.builder.master(master) if master is not None
+         else SparkSession.builder)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.default.parallelism", str(n))

@@ -21,6 +21,14 @@ ZIP="$(mktemp -d)/doctor_spark.zip"
 # --driver-memory must be set HERE: once spark-submit has started the JVM,
 # the session factory's spark.driver.memory conf is ignored (default 1g
 # OOMs local-mode runs, where the driver hosts all executor threads)
+#
+# SPARK_GRAFT_MASTER/CPUS exported so the session factory sizes
+# parallelism confs to the requested level — and can never override the
+# launcher's master with its own default (the round-4 measurement bug:
+# builder.master(local[32]) silently won over --master local[4], so
+# every "N" scaling leg ran at 32 threads)
+export SPARK_GRAFT_MASTER="$MASTER"
+export SPARK_GRAFT_CPUS="$NUM_EXECUTORS"
 exec spark-submit \
   --master "$MASTER" \
   --name doctor_spark-extraction \

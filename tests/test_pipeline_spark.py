@@ -39,6 +39,17 @@ def test_pipeline_end_to_end(spark, pages, tmp_path_factory):
     assert summary["total_rows"] == N
     assert verify_extraction(spark, pages, summary["results_path"]) == 0
 
+    # the two-phase verify must still CATCH mismatches exactly: corrupt
+    # two goldens (one appended char, one nulled) and expect exactly 2
+    u1, u2 = [r.url for r in pages.select("url").orderBy("url").limit(2).collect()]
+    broken = pages.withColumn(
+        "text",
+        F.when(F.col("url") == u1, F.concat(F.col("text"), F.lit("X")))
+        .when(F.col("url") == u2, F.lit(None))
+        .otherwise(F.col("text")),
+    )
+    assert verify_extraction(spark, broken, summary["results_path"]) == 2
+
     # metrics and lineage written and consistent
     metrics = spark.read.parquet(f"{out}/metrics")
     assert metrics.agg(F.sum("n_docs")).first()[0] == N

@@ -35,3 +35,34 @@ class TestSparkSubmit(unittest.TestCase):
         assert proc.returncode == 0, proc.stderr[-4000:]
         assert (Path(out) / "extracted").exists(), proc.stdout[-2000:]
         assert '"golden_mismatches": 0' in proc.stdout, proc.stdout[-2000:]
+
+    def test_submitted_master_is_respected(self):
+        """--master from spark-submit must reach the session: get_spark's
+        builder.master() silently overrode it to local[32] (round-4
+        finding — every 'local[4]' scaling leg ran at 32 threads)."""
+        probe = "/tmp/doctor_spark_master_probe.py"
+        Path(probe).write_text(
+            "from doctor_spark.session import get_spark\n"
+            "s = get_spark('probe')\n"
+            "print('EFFECTIVE_MASTER=' + s.sparkContext.master)\n"
+            "s.stop()\n"
+        )
+        zip_path = "/tmp/doctor_spark_probe.zip"
+        Path(zip_path).unlink(missing_ok=True)
+        subprocess.run(
+            ["zip", "-qr", zip_path, "doctor_spark"], cwd=str(REPO),
+            check=True,
+        )
+        env = {
+            k: v for k, v in os.environ.items()
+            if not k.startswith("SPARK_GRAFT_")
+        }
+        proc = subprocess.run(
+            [
+                "spark-submit", "--master", "local[3]",
+                "--driver-memory", "2g", "--py-files", zip_path, probe,
+            ],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "EFFECTIVE_MASTER=local[3]" in proc.stdout, proc.stdout[-1000:]
