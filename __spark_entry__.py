@@ -415,8 +415,10 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the Lee-et-al./Dolma-style production operating point: 128 permutations,
 # 16 bands x 8 rows — the width at which the band fan-out (16 rows/doc)
-# and the per-doc kernel cost actually bite at scale
-MINHASH_PROD_SEEDS = tuple(f"s{i}" for i in range(128))
+# and the per-doc kernel cost actually bite at scale.  Signature scheme at
+# this width is the universal-hash family (one md5 per shingle + affine
+# permutations mod 2^32); md5-per-(seed,shingle) costs 128x more digests.
+MINHASH_PROD_PERMS = 128
 MINHASH_PROD_ROWS_PER_BAND = 8
 
 
@@ -428,7 +430,7 @@ def q_dedup_minhash_pairs_w128(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = minhash_candidate_pairs(
         _docs(spark, sf_dir),
-        seeds=MINHASH_PROD_SEEDS,
+        affine_perms=MINHASH_PROD_PERMS,
         rows_per_band=MINHASH_PROD_ROWS_PER_BAND,
     )
     return p.select(
@@ -1150,6 +1152,52 @@ FROM banded a JOIN banded b
 """
 
 
+def _minhash_affine_sql(n_perms: int, rows_per_band: int, n: int = 3) -> str:
+    """Mirror of the universal-hash production MinHash: 32-bit md5-prefix
+    per shingle (hex→BIGINT), (a_i*h + b_i) mod 2^32 affine permutations
+    (exact int64 — a < 2^30 keeps products < 2^62), per-band md5 over the
+    decimal-string join of the row mins."""
+    from doctor_spark.operators.dedup import _affine_params
+
+    a, b = _affine_params(n_perms)
+    shingle = (
+        f"list_distinct(list_transform(range(1, len({_TOKS}) - {n - 2}), "
+        f"i -> array_to_string(({_TOKS})[i:i+{n - 1}], ' ')))"
+    )
+    mh_cols = ", ".join(
+        "list_aggregate(list_transform(h32, "
+        f"h -> (h * {a[i]} + {b[i]}) % 4294967296), 'min') AS mh{i}"
+        for i in range(n_perms)
+    )
+    n_bands = n_perms // rows_per_band
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_no, md5({key}) AS band_key FROM sigs".format(
+            b=bi,
+            key=" || '|' || ".join(
+                f"mh{i}::VARCHAR"
+                for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)
+            ),
+        )
+        for bi in range(n_bands)
+    )
+    return f"""
+WITH sh_t AS (
+  SELECT doc_id, {shingle} AS sh FROM documents WHERE len({_TOKS}) >= {n}
+), h_t AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h32
+  FROM sh_t
+), sigs AS (
+  SELECT doc_id, {mh_cols} FROM h_t
+), banded AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
+FROM banded a JOIN banded b
+  ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
 def _jaccard_sql(n: int = 3, threshold: float = 0.3, max_df: int = 100) -> str:
     return f"""
 WITH toks AS (
@@ -1612,8 +1660,8 @@ SELECT count(*)::BIGINT AS n_total, count(DISTINCT {_FP})::BIGINT AS n_unique
 FROM documents
 """,
         "dedup_minhash_pairs": _minhash_sql(),
-        "dedup_minhash_pairs_w128": _minhash_sql(
-            n_seeds=128, rows_per_band=MINHASH_PROD_ROWS_PER_BAND
+        "dedup_minhash_pairs_w128": _minhash_affine_sql(
+            MINHASH_PROD_PERMS, MINHASH_PROD_ROWS_PER_BAND
         ),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_near": _simhash_near_sql(),

@@ -153,23 +153,102 @@ def _minhash_bands_udf(seeds: tuple[str, ...], rows_per_band: int, n: int = 3):
     return bands
 
 
+def _affine_params(n_perms: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) for the universal-hash permutation family,
+    derived from md5 so any engine can reproduce them.  a < 2^30 and odd,
+    b < 2^32: products stay under 2^62, so int64/BIGINT arithmetic is
+    exact on numpy AND DuckDB (no overflow, no float rounding)."""
+    import hashlib
+
+    a = [
+        (int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16)
+         & 0x3FFFFFFF) | 1
+        for i in range(n_perms)
+    ]
+    b = [
+        int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16)
+        for i in range(n_perms)
+    ]
+    return a, b
+
+
+def _minhash_bands_affine_udf(n_perms: int, rows_per_band: int, n: int = 3):
+    """Production-width band kernel (the Lee-et-al./Dolma operating
+    point): ONE md5 per shingle, then ``n_perms`` affine permutations
+    ``(a_i*h + b_i) mod 2^32`` of its 32-bit prefix, numpy-vectorized.
+    The md5-per-(seed,shingle) scheme the 4-seed demo uses costs
+    n_perms× more digests — measured 27.5 s vs ~2 s at sf0.1 for
+    width 128.  Exactly mirrored in SQL: hex-prefix→BIGINT, affine mod,
+    list min, decimal-string band join, md5."""
+    import hashlib
+
+    import numpy as np
+
+    a_l, b_l = _affine_params(n_perms)
+    a = np.asarray(a_l, dtype=np.int64)
+    b = np.asarray(b_l, dtype=np.int64)
+    n_bands = n_perms // rows_per_band
+
+    @F.pandas_udf("array<string>")
+    def bands(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = _java_ws_tokens(text or "")
+            if len(toks) < n:
+                out.append([])
+                continue
+            sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+            h32 = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    for s in sh
+                ),
+                dtype=np.int64, count=len(sh),
+            )
+            sig = ((h32[:, None] * a[None, :]) + b[None, :]) % 4294967296
+            mins = sig.min(axis=0)
+            out.append(
+                [
+                    hashlib.md5(
+                        "|".join(
+                            str(int(v))
+                            for v in mins[bi * rows_per_band:(bi + 1) * rows_per_band]
+                        ).encode("utf-8")
+                    ).hexdigest()
+                    for bi in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return bands
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     seeds: tuple[str, ...] = DEFAULT_SEEDS,
     rows_per_band: int = 2,
+    affine_perms: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: ids sharing any band bucket (id_a < id_b).
 
     The band self-join is a keyed equi-join — at scale each bucket is tiny,
-    so this avoids any pairwise cross product."""
+    so this avoids any pairwise cross product.
+
+    ``affine_perms=k`` switches the signature to the universal-hash
+    scheme (one md5 per shingle + k affine permutations; ``seeds`` is
+    then ignored) — the production form for wide signatures, where the
+    seeded-md5 scheme would pay k digests per shingle."""
     # Band keys via an Arrow-batched pandas UDF: the pure-builtin expression
     # (see with_minhash) is semantically identical but Catalyst evaluates
     # nested higher-order functions interpreted (no codegen, no CSE) at
     # ~1 ms/row; hashlib in an Arrow batch is ~100× faster and md5-of-utf8
     # is bit-identical across Spark / Python / DuckDB, so the oracle holds.
-    bands_udf = _minhash_bands_udf(seeds, rows_per_band)
+    if affine_perms is not None:
+        bands_udf = _minhash_bands_affine_udf(affine_perms, rows_per_band)
+    else:
+        bands_udf = _minhash_bands_udf(seeds, rows_per_band)
     stacked = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .select("id", F.posexplode(bands_udf(F.col("__t"))).alias("band_no", "band_key"))

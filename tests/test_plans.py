@@ -138,13 +138,12 @@ def test_minhash_production_width_plan_and_fanout(spark):
     (ReusedExchange) — signatures are computed once per doc, and the band
     fan-out is exactly n_bands rows/doc, not n_seeds."""
     from doctor_spark.operators.dedup import (
-        _minhash_bands_udf,
+        _minhash_bands_affine_udf,
         minhash_candidate_pairs,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    seeds = tuple(f"s{i}" for i in range(128))
-    q = minhash_candidate_pairs(docs, seeds=seeds, rows_per_band=8)
+    q = minhash_candidate_pairs(docs, affine_perms=128, rows_per_band=8)
     q.collect()  # ReusedExchange shows in the POST-execution AQE plan
     plan = q._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
@@ -153,7 +152,7 @@ def test_minhash_production_width_plan_and_fanout(spark):
     # once, not per join side
     assert final.count("ArrowEvalPython") == 1, final
     # fan-out: 16 band keys per (long-enough) doc
-    bands = _minhash_bands_udf(seeds, 8)
+    bands = _minhash_bands_affine_udf(128, 8)
     one = docs.limit(1).select(F.size(bands(F.col("text"))).alias("n"))
     assert one.collect()[0]["n"] in (0, 16)
 
