@@ -476,6 +476,51 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full C4/Dolma-style cleaning recipe as ONE query: Gopher
+    quality gate AND repetition gate AND language filter (en) in a single
+    map stage (three Arrow kernels, zero shuffles), exact-dup removal
+    (keep min doc_id per fingerprint — one keyed window exchange), and
+    PII scrubbing on the survivors.  Output: kept doc_id + md5 of the
+    scrubbed text.  This is the shape a training-data pipeline actually
+    runs — filters fused per-row before any shuffle, dedup on the
+    already-filtered (smaller) set, scrub last so dropped docs never pay
+    for it."""
+    from pyspark.sql import Window
+
+    from doctor_spark.functions.text import (
+        fingerprint,
+        gopher_metrics_udf,
+        lang_guess_udf,
+        repetition_metrics_udf,
+        scrub_pii,
+    )
+
+    g = gopher_metrics_udf()
+    rep = repetition_metrics_udf()
+    lg = lang_guess_udf()
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", "text",
+        g(F.col("text")).alias("g"),
+        rep(F.col("text")).alias("r"),
+        lg(F.col("text")).alias("lg"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = scored.where(
+        F.col("g.passes") & F.col("r.passes") & (F.col("lg") == "en")
+    )
+    w = Window.partitionBy("fp")
+    return (
+        kept.withColumn("keep_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.md5(scrub_pii(F.col("text")).cast("binary")).alias("clean_md5"),
+        )
+    )
+
+
 def q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused fuzzy-dedup end-to-end: pairs → components → keeper → kept
     corpus, one job (verdict r3 item 5)."""
@@ -1008,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_components": q_dedup_components,
         "dedup_filtered_corpus": q_dedup_filtered_corpus,
+        "clean_corpus": q_clean_corpus,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_quality": q_text_quality,
@@ -1549,10 +1595,11 @@ FROM documents
 """
 
 
-def _lang_id_sql() -> str:
-    """Mirror of functions.text.lang_guess: script vote (explicit BMP
-    ranges, character-identical classes), then the 18-language Latin
-    stopword argmax; both tie-break orders are the dict orders."""
+def _lang_guess_expr() -> str:
+    """Mirror of functions.text.lang_guess as a single SQL expression:
+    script vote (explicit BMP ranges, character-identical classes), then
+    the 18-language Latin stopword argmax; both tie-break orders are the
+    dict orders."""
     s_cnt = {
         s: f"len(regexp_extract_all(text, '{_SCRIPT_RANGES[s]}'))"
         for s in _SCRIPT_RANGES
@@ -1584,15 +1631,18 @@ def _lang_id_sql() -> str:
             script_whens.append(
                 f"WHEN {s_cnt[s]} = {best_script} THEN '{s}'"
             )
-    guess = (
+    return (
         f"CASE WHEN {best_script} = 0 THEN 'und' "
         f"WHEN {latin} = {best_script} THEN ({latin_case}) "
         + " ".join(script_whens)
         + " ELSE 'und' END"
     )
+
+
+def _lang_id_sql() -> str:
     return f"""
 SELECT lang, lang_guess, count(*)::BIGINT AS n_docs
-FROM (SELECT lang, {guess} AS lang_guess FROM documents)
+FROM (SELECT lang, {_lang_guess_expr()} AS lang_guess FROM documents)
 GROUP BY lang, lang_guess
 """
 
@@ -1679,6 +1729,25 @@ walk(doc_id, label) AS (
 )
 SELECT doc_id::BIGINT AS doc_id, min(label)::BIGINT AS component_id
 FROM walk GROUP BY doc_id
+""",
+        "clean_corpus": f"""
+WITH g AS ({_gopher_sql()}), r AS ({_repetition_gopher_sql()}),
+l AS (SELECT doc_id, {_lang_guess_expr()} AS lg FROM documents),
+f AS (SELECT doc_id, {_FP} AS fp, text FROM documents),
+kept AS (
+  SELECT f.doc_id, f.fp, f.text
+  FROM f JOIN g USING (doc_id) JOIN r USING (doc_id) JOIN l USING (doc_id)
+  WHERE g.passes AND r.passes AND l.lg = 'en'
+)
+SELECT doc_id::BIGINT AS doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+           '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'))
+         AS clean_md5
+FROM kept
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
 """,
         "dedup_filtered_corpus": f"""
 WITH RECURSIVE pairs AS ({_minhash_sql()}),

@@ -160,6 +160,7 @@ def main() -> None:
         "dedup_minhash_pairs",
         "dedup_minhash_pairs_w128",
         "dedup_filtered_corpus",
+        "clean_corpus",
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "embedding_neardup",

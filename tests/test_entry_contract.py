@@ -173,7 +173,7 @@ ADVERSARIAL_QUERIES = [
     # round-4 additions: production-width MinHash, the fused dedup chain,
     # decontamination and hash sampling (all need only doc_id + text)
     "dedup_minhash_pairs_w128", "dedup_filtered_corpus",
-    "decontaminate", "corpus_sample",
+    "decontaminate", "corpus_sample", "clean_corpus",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]

@@ -551,3 +551,20 @@ def test_hash_sample_deterministic_zero_shuffle(spark):
     assert a.isdisjoint(val)
     other = {r.url for r in hash_sample(df, "url", 0.1, salt="other").collect()}
     assert a != other  # a new salt draws an independent sample
+
+
+def test_clean_corpus_single_exchange(spark):
+    """The fused cleaning recipe (quality + repetition + language + PII
+    + exact dedup) must shuffle exactly once — the fingerprint window —
+    with every filter fused into the map stage before it."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["clean_corpus"](spark, SF)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastExchange" not in final
+    # one keyed exchange (AQE may add ShuffleQueryStage wrappers; count
+    # the exchange operators themselves)
+    n_ex = final.count("Exchange hashpartitioning")
+    assert n_ex == 1, final
