@@ -770,7 +770,13 @@ def _encrypt_value_is_crypt_dict(data: bytes, vstart: int, objects) -> bool:
         if isinstance(attrs, dict):
             return ("O" in attrs and "U" in attrs) or "V" in attrs or \
                 str(attrs.get("Filter")) == "Standard"
-        return False
+        # Unresolvable target (the encrypt object itself failed to parse,
+        # or lives in an unparsed revision): fail CLOSED.  An unencrypted
+        # document almost never carries ``/Encrypt N G R`` outside stream
+        # payloads, and proceeding on a genuinely encrypted file would emit
+        # decoded-garbage rows — the exact failure the old any-marker rule
+        # prevented.
+        return True
     if re.match(rb"[\x00\t\n\x0c\r ]*<<", tail):
         inline = data[vstart:vstart + 1024]
         return (b"/O" in inline and b"/U" in inline) or b"/V" in inline or \

@@ -25,6 +25,11 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Pixel-count ceiling before inflating IDAT (decompression-bomb guard);
+# ~64M px ≈ a 8192x8192 image, far above any document raster this engine
+# handles, and keeps worst-case inflate under ~256 MB for RGBA.
+_MAX_PIXELS = 64 * 1024 * 1024
+
 
 class PngError(ValueError):
     """Malformed or unsupported PNG."""
@@ -91,10 +96,13 @@ def decode_png(data: bytes) -> np.ndarray:
     n = len(data)
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", data, pos)
+        # Bounds-check the WHOLE chunk (length + type + body + 4-byte CRC)
+        # up front: a PNG truncated inside the CRC word must fail closed as
+        # PngError, not escape as struct.error and kill the Spark task.
+        if pos + 12 + length > n:
+            raise PngError("truncated chunk")
         ctype = data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + length]
-        if len(body) != length:
-            raise PngError("truncated chunk")
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise PngError(f"bad CRC in {ctype!r}")
@@ -120,11 +128,24 @@ def decode_png(data: bytes) -> np.ndarray:
         raise PngError("Adam7 interlace not supported")
     if not idat:
         raise PngError("missing IDAT")
+    ch = _CHANNELS[color_type]
+    # Decompression-bomb guard: bound the inflate by what IHDR promises.
+    # zlib's ~1000:1 ratio would let a tiny hostile IDAT demand gigabytes
+    # before any truncation check runs; cap the pixel count and inflate at
+    # most h*(stride+1) bytes (the exact filtered-image size) + 1 probe
+    # byte to detect oversized streams.
+    if w == 0 or h == 0:
+        raise PngError("zero-dimension image")
+    if w * h > _MAX_PIXELS:
+        raise PngError(f"image too large ({w}x{h} > {_MAX_PIXELS} px cap)")
+    expected = h * (w * ch + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise PngError(f"bad IDAT stream: {exc}") from exc
-    ch = _CHANNELS[color_type]
+    if len(raw) > expected:
+        raise PngError("IDAT inflates past IHDR-declared size")
     px = _unfilter(raw, h, w, ch)
     if color_type == 3:
         if palette is None:

@@ -19,7 +19,7 @@ MinHash-LSH at 10^12 rows.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from ..functions.text import fingerprint, tokens
 
@@ -409,6 +409,7 @@ def duplicate_components(
     max_iters: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over candidate-duplicate pairs: every member
     of a duplicate cluster labeled with the cluster's smallest id (the
@@ -420,9 +421,12 @@ def duplicate_components(
     logarithmic in component diameter, so a 2^20-long near-dup chain
     converges inside the default budget.  Each round is two keyed
     shuffles; ``localCheckpoint`` cuts the lineage so plans don't grow.
-    Raises if the budget is exhausted before convergence — silently
-    returning unconverged labels would split clusters and break the exact
-    oracle.
+    The convergence check piggybacks on the checkpoint action via
+    ``Observation`` (an ``observe()`` node above the checkpoint), so each
+    round is ONE Spark job — no separate driver ``count()`` whose
+    job-scheduling tail would add up at 10^9-edge graphs.  Raises if the
+    budget is exhausted before convergence — silently returning
+    unconverged labels would split clusters and break the exact oracle.
 
     Columns: doc_id, component_id."""
     edges = (
@@ -455,6 +459,7 @@ def duplicate_components(
                 F.coalesce(F.col("nbr_min"), F.col("component_id")).alias("nm"),
             )
         )
+        obs = Observation(f"cc_round_{it}")
         updated = (
             hop.join(parents, hop.component_id == parents.p_id, "left")
             .select(
@@ -471,10 +476,13 @@ def duplicate_components(
                 F.col("new_id").alias("component_id"),
                 (F.col("new_id") < F.col("old_id")).alias("changed"),
             )
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("n"))
         ).localCheckpoint(eager=True)
-        n_changed = updated.where(F.col("changed")).count()
+        n_changed = obs.get["n"] or 0  # collected by the checkpoint job
         labels = updated.drop("changed")
         if n_changed == 0:
+            if stats is not None:  # convergence telemetry for benchmarks
+                stats["iterations"] = it + 1
             return labels
     raise RuntimeError(
         f"duplicate_components did not converge in {max_iters} iterations "

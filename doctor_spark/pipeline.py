@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import contextlib
 import json
+import logging
 import time
 from pathlib import Path
 
@@ -28,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .corpus import pages_dataframe
 from .operators.classify import skew_repartition, with_classification
+
+_LOG = logging.getLogger("doctor_spark.pipeline")
 from .operators.extract import extract_operator
 
 
@@ -131,8 +134,20 @@ def resume_done_urls(
                     done = done.where(
                         F.col("crawl_date").between(bounds["lo"], bounds["hi"])
                     )
-            except Exception:
-                pass  # un-datable input: fall back to the unpruned set
+            except AnalysisException:
+                # un-datable input (no warc_ts / unresolvable column): the
+                # unpruned done-set is correct, just unbounded by date
+                pass
+            except Exception as exc:
+                # transient failure probing the INPUT's date range: the
+                # unpruned fallback stays exactly-once-correct (it only
+                # skips MORE pruning), so degrade — but loudly, unlike the
+                # done-set read above where proceeding could double-write
+                _LOG.warning(
+                    "resume date-bounds probe failed (%s: %s); "
+                    "falling back to the unpruned done-set",
+                    type(exc).__name__, exc,
+                )
         # ignoreCorruptFiles (scoped above) makes the scan skip footer-less
         # in-flight debris; if ALL files were debris, schema inference
         # already raised UNABLE_TO_INFER_SCHEMA and was handled as fresh
@@ -282,6 +297,7 @@ def run_extraction_pipeline(
                 F.sum(F.col("extracted_by_ocr").cast("int")).alias("n_ocr"),
                 F.sum((F.col("err") != "").cast("int")).alias("n_err"),
                 F.sum(F.length("content")).alias("chars_out"),
+                F.count("content").alias("n_content"),
                 F.sum("size_bytes").alias("input_bytes"),
                 F.min("warc_ts").alias("min_ts"),
                 F.max("warc_ts").alias("max_ts"),
@@ -292,10 +308,12 @@ def run_extraction_pipeline(
             F.sum("n_docs").alias("n_docs"),
             F.sum("n_ocr").alias("n_ocr"),
             F.sum("n_err").alias("n_err"),
-            # identical value to avg(length(content)) on the full table:
-            # Spark's avg is sum/count with the same long-sum + double
-            # division
-            (F.sum("chars_out") / F.sum("n_docs")).alias("avg_content_chars"),
+            # identical value to avg(length(content)) on the full table,
+            # INCLUDING avg()'s NULL semantics: the denominator is the
+            # count of non-null contents (n_content), not row count — the
+            # two only coincide while content is guaranteed non-null, and
+            # a future nullable content column must skew neither way
+            (F.sum("chars_out") / F.sum("n_content")).alias("avg_content_chars"),
             F.sum("input_bytes").alias("input_bytes"),
         )
         metrics.write.mode("overwrite").parquet(metrics_path)

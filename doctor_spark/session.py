@@ -36,16 +36,15 @@ def get_spark(
     # `cores=` argument or SPARK_GRAFT_CPUS/SPARK_GRAFT_MASTER env still
     # wins, for tests and the in-process bench.
     submitted = "PYSPARK_GATEWAY_PORT" in os.environ  # pre-launched JVM
-    explicit = (
-        cores is not None
-        or "SPARK_GRAFT_CPUS" in os.environ
-        or "SPARK_GRAFT_MASTER" in os.environ
-    )
-    if submitted and not explicit:
-        master = None  # the submitted JVM's spark.master applies
-        n = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if submitted:
+        # Under a submitted JVM, ONLY an explicit SPARK_GRAFT_MASTER may
+        # override the launcher's --master.  cores= / SPARK_GRAFT_CPUS are
+        # sizing hints (shuffle partitions, parallelism), NOT a master
+        # request: `spark-submit --master yarn` + SPARK_GRAFT_CPUS=16 must
+        # run on yarn with 16-wide confs, not silently on local[16].
+        master = os.environ.get("SPARK_GRAFT_MASTER")
     else:
-        n = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]")
     builder = (
         (SparkSession.builder.master(master) if master is not None

@@ -574,6 +574,32 @@ class TestEncryptedPdf:
         content, err, rc = extract_pdf_layout_text(broken)
         assert content == "" and rc != 0
 
+    def test_encrypt_indirect_ref_to_missing_object_fails_closed(self):
+        """'/Encrypt N G R' out-of-stream whose TARGET object cannot be
+        resolved (the encrypt dict itself failed to parse, or lives in an
+        unparsed revision) with the trailer keyword also damaged: a
+        genuinely encrypted file in this state must fail closed, not emit
+        decoded-garbage rows.  An unencrypted document essentially never
+        carries '/Encrypt N G R' outside stream payloads."""
+        from doctor_spark.kernels.pdf import extract_pdf_layout_text
+        from doctor_spark.kernels.pdfwriter import (
+            PageSpec,
+            build_pdf,
+            text_to_lines,
+        )
+
+        plain = build_pdf([PageSpec(lines=text_to_lines("Visible body"))])
+        # indirect /Encrypt reference to an object that does not exist,
+        # spliced outside every stream span, trailer keyword damaged so
+        # _find_encrypt cannot resolve a crypt dict either
+        i = plain.index(b"1 0 obj")
+        marker = b"9 0 obj\n<< /Encrypt 99 0 R >>\nendobj\n"
+        spliced = (plain[:i] + marker + plain[i:]).replace(
+            b"trailer", b"trXiler"
+        )
+        content, err, rc = extract_pdf_layout_text(spliced)
+        assert content == "" and rc != 0, (content[:80], err)
+
     def test_encrypt_marker_inside_stream_is_ignored(self):
         """An unencrypted doc whose STREAM payload contains '/Encrypt '
         (e.g. an embedded attachment) must extract normally."""

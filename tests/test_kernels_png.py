@@ -111,6 +111,54 @@ class TestPngCodec:
         with pytest.raises(PngError):
             decode_png(p)
 
+    def test_truncated_inside_crc_is_png_error(self):
+        """A PNG cut off INSIDE a chunk's 4-byte CRC (body present, CRC
+        missing) must raise PngError, not escape as struct.error — the
+        media_features operator only maps ValueError to the null-feature
+        err row, so anything else kills the Spark task."""
+        good = encode_png(np.zeros((4, 4), dtype=np.uint8))
+        for cut in (1, 2, 3, 4):  # strip 1..4 trailing CRC bytes of IEND
+            with pytest.raises(PngError):
+                decode_png(good[:-cut])
+        # ...and mid-file: cut inside the IHDR chunk's CRC specifically
+        ihdr_end = good.index(b"IHDR") + 4 + 13 + 4  # type+body+crc
+        with pytest.raises(PngError):
+            decode_png(good[:ihdr_end - 2])
+
+    def test_decompression_bomb_rejected_before_inflate(self):
+        """Hostile IHDR dimensions must be rejected BEFORE zlib inflates
+        anything: a ~1 MB IDAT at 1000:1 would otherwise demand gigabytes."""
+        # 65536 x 65536 gray = 4G pixels, over the 64M cap
+        ihdr = struct.pack(">IIBBBBB", 65536, 65536, 8, 0, 0, 0, 0)
+        bomb = zlib.compress(b"\x00" * (1 << 20), 9)  # highly compressible
+        p = (
+            PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(PngError, match="too large"):
+            decode_png(p)
+        # zero-dimension guard
+        ihdr0 = struct.pack(">IIBBBBB", 0, 4, 8, 0, 0, 0, 0)
+        p0 = (
+            PNG_SIGNATURE + _chunk(b"IHDR", ihdr0)
+            + _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(PngError):
+            decode_png(p0)
+
+    def test_idat_overrun_rejected(self):
+        """An IDAT stream inflating PAST the IHDR-declared image size is
+        malformed: refuse (bounded decompressobj) rather than buffer it."""
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray
+        # declared size = 2*(2+1)=6 bytes; provide 64k of filtered data
+        p = (
+            PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 65536))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(PngError, match="past IHDR"):
+            decode_png(p)
+
     def test_ancillary_chunks_skipped(self):
         a = np.arange(12, dtype=np.uint8).reshape(3, 4)
         good = encode_png(a)

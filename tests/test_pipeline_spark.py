@@ -152,6 +152,41 @@ def test_resume_probe_errors_propagate(spark, tmp_path):
         resume_done_urls(spark, "bogus-fs://bucket/extracted", pages)
 
 
+def test_resume_date_bounds_failure_degrades_with_warning(
+    spark, tmp_path_factory, caplog
+):
+    """A transient failure probing the INPUT's date range must degrade to
+    the UNPRUNED done-set with a logged warning — never silently swallowed
+    (verdict r4 item 10), and never an abort (the fallback only skips
+    pruning; exactly-once semantics are unchanged)."""
+    import logging
+
+    from doctor_spark.corpus import pages_dataframe
+    from doctor_spark.pipeline import resume_done_urls, run_extraction_pipeline
+
+    out = str(tmp_path_factory.mktemp("bounds_fail"))
+    pages = pages_dataframe(spark, 40, partitions=1)
+    run_extraction_pipeline(spark, pages, out, run_id="bf")
+    results_path = f"{out}/extracted"
+    n_total = spark.read.parquet(results_path).count()
+
+    class _BoomOnSelect:
+        """Stands in for `pages` whose date-range collect fails transiently."""
+
+        columns = pages.columns
+
+        def select(self, *a, **k):
+            raise RuntimeError("simulated transient executor loss")
+
+    with caplog.at_level(logging.WARNING, logger="doctor_spark.pipeline"):
+        done = resume_done_urls(spark, results_path, _BoomOnSelect())
+    assert done is not None and done.count() == n_total  # unpruned set
+    assert any(
+        "date-bounds" in r.message and "unpruned" in r.message
+        for r in caplog.records
+    ), [r.message for r in caplog.records]
+
+
 def test_resume_done_set_prunes_partitions(spark, tmp_path_factory):
     """The resume done-set read must be partition-pruned to the input's
     crawl-date range: the scan's PartitionFilters carries crawl_date, the

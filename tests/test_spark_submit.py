@@ -66,3 +66,39 @@ class TestSparkSubmit(unittest.TestCase):
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "EFFECTIVE_MASTER=local[3]" in proc.stdout, proc.stdout[-1000:]
+
+    def test_cpus_hint_does_not_override_submitted_master(self):
+        """SPARK_GRAFT_CPUS is a sizing hint, not a master request: under
+        spark-submit --master X with only SPARK_GRAFT_CPUS set (no
+        SPARK_GRAFT_MASTER), the launcher's master must survive — the
+        advisor-flagged residual of the round-4 measurement-bug class."""
+        probe = "/tmp/doctor_spark_master_probe2.py"
+        Path(probe).write_text(
+            "from doctor_spark.session import get_spark\n"
+            "s = get_spark('probe2')\n"
+            "print('EFFECTIVE_MASTER=' + s.sparkContext.master)\n"
+            "print('SHUFFLE_PARTS=' + s.conf.get('spark.sql.shuffle.partitions'))\n"
+            "s.stop()\n"
+        )
+        zip_path = "/tmp/doctor_spark_probe.zip"
+        if not Path(zip_path).exists():
+            subprocess.run(
+                ["zip", "-qr", zip_path, "doctor_spark"], cwd=str(REPO),
+                check=True,
+            )
+        env = {
+            k: v for k, v in os.environ.items()
+            if not k.startswith("SPARK_GRAFT_")
+        }
+        env["SPARK_GRAFT_CPUS"] = "16"
+        proc = subprocess.run(
+            [
+                "spark-submit", "--master", "local[3]",
+                "--driver-memory", "2g", "--py-files", zip_path, probe,
+            ],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        # master stays the launcher's; the CPU hint still sizes confs
+        assert "EFFECTIVE_MASTER=local[3]" in proc.stdout, proc.stdout[-1000:]
+        assert "SHUFFLE_PARTS=16" in proc.stdout, proc.stdout[-1000:]
