@@ -197,7 +197,10 @@ def extract_document(
             # parsed document (profiled: re-parsing was 2.25× per doc and
             # ~45% of total PDF cost)
             try:
-                doc = parse_pdf(data)
+                # runs on glyph-accurate pages are never read by these
+                # flows (layout uses the chars engines) — skip building
+                # one TextRun per TJ fragment
+                doc = parse_pdf(data, build_runs=False)
             except Exception:
                 doc = None
             if recap_mode:

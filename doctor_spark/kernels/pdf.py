@@ -77,7 +77,7 @@ class Name(str):
     """A PDF name token (/Foo) — distinct from a string literal."""
 
 
-@dataclass
+@dataclass(slots=True)
 class Ref:
     num: int
     gen: int = 0
@@ -450,7 +450,7 @@ class _Lexer:
 # --------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(slots=True)
 class TextRun:
     text: str
     x: float
@@ -1069,7 +1069,10 @@ class _CharCollector:
 
 _CONTENT_TOKEN = re.compile(
     rb"""
-      (?P<num>[+-]?\d*\.?\d+)           # most frequent token first
+      (?P<nums>(?:[+-]?\d*\.?\d+[\t\n\x0c\r ]+){2,})  # operand runs:
+                                        # "x y x y x y c" tokenizes in ONE
+                                        # match + bulk float() via split
+    | (?P<num>[+-]?\d*\.?\d+)           # single number
     | (?P<op>[A-Za-z'"*]{1,3})
     | (?P<name>/[^\s()<>\[\]{}/%]*)
     | (?P<arr>\[)                       # array start
@@ -1089,7 +1092,11 @@ _EI_RE = re.compile(rb"\sEI(?=[\s<\[/%(]|$)")
 # of real-PDF interpretation time, almost all of it under TJ arrays.
 _TJ_TOK = re.compile(
     rb"""[\x00\t\n\x0c\r ]*
-      (?:(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))  # kern numbers: most frequent
+      (?:(?P<pair>(?P<pnum>[+-]?(?:\d+\.?\d*|\.\d+))[\x00\t\n\x0c\r ]*
+                  \((?P<pstr>[^()\\\r]*)\))  # kern + simple literal fused:
+                                    # the dominant kerned-text shape,
+                                    # tokenized in ONE match
+        |(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))  # bare kern number
         |(?P<sstr>\([^()\\\r]*\))   # simple literal: no escapes/nesting
         |(?P<str>\()
         |(?P<shex><[0-9A-Fa-f\s]*>) # plain hex string
@@ -1099,6 +1106,12 @@ _TJ_TOK = re.compile(
       )""",
     re.VERBOSE,
 )
+
+
+# after a flat array closes, is the next operator literally TJ?  (the
+# fused parse-and-execute path commits only then; a dash pattern `[...] 0 d`
+# or BDC property array rolls back to the generic parser)
+_TJ_AFTER = re.compile(rb"[\x00\t\n\x0c\r ]*TJ(?![A-Za-z'\"*])")
 
 
 def _parse_tj_array(lex, content: bytes, start: int):
@@ -1112,7 +1125,13 @@ def _parse_tj_array(lex, content: bytes, start: int):
         if m is None:
             return None
         g = m.lastgroup
-        if g == "num":
+        if g == "pair":  # fused kern + simple literal
+            tok = m.group("pnum")
+            items.append(float(tok) if b"." in tok else int(tok))
+            s, e = m.span("pstr")
+            items.append(content[s:e])
+            pos = m.end()
+        elif g == "num":
             tok = m.group("num")
             items.append(float(tok) if b"." in tok else int(tok))
             pos = m.end()
@@ -1175,6 +1194,7 @@ def _interpret_content(
     ctm0=_IDENT,
     font_cache: dict | None = None,
     collector: "_CharCollector | None" = None,
+    build_runs: bool = True,
 ) -> tuple[list[TextRun], "_CharCollector", int, list[tuple[float, float, float, float]]]:
     """Execute the text subset of a content stream.
 
@@ -1280,16 +1300,27 @@ def _interpret_content(
             # (bit-identical chain — see Font.layout_table); Tc/Tw stay
             # in-loop because kerned docs reset them per show op
             tbl = font.layout_table(size, t_h)
-            for code in raw:
-                text, w_text, wth = tbl[code]
-                disp = w_text + t_c
-                if code == 32:
-                    disp += t_w
-                if text:
-                    texts_append(text)
-                    cums_append(cum)
-                    wths_append(wth)
-                cum += disp * t_h
+            if t_c == 0.0 and t_w == 0.0:
+                # Tc/Tw zero (most shows): the baked wth IS the step —
+                # (w+0.0)*Tz ≡ w*Tz up to the sign of zero
+                for code in raw:
+                    text, w_text, wth = tbl[code]
+                    if text:
+                        texts_append(text)
+                        cums_append(cum)
+                        wths_append(wth)
+                    cum += wth
+            else:
+                for code in raw:
+                    text, w_text, wth = tbl[code]
+                    disp = w_text + t_c
+                    if code == 32:
+                        disp += t_w
+                    if text:
+                        texts_append(text)
+                        cums_append(cum)
+                        wths_append(wth)
+                    cum += disp * t_h
         else:
             tbl2 = font.layout_table2(size, t_h)
             to_uni = font.to_unicode
@@ -1315,10 +1346,11 @@ def _interpret_content(
         tm = _mat_translate(tm, cum, 0.0)
         if len(texts) > seg_start:
             col.close_segment(base_x, base_y, ma, mb, eff_size, skew)
-            runs.append(
-                TextRun(text="".join(texts[seg_start:]), x=m[4], y=m[5],
-                        size=size, skewed=skew, fontname=fontname)
-            )
+            if build_runs:
+                runs.append(
+                    TextRun(text="".join(texts[seg_start:]), x=m[4], y=m[5],
+                            size=size, skewed=skew, fontname=fontname)
+                )
 
     def show_tj_array(arr) -> None:
         nonlocal tm
@@ -1406,15 +1438,251 @@ def _interpret_content(
                 if len(texts) > seg_start:
                     seg_end.append(len(texts))
                     seg_meta.append((base_x, base_y, ma, mb, eff_size, skew))
-                    runs_append(
-                        TextRun(text="".join(texts[seg_start:]), x=me, y=mf,
-                                size=size, skewed=skew, fontname=fontname)
-                    )
+                    if build_runs:
+                        runs_append(
+                            TextRun(text="".join(texts[seg_start:]), x=me,
+                                    y=mf, size=size, skewed=skew,
+                                    fontname=fontname)
+                        )
             elif isinstance(item, (int, float)):
                 tx = -item / 1000.0 * size * th
                 tm_e = tx * tm_a + 0.0 * tm_c + tm_e
                 tm_f = tx * tm_b + 0.0 * tm_d + tm_f
         tm = (tm_a, tm_b, tm_c, tm_d, tm_e, tm_f)
+
+    def exec_tj(astart: int):
+        """Fused parse-and-execute of a ``[...] TJ`` operand array: ONE
+        token walk, no intermediate list, no per-item isinstance, no
+        second pass.  Returns the position after the TJ operator, or
+        None with ALL interpreter state rolled back when the array turns
+        out not to be a TJ operand (dash pattern ``[...] 0 d``, BDC
+        property array) or contains tokens outside the flat-TJ grammar —
+        the pre-existing parse-then-dispatch path handles those.
+
+        Kerned court documents spend most interpretation time here
+        (measured on the reference fixtures: ~9 fragments of ~3 glyphs +
+        ~8 kern numbers per array), so the win is per-token overhead,
+        not per-glyph.  Every float op matches show_tj_array verbatim."""
+        nonlocal tm
+        tm0 = tm
+        texts = col.texts
+        cums = col.cums
+        wths = col.wths
+        seg_end = col.seg_end
+        seg_meta = col.seg_meta
+        k_texts = len(texts)
+        k_se = len(seg_end)
+        k_runs = len(runs)
+        font = slot.font if slot is not None else None
+        metric = emit_chars and font is not None and font.has_metrics
+        if metric:
+            tm_a, tm_b, tm_c, tm_d, tm_e, tm_f = tm
+            ca_, cb_, cc_, cd_, ce_, cf_ = ctm
+            ma = tm_a * ca_ + tm_b * cc_
+            mb = tm_a * cb_ + tm_b * cd_
+            mc = tm_c * ca_ + tm_d * cc_
+            md = tm_c * cb_ + tm_d * cd_
+            eff_size = size * abs(md) if md else size
+            skew = mb != 0
+            rise_x = rise * mc
+            rise_y = rise * md
+            two_byte = font.two_byte
+            if two_byte:
+                tbl2 = font.layout_table2(size, t_h)
+                to_uni = font.to_unicode
+                widths = font.widths
+                default_w = font.default_width
+            else:
+                tbl = font.layout_table(size, t_h)
+            texts_append = texts.append
+            cums_append = cums.append
+            wths_append = wths.append
+            runs_append = runs.append
+            tc, tw, th = t_c, t_w, t_h
+            plain = tc == 0.0 and tw == 0.0
+            sb_metric = not two_byte
+
+            def emit(frag: bytes) -> None:
+                nonlocal tm_e, tm_f
+                me = tm_e * ca_ + tm_f * cc_ + ce_
+                mf = tm_e * cb_ + tm_f * cd_ + cf_
+                seg_start = len(texts)
+                cum = 0.0
+                if two_byte:
+                    for i2 in range(0, len(frag) - 1, 2):
+                        code = (frag[i2] << 8) | frag[i2 + 1]
+                        e2 = tbl2.get(code)
+                        if e2 is None:
+                            text = to_uni.get(code)
+                            if text is None:
+                                text = "" if code == 0 else "�"
+                            w_text = widths.get(code, default_w) / 1000.0 * size
+                            e2 = (text, w_text, w_text * th)
+                            tbl2[code] = e2
+                        text, w_text, wth = e2
+                        if text:
+                            texts_append(text)
+                            cums_append(cum)
+                            wths_append(wth)
+                        cum += (w_text + tc) * th
+                elif plain:
+                    # Tc/Tw zero: the baked wth IS the step
+                    for code in frag:
+                        text, w_text, wth = tbl[code]
+                        if text:
+                            texts_append(text)
+                            cums_append(cum)
+                            wths_append(wth)
+                        cum += wth
+                else:
+                    for code in frag:
+                        text, w_text, wth = tbl[code]
+                        disp = w_text + tc
+                        if code == 32:
+                            disp += tw
+                        if text:
+                            texts_append(text)
+                            cums_append(cum)
+                            wths_append(wth)
+                        cum += disp * th
+                # tm = _mat_translate(tm, cum, 0.0), e/f terms only
+                tm_e = cum * tm_a + 0.0 * tm_c + tm_e
+                tm_f = cum * tm_b + 0.0 * tm_d + tm_f
+                if len(texts) > seg_start:
+                    seg_end.append(len(texts))
+                    seg_meta.append(
+                        (me + rise_x, mf + rise_y, ma, mb, eff_size, skew)
+                    )
+                    if build_runs:
+                        runs_append(
+                            TextRun(text="".join(texts[seg_start:]), x=me,
+                                    y=mf, size=size, skewed=skew,
+                                    fontname=fontname)
+                        )
+        else:
+            emit = show
+            sb_metric = False
+
+        pos2 = astart + 1
+        nn = len(content)
+        ok = False
+        while pos2 < nn:
+            m2 = _TJ_TOK.match(content, pos2)
+            if m2 is None:
+                break
+            gi = m2.lastindex
+            # lastindex group ids: 1=pair 4=num 5=sstr 6=str 7=shex
+            # 8=hex 9=close 10=comment (pair reports the OUTER group)
+            if gi == 1:  # fused kern + simple literal (ONE match)
+                v = float(m2.group(2))
+                if metric:
+                    tx = -v / 1000.0 * size * th
+                    tm_e = tx * tm_a + 0.0 * tm_c + tm_e
+                    tm_f = tx * tm_b + 0.0 * tm_d + tm_f
+                else:
+                    tm = _mat_translate(tm, -v / 1000.0 * size * t_h, 0.0)
+                frag = content[m2.start(3):m2.end(3)]
+                pos2 = m2.end()
+            elif gi == 5:  # escape-free literal string
+                frag = content[m2.start(5) + 1:m2.end(5) - 1]
+                pos2 = m2.end()
+            elif gi == 4:  # bare kern number
+                v = float(m2.group(4))
+                if metric:
+                    tx = -v / 1000.0 * size * th
+                    tm_e = tx * tm_a + 0.0 * tm_c + tm_e
+                    tm_f = tx * tm_b + 0.0 * tm_d + tm_f
+                else:
+                    tm = _mat_translate(tm, -v / 1000.0 * size * t_h, 0.0)
+                pos2 = m2.end()
+                continue
+            elif gi == 9:  # close bracket
+                pos2 = m2.end()
+                ok = True
+                break
+            elif gi == 7:  # plain hex string
+                hx = re.sub(rb"\s", b"", content[m2.start(7) + 1:m2.end(7) - 1])
+                if len(hx) % 2:
+                    hx += b"0"
+                try:
+                    frag = bytes.fromhex(hx.decode())
+                except ValueError:
+                    break
+                pos2 = m2.end()
+            elif gi == 6:  # literal string with escapes/nesting
+                lex.pos = m2.end() - 1
+                try:
+                    frag = lex._parse_string()
+                except (PdfParseError, IndexError, ValueError):
+                    break
+                pos2 = lex.pos
+            elif gi == 8:  # hex string needing marker cleanup
+                lex.pos = m2.end() - 1
+                try:
+                    frag = lex._parse_hex_string()
+                except (PdfParseError, IndexError, ValueError):
+                    break
+                pos2 = lex.pos
+            else:  # comment
+                pos2 = m2.end()
+                continue
+            # ---- shared fragment execution ----
+            if sb_metric:
+                # emit() body inlined for the dominant shape
+                # (single-byte metric font): same float chain
+                me = tm_e * ca_ + tm_f * cc_ + ce_
+                mf = tm_e * cb_ + tm_f * cd_ + cf_
+                seg_start = len(texts)
+                cum = 0.0
+                if plain:  # Tc=Tw=0: the baked wth IS the step
+                    for code in frag:
+                        text, w_text, wth = tbl[code]
+                        if text:
+                            texts_append(text)
+                            cums_append(cum)
+                            wths_append(wth)
+                        cum += wth
+                else:
+                    for code in frag:
+                        text, w_text, wth = tbl[code]
+                        disp = w_text + tc
+                        if code == 32:
+                            disp += tw
+                        if text:
+                            texts_append(text)
+                            cums_append(cum)
+                            wths_append(wth)
+                        cum += disp * th
+                tm_e = cum * tm_a + 0.0 * tm_c + tm_e
+                tm_f = cum * tm_b + 0.0 * tm_d + tm_f
+                if len(texts) > seg_start:
+                    seg_end.append(len(texts))
+                    seg_meta.append(
+                        (me + rise_x, mf + rise_y, ma, mb, eff_size, skew)
+                    )
+                    if build_runs:
+                        runs_append(
+                            TextRun(text="".join(texts[seg_start:]),
+                                    x=me, y=mf, size=size, skewed=skew,
+                                    fontname=fontname)
+                        )
+            else:
+                emit(frag)
+        if ok:
+            m3 = _TJ_AFTER.match(content, pos2)
+            if m3 is not None:
+                if metric:
+                    tm = (tm_a, tm_b, tm_c, tm_d, tm_e, tm_f)
+                return m3.end()
+        # not a TJ operand / unsupported token: restore state exactly
+        tm = tm0
+        del texts[k_texts:]
+        del cums[k_texts:]
+        del wths[k_texts:]
+        del seg_end[k_se:]
+        del seg_meta[k_se:]
+        del runs[k_runs:]
+        return None
 
     while pos < n:
         m = _CONTENT_TOKEN.search(content, pos)
@@ -1427,8 +1695,21 @@ def _interpret_content(
             stack.append(float(tok) if b"." in tok else int(tok))
             pos = m.end()
             continue
+        if g == "nums":
+            # whitespace-separated operand run: bulk-convert (every stack
+            # consumer wraps operands in float(), so float-for-int here
+            # is value-identical)
+            stack.extend(map(float, m.group().split()))
+            pos = m.end()
+            continue
         if g != "op":
             if g == "arr":
+                end = exec_tj(m.start())
+                if end is not None:
+                    # array + TJ consumed in one fused walk
+                    pos = end
+                    stack.clear()
+                    continue
                 fast = _parse_tj_array(lex, content, m.start())
                 if fast is not None:
                     stack.append(fast[0])
@@ -1565,7 +1846,7 @@ def _interpret_content(
             elif op == b"Do" and stack and objects is not None and depth < 4:
                 curves += _do_xobject(
                     str(stack[-1]), resources, objects, ctm, emit_chars,
-                    depth, runs, col, black_rects, font_cache,
+                    depth, runs, col, black_rects, font_cache, build_runs,
                 )
         except (TypeError, ValueError):
             pass
@@ -1576,7 +1857,7 @@ def _interpret_content(
 
 def _do_xobject(
     alias, resources, objects, ctm, emit_chars, depth, runs, collector,
-    black_rects, font_cache=None,
+    black_rects, font_cache=None, build_runs: bool = True,
 ) -> int:
     """Execute a Form XObject's content with its /Matrix composed in.
     Returns the curve-op count inside (the page_needs_ocr gate must see
@@ -1603,7 +1884,7 @@ def _do_xobject(
     r, _c, curves, b = _interpret_content(
         payload, sub_fonts, emit_chars=emit_chars, objects=objects,
         resources=sub_res, depth=depth + 1, ctm0=sub_ctm,
-        font_cache=font_cache, collector=collector,
+        font_cache=font_cache, collector=collector, build_runs=build_runs,
     )
     runs.extend(r)
     black_rects.extend(b)
@@ -1733,12 +2014,22 @@ def _xobjects_have_metric_fonts(
     return False
 
 
-def parse_pdf(data: bytes, max_pages: int | None = None) -> PdfDocument:
+def parse_pdf(
+    data: bytes, max_pages: int | None = None, build_runs: bool = True
+) -> PdfDocument:
     """Parse PDF bytes into pages of text runs/chars + images + annotations.
 
     ``max_pages`` bounds the content-interpretation work for callers that
     only need leading pages (the PACER header stamp lives on page 1; a
-    500-page filing must not pay 500 pages of layout for it)."""
+    500-page filing must not pay 500 pages of layout for it).
+
+    ``build_runs=False`` skips TextRun materialization on glyph-accurate
+    (chars-bearing) pages only — the extraction flows never read runs
+    there (layout goes through the chars engines), but ~1 TextRun + join
+    per TJ fragment is real cost on kerned documents.  Metric-less pages
+    always keep their runs (the fixed-pitch layout engine consumes them),
+    and callers that DO read runs on real-font pages (get_document_number,
+    get_xray) parse with the default."""
     if not data.lstrip()[:5].startswith(b"%PDF-") and b"%PDF-" not in data[:1024]:
         raise PdfParseError("not a PDF")
     objects = _scan_objects(data)
@@ -1791,7 +2082,7 @@ def parse_pdf(data: bytes, max_pages: int | None = None) -> PdfDocument:
         runs, col, curves, black_rects = _interpret_content(
             b"\n".join(content_parts), fonts, emit_chars=emit_chars,
             objects=objects, resources=res, ctm0=ctm0,
-            font_cache=font_cache,
+            font_cache=font_cache, build_runs=build_runs,
         )
         chars = col.finalize()
 
@@ -1954,29 +2245,69 @@ def poppler_layout_text(page: Page) -> str:
         return ""
     x_min = float(ca.x0[~space].min())
     order, bounds = _chars_to_lines(ca, page.height)
-    # materialize the sorted columns once as plain lists — the per-line
-    # loops below then index python floats/strs, not numpy scalars
-    x0_arr = ca.x0[order]
-    s_text = [ca.text[i] for i in order.tolist()]
-    s_x0 = x0_arr.tolist()
-    s_x1 = ca.x1[order].tolist()
-    s_size = ca.size[order].tolist()
-    s_space = space[order].tolist()
     # within-line order: stable sort by x0 alone (matches the old
     # ``sorted(line_chars, key=c.x0)`` over (top,x0)-ordered input) —
     # done for ALL lines in one stable lexsort keyed (line_id, x0)
+    x0_arr = ca.x0[order]
     line_ids = np.repeat(
         np.arange(len(bounds)),
         np.asarray([hi - lo for _t, lo, hi in bounds]),
     )
-    perm2 = np.lexsort((x0_arr, line_ids)).tolist()
+    perm2 = np.lexsort((x0_arr, line_ids))
+    fin = order[perm2]                 # chars in final (line, x0) order
+    x0v = ca.x0[fin]
+    x1v = ca.x1[fin]
+    sizev = ca.size[fin]
+    spacev = space[fin]
+    texts_fin = ca.text
+    fin_l = fin.tolist()
+
+    # the word/fragment tokenization decisions are elementwise float
+    # compares — computed page-wide in numpy (identical IEEE ops to the
+    # old per-char loop), leaving only string assembly in Python
+    nsp = np.flatnonzero(~spacev)      # nonspace char positions
+    size_ns = sizev[nsp]
+    x0_ns = x0v[nsp]
+    lid_ns = line_ids[nsp]
+    n_ns = nsp.size
+    same = np.zeros(n_ns, dtype=bool)
+    same[1:] = lid_ns[1:] == lid_ns[:-1]
+    gapv = np.empty(n_ns, dtype=np.float64)
+    if n_ns:
+        gapv[0] = 0.0
+        gapv[1:] = x0_ns[1:] - x1v[nsp[:-1]]   # cx0 - prev nonspace x1
+    # explicit space chars strictly between consecutive nonspace chars
+    spc = np.cumsum(spacev, dtype=np.int64)
+    pend = np.zeros(n_ns, dtype=bool)
+    if n_ns > 1:
+        pend[1:] = (spc[nsp[1:] - 1] - spc[nsp[:-1]]) > 0
+    # break at gap > 1.5 em (poppler maxWordSpacing); join with a single
+    # space at explicit spaces or gap > 0.3 em; tighter gaps are kerning
+    new_frag = ~same | (gapv > 1.5 * size_ns)
+    add_space = ~new_frag & (pend | (gapv > 0.3 * size_ns))
+
+    ns_list = nsp.tolist()
+    pieces = [
+        (" " + texts_fin[fin_l[p]]) if a else texts_fin[fin_l[p]]
+        for p, a in zip(ns_list, add_space.tolist())
+    ]
+    starts = np.flatnonzero(new_frag)
+    starts_l = starts.tolist()
+    n_starts = len(starts_l)
+    x0_ns_l = x0_ns.tolist()
+    # per-line nonspace ranges [a, b) and fragment ranges [sa, sb)
+    line_nums = np.arange(len(bounds))
+    a_per_line = np.searchsorted(lid_ns, line_nums, side="left").tolist()
+    b_per_line = np.searchsorted(lid_ns, line_nums, side="right").tolist()
+    sa_per_line = np.searchsorted(starts, a_per_line, side="left").tolist()
+
     out: list[str] = []
     prev_top: float | None = None
     prev_size = 12.0
-    for top, lo, hi in bounds:
-        idx = perm2[lo:hi]
-        sizes = [s_size[i] for i in idx if not s_space[i]]
-        if not sizes:
+    for k, (top, lo, hi) in enumerate(bounds):
+        a = a_per_line[k]
+        b = b_per_line[k]
+        if a == b:                     # whitespace-only line
             continue
         if prev_top is not None:
             gap = top - prev_top
@@ -1984,38 +2315,21 @@ def poppler_layout_text(page: Page) -> str:
             out.extend("" for _ in range(blanks))
         # smallest char size on the line sets the pitch (a header mixing
         # 7 pt and 9 pt text columnizes on the 7 pt cell in poppler)
-        size = min(sizes) or 12.0
+        size = float(size_ns[a:b].min()) or 12.0
         cell = POPPLER_CELL_EM * size
-
-        # tokenize into words (break at explicit spaces or gap > 0.3 em),
-        # then group words into fragments (break at gap > 1.5 em)
-        frags: list[tuple[float, list[str]]] = []
-        space_pending = False
-        prev_x1: float | None = None
-        for i in idx:
-            if s_space[i]:
-                space_pending = True
-                continue
-            cx0 = s_x0[i]
-            if not frags:
-                frags.append((cx0, [s_text[i]]))
-            else:
-                gap_x = cx0 - prev_x1 if prev_x1 is not None else 0.0
-                if gap_x > 1.5 * s_size[i]:
-                    frags.append((cx0, [s_text[i]]))
-                elif space_pending or gap_x > 0.3 * s_size[i]:
-                    frags[-1][1].append(" ")
-                    frags[-1][1].append(s_text[i])
-                else:
-                    frags[-1][1].append(s_text[i])
-            prev_x1 = s_x1[i]
-            space_pending = False
 
         buf: list[str] = []
         cur_col = 0
-        for fx, pieces in frags:
-            text = "".join(pieces)
-            col = int((fx - x_min) / cell + 0.5)
+        si = sa_per_line[k]
+        while si < n_starts:
+            s = starts_l[si]
+            if s >= b:
+                break
+            e = starts_l[si + 1] if si + 1 < n_starts else n_ns
+            if e > b:
+                e = b
+            text = "".join(pieces[s:e])
+            col = int((x0_ns_l[s] - x_min) / cell + 0.5)
             pad = col - cur_col
             if pad < 1 and cur_col > 0:
                 pad = 1
@@ -2024,6 +2338,7 @@ def poppler_layout_text(page: Page) -> str:
             buf.append(" " * pad)
             buf.append(text)
             cur_col += pad + len(text)
+            si += 1
         out.append("".join(buf))
         prev_top = top
         prev_size = size
