@@ -550,10 +550,38 @@ def _scan_objects(data: bytes) -> dict[int, object]:
     return objects
 
 
+class _LazyObj:
+    """Unparsed /ObjStm member: (payload, offset), materialized on first
+    resolve.  Tagged PDFs carry thousands of StructElem/structure-tree
+    members the text path never touches — parsing them eagerly was ~20%
+    of wall time on structure-heavy documents."""
+
+    __slots__ = ("payload", "offset")
+
+    def __init__(self, payload: bytes, offset: int):
+        self.payload = payload
+        self.offset = offset
+
+
+def _materialize(objects: dict[int, object], num: int, lz: "_LazyObj"):
+    lex = _Lexer(lz.payload, lz.offset)
+    try:
+        val = lex.parse_value()
+    except (PdfParseError, IndexError, ValueError):
+        val = None
+    objects[num] = val
+    return val
+
+
 def _expand_object_streams(objects: dict[int, object]) -> None:
     """Expand /Type /ObjStm compressed object streams (ISO 32000-1 §7.5.7):
     the stream begins with N (obj-number, byte-offset) pairs, followed at
-    /First by the serialized objects themselves."""
+    /First by the serialized objects themselves.
+
+    Members whose serialized bytes could hold page-tree or catalog nodes
+    (``/Page``, ``/Kids``, ``/Catalog``, or any ``#``-escaped name) parse
+    eagerly — ``_page_order`` discovers pages by scanning parsed dicts —
+    everything else becomes a :class:`_LazyObj` parsed on first resolve."""
     stms = [
         o for o in list(objects.values())
         if isinstance(o, StreamObj) and o.attrs.get("Type") == "ObjStm"
@@ -578,14 +606,23 @@ def _expand_object_streams(objects: dict[int, object]) -> None:
                 pairs.append((onum, ooff))
         except (PdfParseError, IndexError, ValueError):
             continue
+        offs = sorted(ooff for _n, ooff in pairs)
+        nxt = {o: n for o, n in zip(offs, offs[1:])}
+        payload_n = len(payload)
         for onum, ooff in pairs:
             if onum in objects:  # top-level definitions win
                 continue
-            inner = _Lexer(payload, first + ooff)
-            try:
-                objects[onum] = inner.parse_value()
-            except (PdfParseError, IndexError, ValueError):
-                continue
+            span_end = first + nxt.get(ooff, payload_n - first)
+            span = payload[first + ooff:span_end]
+            if (b"/Page" in span or b"/Catalog" in span or b"/Kids" in span
+                    or b"#" in span):
+                inner = _Lexer(payload, first + ooff)
+                try:
+                    objects[onum] = inner.parse_value()
+                except (PdfParseError, IndexError, ValueError):
+                    continue
+            else:
+                objects[onum] = _LazyObj(payload, first + ooff)
 
 
 # ---- standard security handler (ISO 32000-1 §7.6.3): RC4 revisions ------
@@ -765,7 +802,10 @@ def _encrypt_value_is_crypt_dict(data: bytes, vstart: int, objects) -> bool:
     m = re.match(rb"[\x00\t\n\x0c\r ]*(\d+)[\x00\t\n\x0c\r ]+\d+"
                  rb"[\x00\t\n\x0c\r ]+R\b", tail)
     if m:
-        obj = objects.get(int(m.group(1)))
+        tnum = int(m.group(1))
+        obj = objects.get(tnum)
+        if type(obj) is _LazyObj:  # spec forbids Encrypt inside ObjStm,
+            obj = _materialize(objects, tnum, obj)  # but resolve anyway
         attrs = obj.attrs if isinstance(obj, StreamObj) else obj
         if isinstance(attrs, dict):
             return ("O" in attrs and "U" in attrs) or "V" in attrs or \
@@ -879,7 +919,10 @@ def _inherited(pdict: dict, key: str, objects) -> object:
 def _resolve(obj, objects):
     seen = 0
     while isinstance(obj, Ref) and seen < 32:
-        obj = objects.get(obj.num)
+        num = obj.num
+        obj = objects.get(num)
+        if type(obj) is _LazyObj:
+            obj = _materialize(objects, num, obj)
         seen += 1
     return obj
 
@@ -1092,11 +1135,13 @@ _EI_RE = re.compile(rb"\sEI(?=[\s<\[/%(]|$)")
 # of real-PDF interpretation time, almost all of it under TJ arrays.
 _TJ_TOK = re.compile(
     rb"""[\x00\t\n\x0c\r ]*
-      (?:(?P<pair>(?P<pnum>[+-]?(?:\d+\.?\d*|\.\d+))[\x00\t\n\x0c\r ]*
-                  \((?P<pstr>[^()\\\r]*)\))  # kern + simple literal fused:
-                                    # the dominant kerned-text shape,
-                                    # tokenized in ONE match
-        |(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))  # bare kern number
+      (?:(?P<knum>[+-]?(?:\d+\.?\d*|\.\d+))  # kern number, optionally
+                  # fused with the following string (the dominant
+                  # kerned-text shape tokenizes in ONE match, and the
+                  # number prefix is never re-scanned on backtrack)
+                  (?:[\x00\t\n\x0c\r ]*
+                     (?:\((?P<pstr>[^()\\\r]*)\)
+                       |(?P<hstr><[0-9A-Fa-f\s]*>)))?
         |(?P<sstr>\([^()\\\r]*\))   # simple literal: no escapes/nesting
         |(?P<str>\()
         |(?P<shex><[0-9A-Fa-f\s]*>) # plain hex string
@@ -1106,6 +1151,23 @@ _TJ_TOK = re.compile(
       )""",
     re.VERBOSE,
 )
+
+
+def _hex_to_bytes(hs: bytes) -> bytes | None:
+    """Hex-string payload (between < >) → bytes.  ``bytes.fromhex``
+    skips ASCII whitespace itself (the common clean case converts with
+    no regex pass); odd nibble counts pad with '0' (ISO 32000-1
+    §7.3.4.3).  None = undecodable."""
+    try:
+        return bytes.fromhex(hs.decode())
+    except ValueError:
+        hx = re.sub(rb"\s", b"", hs)
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode())
+        except ValueError:
+            return None
 
 
 # after a flat array closes, is the next operator literally TJ?  (the
@@ -1125,15 +1187,24 @@ def _parse_tj_array(lex, content: bytes, start: int):
         if m is None:
             return None
         g = m.lastgroup
-        if g == "pair":  # fused kern + simple literal
-            tok = m.group("pnum")
+        if g == "pstr":  # fused kern + simple literal
+            tok = m.group("knum")
             items.append(float(tok) if b"." in tok else int(tok))
             s, e = m.span("pstr")
             items.append(content[s:e])
             pos = m.end()
-        elif g == "num":
-            tok = m.group("num")
+        elif g == "knum":
+            tok = m.group("knum")
             items.append(float(tok) if b"." in tok else int(tok))
+            pos = m.end()
+        elif g == "hstr":  # fused kern + plain hex string
+            tok = m.group("knum")
+            items.append(float(tok) if b"." in tok else int(tok))
+            s, e = m.span("hstr")
+            hb = _hex_to_bytes(content[s + 1:e - 1])
+            if hb is None:
+                return None
+            items.append(hb)
             pos = m.end()
         elif g == "sstr":
             # escape-free literal: the bytes between the parens verbatim
@@ -1144,13 +1215,10 @@ def _parse_tj_array(lex, content: bytes, start: int):
         elif g == "shex":
             # plain hex string: same result as _parse_hex_string
             s, e = m.span("shex")
-            hx = re.sub(rb"\s", b"", content[s + 1:e - 1])
-            if len(hx) % 2:
-                hx += b"0"
-            try:
-                items.append(bytes.fromhex(hx.decode()))
-            except ValueError:
+            hb = _hex_to_bytes(content[s + 1:e - 1])
+            if hb is None:
                 return None
+            items.append(hb)
             pos = m.end()
         elif g == "str":
             lex.pos = m.end() - 1
@@ -1462,7 +1530,10 @@ def _interpret_content(
         Kerned court documents spend most interpretation time here
         (measured on the reference fixtures: ~9 fragments of ~3 glyphs +
         ~8 kern numbers per array), so the win is per-token overhead,
-        not per-glyph.  Every float op matches show_tj_array verbatim."""
+        not per-glyph: kern+string pairs tokenize in ONE regex match
+        (the fused knum/pstr/hstr alternatives) and both metric glyph
+        loops run inline.  Every float op matches show_tj_array
+        verbatim."""
         nonlocal tm
         tm0 = tm
         texts = col.texts
@@ -1502,67 +1573,6 @@ def _interpret_content(
             plain = tc == 0.0 and tw == 0.0
             sb_metric = not two_byte
 
-            def emit(frag: bytes) -> None:
-                nonlocal tm_e, tm_f
-                me = tm_e * ca_ + tm_f * cc_ + ce_
-                mf = tm_e * cb_ + tm_f * cd_ + cf_
-                seg_start = len(texts)
-                cum = 0.0
-                if two_byte:
-                    for i2 in range(0, len(frag) - 1, 2):
-                        code = (frag[i2] << 8) | frag[i2 + 1]
-                        e2 = tbl2.get(code)
-                        if e2 is None:
-                            text = to_uni.get(code)
-                            if text is None:
-                                text = "" if code == 0 else "�"
-                            w_text = widths.get(code, default_w) / 1000.0 * size
-                            e2 = (text, w_text, w_text * th)
-                            tbl2[code] = e2
-                        text, w_text, wth = e2
-                        if text:
-                            texts_append(text)
-                            cums_append(cum)
-                            wths_append(wth)
-                        cum += (w_text + tc) * th
-                elif plain:
-                    # Tc/Tw zero: the baked wth IS the step
-                    for code in frag:
-                        text, w_text, wth = tbl[code]
-                        if text:
-                            texts_append(text)
-                            cums_append(cum)
-                            wths_append(wth)
-                        cum += wth
-                else:
-                    for code in frag:
-                        text, w_text, wth = tbl[code]
-                        disp = w_text + tc
-                        if code == 32:
-                            disp += tw
-                        if text:
-                            texts_append(text)
-                            cums_append(cum)
-                            wths_append(wth)
-                        cum += disp * th
-                # tm = _mat_translate(tm, cum, 0.0), e/f terms only
-                tm_e = cum * tm_a + 0.0 * tm_c + tm_e
-                tm_f = cum * tm_b + 0.0 * tm_d + tm_f
-                if len(texts) > seg_start:
-                    seg_end.append(len(texts))
-                    seg_meta.append(
-                        (me + rise_x, mf + rise_y, ma, mb, eff_size, skew)
-                    )
-                    if build_runs:
-                        runs_append(
-                            TextRun(text="".join(texts[seg_start:]), x=me,
-                                    y=mf, size=size, skewed=skew,
-                                    fontname=fontname)
-                        )
-        else:
-            emit = show
-            sb_metric = False
-
         pos2 = astart + 1
         nn = len(content)
         ok = False
@@ -1571,23 +1581,20 @@ def _interpret_content(
             if m2 is None:
                 break
             gi = m2.lastindex
-            # lastindex group ids: 1=pair 4=num 5=sstr 6=str 7=shex
-            # 8=hex 9=close 10=comment (pair reports the OUTER group)
-            if gi == 1:  # fused kern + simple literal (ONE match)
-                v = float(m2.group(2))
+            # lastindex ids: 1=knum 2=pstr(kern+literal) 3=hstr(kern+hex)
+            # 4=sstr 5=str 6=shex 7=hex 8=close 9=comment
+            if gi == 2:  # fused kern + simple literal
+                v = float(m2.group(1))
                 if metric:
                     tx = -v / 1000.0 * size * th
                     tm_e = tx * tm_a + 0.0 * tm_c + tm_e
                     tm_f = tx * tm_b + 0.0 * tm_d + tm_f
                 else:
                     tm = _mat_translate(tm, -v / 1000.0 * size * t_h, 0.0)
-                frag = content[m2.start(3):m2.end(3)]
+                frag = content[m2.start(2):m2.end(2)]
                 pos2 = m2.end()
-            elif gi == 5:  # escape-free literal string
-                frag = content[m2.start(5) + 1:m2.end(5) - 1]
-                pos2 = m2.end()
-            elif gi == 4:  # bare kern number
-                v = float(m2.group(4))
+            elif gi == 1:  # bare kern number
+                v = float(m2.group(1))
                 if metric:
                     tx = -v / 1000.0 * size * th
                     tm_e = tx * tm_a + 0.0 * tm_c + tm_e
@@ -1596,27 +1603,38 @@ def _interpret_content(
                     tm = _mat_translate(tm, -v / 1000.0 * size * t_h, 0.0)
                 pos2 = m2.end()
                 continue
-            elif gi == 9:  # close bracket
+            elif gi == 4:  # escape-free literal string
+                frag = content[m2.start(4) + 1:m2.end(4) - 1]
+                pos2 = m2.end()
+            elif gi == 3:  # fused kern + plain hex string
+                v = float(m2.group(1))
+                if metric:
+                    tx = -v / 1000.0 * size * th
+                    tm_e = tx * tm_a + 0.0 * tm_c + tm_e
+                    tm_f = tx * tm_b + 0.0 * tm_d + tm_f
+                else:
+                    tm = _mat_translate(tm, -v / 1000.0 * size * t_h, 0.0)
+                frag = _hex_to_bytes(content[m2.start(3) + 1:m2.end(3) - 1])
+                if frag is None:
+                    break
+                pos2 = m2.end()
+            elif gi == 8:  # close bracket
                 pos2 = m2.end()
                 ok = True
                 break
-            elif gi == 7:  # plain hex string
-                hx = re.sub(rb"\s", b"", content[m2.start(7) + 1:m2.end(7) - 1])
-                if len(hx) % 2:
-                    hx += b"0"
-                try:
-                    frag = bytes.fromhex(hx.decode())
-                except ValueError:
+            elif gi == 6:  # plain hex string
+                frag = _hex_to_bytes(content[m2.start(6) + 1:m2.end(6) - 1])
+                if frag is None:
                     break
                 pos2 = m2.end()
-            elif gi == 6:  # literal string with escapes/nesting
+            elif gi == 5:  # literal string with escapes/nesting
                 lex.pos = m2.end() - 1
                 try:
                     frag = lex._parse_string()
                 except (PdfParseError, IndexError, ValueError):
                     break
                 pos2 = lex.pos
-            elif gi == 8:  # hex string needing marker cleanup
+            elif gi == 7:  # hex string needing marker cleanup
                 lex.pos = m2.end() - 1
                 try:
                     frag = lex._parse_hex_string()
@@ -1626,14 +1644,15 @@ def _interpret_content(
             else:  # comment
                 pos2 = m2.end()
                 continue
-            # ---- shared fragment execution ----
+            # ---- shared fragment execution (glyph loops inline) ----
+            if not metric:
+                show(frag)
+                continue
+            me = tm_e * ca_ + tm_f * cc_ + ce_
+            mf = tm_e * cb_ + tm_f * cd_ + cf_
+            seg_start = len(texts)
+            cum = 0.0
             if sb_metric:
-                # emit() body inlined for the dominant shape
-                # (single-byte metric font): same float chain
-                me = tm_e * ca_ + tm_f * cc_ + ce_
-                mf = tm_e * cb_ + tm_f * cd_ + cf_
-                seg_start = len(texts)
-                cum = 0.0
                 if plain:  # Tc=Tw=0: the baked wth IS the step
                     for code in frag:
                         text, w_text, wth = tbl[code]
@@ -1653,21 +1672,36 @@ def _interpret_content(
                             cums_append(cum)
                             wths_append(wth)
                         cum += disp * th
-                tm_e = cum * tm_a + 0.0 * tm_c + tm_e
-                tm_f = cum * tm_b + 0.0 * tm_d + tm_f
-                if len(texts) > seg_start:
-                    seg_end.append(len(texts))
-                    seg_meta.append(
-                        (me + rise_x, mf + rise_y, ma, mb, eff_size, skew)
+            else:  # two-byte CID font
+                for i2 in range(0, len(frag) - 1, 2):
+                    code = (frag[i2] << 8) | frag[i2 + 1]
+                    e2 = tbl2.get(code)
+                    if e2 is None:
+                        text = to_uni.get(code)
+                        if text is None:
+                            text = "" if code == 0 else "\ufffd"
+                        w_text = widths.get(code, default_w) / 1000.0 * size
+                        e2 = (text, w_text, w_text * th)
+                        tbl2[code] = e2
+                    text, w_text, wth = e2
+                    if text:
+                        texts_append(text)
+                        cums_append(cum)
+                        wths_append(wth)
+                    cum += (w_text + tc) * th
+            tm_e = cum * tm_a + 0.0 * tm_c + tm_e
+            tm_f = cum * tm_b + 0.0 * tm_d + tm_f
+            if len(texts) > seg_start:
+                seg_end.append(len(texts))
+                seg_meta.append(
+                    (me + rise_x, mf + rise_y, ma, mb, eff_size, skew)
+                )
+                if build_runs:
+                    runs_append(
+                        TextRun(text="".join(texts[seg_start:]), x=me,
+                                y=mf, size=size, skewed=skew,
+                                fontname=fontname)
                     )
-                    if build_runs:
-                        runs_append(
-                            TextRun(text="".join(texts[seg_start:]),
-                                    x=me, y=mf, size=size, skewed=skew,
-                                    fontname=fontname)
-                        )
-            else:
-                emit(frag)
         if ok:
             m3 = _TJ_AFTER.match(content, pos2)
             if m3 is not None:
