@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import re
 import zlib
+from array import array
 from dataclasses import dataclass, field
 from typing import Callable, NamedTuple
 
@@ -510,6 +511,19 @@ def _scan_objects(data: bytes) -> dict[int, object]:
             continue
         num = int(m.group(1))
         gens[num] = int(m.group(2))
+        # Lazy top-level objects: a non-stream object (no ``stream``
+        # keyword before its ``endobj``) whose bytes cannot hold a
+        # page-tree/catalog node parses on first resolve, like ObjStm
+        # members.  Stream objects always parse eagerly — their /Length
+        # drives the payload-span tracking that keeps false ``N G obj``
+        # byte patterns inside payloads from shadowing real objects.
+        e_pos = data.find(b"endobj", m.end())
+        if e_pos != -1 and data.find(b"stream", m.end(), e_pos) == -1:
+            span = data[m.end():e_pos]
+            if not (b"/Page" in span or b"/Catalog" in span
+                    or b"/Kids" in span or b"#" in span):
+                objects[num] = _LazyObj(data, m.end())
+                continue
         lex = _Lexer(data, m.end())
         try:
             val = lex.parse_value()
@@ -1078,8 +1092,11 @@ class _CharCollector:
 
     def __init__(self):
         self.texts: list[str] = []
-        self.cums: list[float] = []
-        self.wths: list[float] = []
+        # typed double buffers: append cost matches a list, but finalize
+        # reads them zero-copy via np.frombuffer instead of np.asarray
+        # walking a PyFloat list
+        self.cums = array("d")
+        self.wths = array("d")
         self.seg_end: list[int] = []       # cumulative glyph count
         self.seg_meta: list[tuple] = []    # (bx, by, ma, mb, size, skew)
 
@@ -1093,8 +1110,8 @@ class _CharCollector:
     def finalize(self) -> CharArray:
         if not self.texts:
             return _empty_chars()
-        cum = np.asarray(self.cums, dtype=np.float64)
-        wth = np.asarray(self.wths, dtype=np.float64)
+        cum = np.frombuffer(self.cums, dtype=np.float64)
+        wth = np.frombuffer(self.wths, dtype=np.float64)
         ends = np.asarray(self.seg_end, dtype=np.int64)
         counts = np.diff(ends, prepend=0)
         meta = np.asarray(self.seg_meta, dtype=np.float64)
@@ -1112,10 +1129,11 @@ class _CharCollector:
 
 _CONTENT_TOKEN = re.compile(
     rb"""
-      (?P<nums>(?:[+-]?\d*\.?\d+[\t\n\x0c\r ]+){2,})  # operand runs:
+      (?P<nums>(?:[+-]?\d*\.?\d+[\t\n\x0c\r ]+)+)  # operand run, fused
+        (?P<op2>[A-Za-z'"*]{1,3})?      # with its operator when adjacent:
                                         # "x y x y x y c" tokenizes in ONE
                                         # match + bulk float() via split
-    | (?P<num>[+-]?\d*\.?\d+)           # single number
+    | (?P<num>[+-]?\d*\.?\d+)           # single number (no trailing ws)
     | (?P<op>[A-Za-z'"*]{1,3})
     | (?P<name>/[^\s()<>\[\]{}/%]*)
     | (?P<arr>\[)                       # array start
@@ -1729,14 +1747,19 @@ def _interpret_content(
             stack.append(float(tok) if b"." in tok else int(tok))
             pos = m.end()
             continue
-        if g == "nums":
-            # whitespace-separated operand run: bulk-convert (every stack
+        if g == "op2":
+            # operand run + its operator in ONE match: bulk-convert and
+            # fall straight into the dispatch chain below (every stack
             # consumer wraps operands in float(), so float-for-int here
             # is value-identical)
-            stack.extend(map(float, m.group().split()))
+            stack.extend(map(float, m.group("nums").split()))
+            op = m.group("op2")
+            pos = m.end()
+        elif g == "nums":
+            stack.extend(map(float, m.group("nums").split()))
             pos = m.end()
             continue
-        if g != "op":
+        elif g != "op":
             if g == "arr":
                 end = exec_tj(m.start())
                 if end is not None:
@@ -1781,9 +1804,9 @@ def _interpret_content(
             except (PdfParseError, IndexError, ValueError):
                 pos = m.end()
             continue
-
-        op = m.group()
-        pos = m.end()
+        else:
+            op = m.group()
+            pos = m.end()
         try:
             # dispatch ordered by measured op frequency on the reference
             # fixtures (TJ/Tc/Tw/Tm dominate kerned court documents)
