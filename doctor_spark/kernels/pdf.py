@@ -2260,21 +2260,41 @@ def _chars_to_lines(
     top = page_height - ca.y
     order = np.lexsort((ca.x0, top))
     tops_arr = top[order]
-    tops = tops_arr.tolist()
+    n = len(tops_arr)
     # per-char threshold max(abs_tol, tol_factor*size), vectorized (same
     # float ops elementwise as the old per-char max())
-    thr = np.maximum(abs_tol, tol_factor * ca.size[order]).tolist()
+    thr_arr = np.maximum(abs_tol, tol_factor * ca.size[order])
+    # compress identical-baseline runs: the per-char decision
+    # ``t - cur_top <= thr[i]`` is constant-d within a run, so a run
+    # either stays whole (d <= min thr) or breaks at its first char
+    # whose threshold rejects d — the loop walks ~#baselines, not #chars
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = tops_arr[1:] != tops_arr[:-1]
+    run_starts = np.flatnonzero(change)
+    rs = run_starts.tolist()
+    rt = tops_arr[run_starts].tolist()
+    rmin = np.minimum.reduceat(thr_arr, run_starts).tolist()
+    thr_l: list | None = None
     bounds: list[tuple[float, int, int]] = []
-    cur_top = tops[0]
+    cur_top = rt[0]
     start = 0
-    for i in range(1, len(tops)):
-        t = tops[i]
-        if t - cur_top <= thr[i]:
+    n_runs = len(rs)
+    for r in range(1, n_runs):
+        d = rt[r] - cur_top
+        if d <= rmin[r]:
             continue
+        # some char in this run breaks; find the first (same order the
+        # old per-char walk used — after it, cur_top==t keeps the rest)
+        if thr_l is None:
+            thr_l = thr_arr.tolist()
+        i = rs[r]
+        while thr_l[i] >= d:
+            i += 1
         bounds.append((cur_top, start, i))
-        cur_top = t
+        cur_top = rt[r]
         start = i
-    bounds.append((cur_top, start, len(tops)))
+    bounds.append((cur_top, start, n))
     return order, bounds
 
 
