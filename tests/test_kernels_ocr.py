@@ -130,3 +130,81 @@ class TestBlockGrouping:
         # second: same line, prev_end=175, pad (200-175)/25 = 1 extra space
         # third: new line, pad 4 — then cleanup_content left-shifts by 4
         assert assemble_page_text(words, 612.0, 2, False) == "Hello  world \nline2 \n"
+
+
+class TestTesseractTsvFixture:
+    """O3-O9 driven end-to-end from a checked-in tesseract-TSV word table
+    (tests/fixtures/recap_scan_page1.tsv) instead of the synthetic OCR
+    backend (round-4 verdict item 6).
+
+    tesseract/ghostscript are not installed in this sandbox, so the TSV
+    was hand-recorded in pytesseract ``image_to_data`` format (12-column
+    TSV, level-1..4 structural rows at conf -1, float word confidences)
+    to model page 1 of the PUBLIC court filing the reference's own RECAP
+    OCR test exercises (doctor/tests.py:150-170,
+    recap_extract/gov.uscourts.cand.203070.27.0.pdf): a garbled PACER
+    header stamp line, clean body words, left-margin artifacts, a
+    zero-confidence fragment, and a low-confidence vertical-line stamp.
+    The first-line assertion is the reference test's LITERAL golden."""
+
+    REFERENCE_GOLDEN_FIRST_LINE = (
+        "aséakOS- 08-0220 A25BA  BAD Gooonene 2627  Filed!  "
+        "OL/2B/DE0IP ageahefi2of 2"
+    )
+
+    @staticmethod
+    def _load_words():
+        import csv
+        from pathlib import Path
+
+        path = Path(__file__).parent / "fixtures" / "recap_scan_page1.tsv"
+        words = []
+        with open(path) as f:
+            for rec in csv.DictReader(f, delimiter="\t"):
+                words.append({
+                    "text": rec["text"], "conf": float(rec["conf"]),
+                    "left": int(rec["left"]), "top": int(rec["top"]),
+                    "width": int(rec["width"]), "height": int(rec["height"]),
+                    "line_num": int(rec["line_num"]),
+                    "par_num": int(rec["par_num"]),
+                    "block_num": int(rec["block_num"]),
+                })
+        return words
+
+    def test_reference_recap_first_line_golden(self):
+        # doctor/tests.py:162-170: response.json()["content"]
+        # .splitlines()[0].strip() over the word-table assembly path
+        content = assemble_page_text(self._load_words(), 2550.0, 1, False)
+        assert content.splitlines()[0].strip() == \
+            self.REFERENCE_GOLDEN_FIRST_LINE
+
+    def test_filters_applied_to_real_shaped_table(self):
+        content = assemble_page_text(self._load_words(), 2550.0, 1, False)
+        # conf<5 long stamp -> one FULL_BLOCK per char
+        assert "□" * len("WHHIIl|IIIlllIIIIllll") in content
+        # margin artifact / conf-0 fragment / left==0 word all blanked
+        for gone in ("i|", "y.", "\nL ", " L "):
+            assert gone not in content
+        # block 2 (lower top) assembles after block 1
+        assert content.index("ORDER") > content.index("ageahefi2of")
+        # structural conf=-1 rows contribute nothing
+        assert "layout" not in content
+
+    def test_full_page_stable(self):
+        # frozen self-golden: any whitespace-algebra regression shows here
+        content = assemble_page_text(self._load_words(), 2550.0, 1, False)
+        assert content == (
+            "aséakOS- 08-0220 A25BA  BAD Gooonene 2627  Filed!  "
+            "OL/2B/DE0IP ageahefi2of 2 \n"
+            "KEVIN  HALL, Plaintiff, \n"
+            "     □□□□□□□□□□□□□□□□□□□□□ \n\n"
+            "ORDER   GRANTING    MOTION \n"
+        )
+
+    def test_plain_assembly_stable(self):
+        from doctor_spark.kernels.ocr_assembly import assemble_page_text_plain
+
+        plain = assemble_page_text_plain(self._load_words())
+        assert plain.startswith("aséakOS- 08-0220 A25BA BAD")
+        assert "WHHIIl|IIIlllIIIIllll" in plain  # plain path: no conf filter
+        assert plain.count("\n\n") >= 1          # block/par break
