@@ -30,13 +30,13 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
            "des", "ich", "war", "er", "sie", "aber", "auch", "als"),
     "it": ("il", "di", "che", "è", "per", "della", "con", "non", "si",
            "dei", "nel", "alla", "gli", "come", "anche", "più", "ma",
-           "sono", "questo", "essere"),
+           "sono", "questo", "essere", "e", "in", "la", "un"),
     "pt": ("o", "os", "as", "do", "da", "em", "uma", "não", "no", "na",
            "dos", "mais", "foi", "ele", "são", "pelo", "pela", "até",
            "isso", "há"),
     "nl": ("het", "een", "van", "dat", "op", "te", "zijn", "met", "voor",
            "niet", "aan", "er", "om", "ook", "dan", "maar", "bij", "uit",
-           "naar", "dit"),
+           "naar", "dit", "en", "de", "is", "in"),
     "pl": ("i", "w", "się", "na", "nie", "z", "do", "to", "że", "jest",
            "po", "co", "tak", "jak", "o", "ale", "od", "za", "przez",
            "był", "przy", "czy", "tylko", "już"),
@@ -45,10 +45,10 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
            "vid", "kan"),
     "da": ("og", "at", "det", "er", "den", "til", "af", "på", "som",
            "der", "ikke", "med", "han", "et", "var", "jeg", "har", "om",
-           "men", "sig"),
+           "men", "sig", "så"),
     "no": ("og", "er", "det", "som", "på", "til", "av", "at", "den",
            "for", "med", "ikke", "om", "han", "et", "var", "jeg", "har",
-           "så", "seg"),
+           "så", "seg", "hadde", "fikk", "etter", "ble"),
     "fi": ("ja", "on", "ei", "että", "oli", "hän", "se", "en", "mutta",
            "kun", "niin", "joka", "myös", "ovat", "jos", "mitä", "tämä",
            "ole", "sen", "vain"),
@@ -60,7 +60,7 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
            "nebo", "když"),
     "tr": ("ve", "bir", "bu", "da", "için", "ile", "çok", "daha", "ama",
            "gibi", "en", "ki", "ne", "var", "olarak", "sonra", "kadar",
-           "her", "değil", "olan"),
+           "her", "değil", "olan", "de"),
     "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
            "dari", "dalam", "akan", "pada", "juga", "saya", "ke",
            "karena", "ada", "mereka", "sebagai", "oleh"),
