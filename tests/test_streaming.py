@@ -191,3 +191,64 @@ def test_streaming_metrics_sink_survives_restart(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_streaming_extract_kill_midbatch_exactly_once(spark, tmp_path):
+    """Round-4 verdict item 7: kill the extraction stream between/inside
+    micro-batches, resume from the checkpoint, and prove EXACT result
+    parity with the batch operator — no lost rows, no duplicates.
+
+    The file sink's ``_spark_metadata`` commit log is what makes an
+    interrupted batch invisible to readers: files written by a batch that
+    never committed are not listed, and the restart re-emits that batch
+    deterministically."""
+    import time
+
+    from doctor_spark.operators.extract import extract_operator
+
+    src = str(tmp_path / "src")
+    # 40 files x maxFilesPerTrigger=8 -> 5 micro-batches
+    pages_dataframe(spark, 200, partitions=40).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    # the kill races the drain; retry with fresh sink/checkpoint until it
+    # lands mid-stream (first attempt wins in practice — 5 scheduled
+    # micro-batches take seconds, the poll fires after the first commit)
+    for attempt in range(3):
+        out = str(tmp_path / f"out{attempt}")
+        ckpt = str(tmp_path / f"ckpt{attempt}")
+        query = streaming_extract(
+            spark, src, out, ckpt, await_termination=False
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in query.recentProgress):
+                break
+            time.sleep(0.05)
+        query.stop()  # interrupts whatever batch is in flight
+        query.awaitTermination()
+        progressed = sum(p["numInputRows"] for p in query.recentProgress)
+        if progressed < 200:
+            break
+    else:
+        pytest.fail("kill landed after full drain in all 3 attempts")
+
+    # restart from the same checkpoint and drain the remainder
+    streaming_extract(spark, src, out, ckpt)
+
+    got = spark.read.parquet(out)
+    # exactly-once: every url exactly once
+    assert got.count() == 200
+    assert got.select("url").distinct().count() == 200
+    # value parity with the batch operator, row for row
+    batch = extract_operator(
+        spark.read.parquet(src), ocr_available=True
+    ).select("url", "content", "extracted_by_ocr")
+    diff = (
+        got.select("url", "content", "extracted_by_ocr")
+        .exceptAll(batch)
+        .unionAll(batch.exceptAll(
+            got.select("url", "content", "extracted_by_ocr")))
+    )
+    assert diff.count() == 0
