@@ -407,6 +407,10 @@ def main() -> None:
                          "corpus to extract (train/val carving)")
     ap.add_argument("--sample-salt", default="",
                     help="salt for --sample-band hashing")
+    ap.add_argument("--output-file-buckets", type=int, default=None,
+                    help="pre-write repartition to N url-hash buckets per "
+                         "output date partition (real-cluster committer "
+                         "pressure; costs a shuffle — off by default)")
     args = ap.parse_args()
 
     from .session import get_spark
@@ -428,6 +432,7 @@ def main() -> None:
         recap_mode=args.recap, strip_margin=args.strip_margin,
         sample_band=tuple(args.sample_band) if args.sample_band else None,
         sample_salt=args.sample_salt,
+        output_file_buckets=args.output_file_buckets,
     )
     summary["wall_sec"] = round(time.monotonic() - t0, 2)
     if args.verify:
