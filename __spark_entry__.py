@@ -910,6 +910,69 @@ def q_media_features_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 (reference tasks.py:55-72): per document, 1 + doc_id % 3
+    deterministic PNG rasters → one multi-page PDF via the from-scratch
+    writer (kernels/pdfwrite.pdf_from_png_bytes), re-parsed with the
+    independent reader.  The oracle is the page-tree structure the
+    writer must produce: page_count == n_images, one image per page."""
+    from doctor_spark.operators.multimodal import images_to_pdf_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from doctor_spark.kernels.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 1 + did % 3
+                pngs = []
+                for k in range(n):
+                    h = 8 + (did + k) % 5
+                    w = 6 + (did * 3 + k) % 7
+                    arr = (
+                        (np.arange(h * w) * (did + 7 + k)) % 256
+                    ).astype(np.uint8).reshape(h, w)
+                    pngs.append(encode_png(arr))
+                rows.append((did, pngs))
+            yield pd.DataFrame(rows, columns=["doc_id", "pngs"])
+
+    media = docs.mapInPandas(gen, schema="doc_id long, pngs array<binary>")
+    return images_to_pdf_stats(media).orderBy("doc_id")
+
+
+def q_pdf_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 (reference tasks.py:39-53): per document, a deterministic
+    multi-page text PDF (the corpus writer) → metadata strip via the
+    from-scratch re-serializer → round-trip properties: layout text
+    unchanged, strip idempotent, size sane.  Oracle: all three hold for
+    every document."""
+    from doctor_spark.operators.multimodal import pdf_strip_roundtrip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        from doctor_spark.corpus import _build_text_pdf, _rng
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                data, _golden = _build_text_pdf(did, _rng(did))
+                rows.append((did, data))
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    media = docs.mapInPandas(gen, schema="doc_id long, pdf binary")
+    return pdf_strip_roundtrip(media).orderBy("doc_id")
+
+
 def q_media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata rollup (kinds cycle 1:1:1 over 120 items)."""
     from doctor_spark.operators.multimodal import media_dataframe, media_kind_stats
@@ -1074,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
+        "images_to_pdf": q_images_to_pdf,
+        "pdf_strip_roundtrip": q_pdf_strip_roundtrip,
         "events_daily": q_events_daily,
         "events_user_topk": q_events_user_topk,
         "events_sessionize": q_events_sessionize,
@@ -1964,6 +2029,17 @@ SELECT * FROM ranked WHERE rank <= 3
             "SELECT 'image' AS kind, 40::BIGINT AS n_items"
             " UNION ALL SELECT 'audio', 40::BIGINT"
             " UNION ALL SELECT 'video', 40::BIGINT"
+        ),
+        # V1: the page tree the writer must produce — one page per image
+        "images_to_pdf": (
+            "SELECT doc_id, (1 + doc_id % 3)::INT AS n_images,"
+            " (1 + doc_id % 3)::INT AS page_count, true AS parse_ok"
+            " FROM documents ORDER BY doc_id"
+        ),
+        # V3: the strip round-trip properties hold for every document
+        "pdf_strip_roundtrip": (
+            "SELECT doc_id, true AS text_equal, true AS strip_stable,"
+            " true AS shrunk_or_equal FROM documents ORDER BY doc_id"
         ),
         "events_daily": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

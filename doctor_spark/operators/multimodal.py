@@ -316,3 +316,93 @@ def media_kind_stats(df: DataFrame) -> DataFrame:
         F.max("meta.width").alias("max_width"),
         F.max("meta.n_frames").alias("max_frames"),
     )
+
+
+# --------------------------------------------------------------------------
+# PDF writing operators (reference V1/V3: tasks.py:55-72, 39-53)
+# --------------------------------------------------------------------------
+
+IMAGES_TO_PDF_DDL = (
+    "doc_id long, n_images int, page_count int, parse_ok boolean"
+)
+
+
+def images_to_pdf_stats(df: DataFrame) -> DataFrame:
+    """(doc_id, pngs array<binary>) → one multi-page PDF per row via the
+    V1 writer (``kernels.pdfwrite.pdf_from_png_bytes`` — PNG decode by
+    the from-scratch codec, FlateDecode image XObjects, PIL
+    resolution=100 page sizing), re-parsed with the independent reader;
+    emits structural stats.  ``parse_ok`` asserts the page tree round
+    trips: one page per image, one image per page.
+
+    Reference: doctor/tasks.py:55-72 (pdf_bytes_from_images) behind the
+    /convert/images/pdf/ endpoint (views.py)."""
+
+    def run(batches: Iterator) -> Iterator:
+        from ..kernels.pdf import parse_pdf
+        from ..kernels.pdfwrite import PdfWriteError, pdf_from_png_bytes
+
+        for pdf in batches:
+            rows = []
+            for did, pngs in zip(pdf["doc_id"], pdf["pngs"]):
+                blobs = [bytes(p) for p in pngs]
+                try:
+                    out = pdf_from_png_bytes(blobs)
+                    doc = parse_pdf(out)
+                    ok = doc.page_count == len(blobs) and all(
+                        len(pg.images) == 1 for pg in doc.pages
+                    )
+                    rows.append((did, len(blobs), doc.page_count, bool(ok)))
+                except (PdfWriteError, ValueError):
+                    rows.append((did, len(blobs), 0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_images", "page_count", "parse_ok"],
+            )
+
+    return df.mapInPandas(run, schema=IMAGES_TO_PDF_DDL)
+
+
+STRIP_ROUNDTRIP_DDL = (
+    "doc_id long, text_equal boolean, strip_stable boolean, "
+    "shrunk_or_equal boolean"
+)
+
+
+def pdf_strip_roundtrip(df: DataFrame) -> DataFrame:
+    """(doc_id, pdf binary) → metadata-strip round-trip properties via
+    the V3 writer (``kernels.pdfwrite.strip_pdf_metadata`` — the
+    reference hashes PDFs after pypdf metadata removal,
+    tasks.py:39-53): layout text unchanged, double-strip deterministic
+    (strip(strip(x)) == strip(x)), output not larger than a rewrite
+    should be."""
+
+    def run(batches: Iterator) -> Iterator:
+        from ..kernels.pdf import extract_pdf_layout_text
+        from ..kernels.pdfwrite import PdfWriteError, strip_pdf_metadata
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["pdf"]):
+                b = bytes(blob)
+                try:
+                    out = strip_pdf_metadata(b)
+                    text_equal = (
+                        extract_pdf_layout_text(out)[0]
+                        == extract_pdf_layout_text(b)[0]
+                    )
+                    stable = strip_pdf_metadata(out) == out
+                    rows.append(
+                        (did, bool(text_equal), bool(stable),
+                         len(out) <= 2 * len(b) + 4096)
+                    )
+                except (PdfWriteError, ValueError):
+                    rows.append((did, False, False, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "text_equal", "strip_stable", "shrunk_or_equal",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=STRIP_ROUNDTRIP_DDL)

@@ -61,7 +61,14 @@ def main() -> None:
     import __spark_entry__ as entry
     from doctor_spark.session import get_spark
 
-    spark = get_spark("correctness-sweep", cores=args.cores)
+    # small input splits: the scaled sf dirs are single parquet files per
+    # table, and the driver-matrix queries are CPU-bound — without this
+    # a 15 MB documents.parquet runs the whole matrix on 1-2 tasks
+    spark = get_spark(
+        "correctness-sweep",
+        cores=args.cores,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(512 * 1024)},
+    )
     queries = entry.queries()
     oracles = entry.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
