@@ -461,6 +461,25 @@ def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash_near_w48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs at PRODUCTION width: 48-bit signature, 4 bands
+    of 12 bits (4096 band values).  The 16-bit demo above has 16 values
+    per band — at 50k docs every bucket holds ~3k docs and the candidate
+    join goes quadratic (~3×10^8 candidates; found by the round-5 sf1
+    sweep, where the demo query DNF'd).  Band-key entropy, not the band
+    COUNT, is what keeps LSH linear — same lesson as MinHash w128."""
+    from doctor_spark.operators.dedup import simhash_near_pairs
+
+    p = simhash_near_pairs(
+        _docs(spark, sf_dir), bits=48, max_hamming=3, n_bands=4
+    )
+    return p.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the MinHash candidate
     pairs, every member labeled with the cluster's smallest id."""
@@ -1114,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs_w128": q_dedup_minhash_pairs_w128,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
+        "dedup_simhash_near_w48": q_dedup_simhash_near_w48,
         "dedup_components": q_dedup_components,
         "dedup_filtered_corpus": q_dedup_filtered_corpus,
         "clean_corpus": q_clean_corpus,
@@ -1780,6 +1800,7 @@ FROM documents
         ),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_near": _simhash_near_sql(),
+        "dedup_simhash_near_w48": _simhash_near_sql(bits=48),
         "dedup_components": f"""
 WITH RECURSIVE pairs AS ({_minhash_sql()}),
 edges AS (
