@@ -180,14 +180,24 @@ def main() -> None:
         "events_user_topk",
         "lineitem_pricing",
         "order_revenue_topk",
+        # round-5 additions: reported per-query, EXCLUDED from the total
+        # so "value" stays comparable with earlier rounds
+        "dedup_simhash_near_w48",
+        "images_to_pdf",
+        "pdf_strip_roundtrip",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
-    # total spans the FIXED query set so "value" stays comparable across
-    # machines (extract_real_docs only runs where the reference checkout
-    # exists; it is reported per-query + as real_docs_per_sec)
+    # total spans the FIXED round-1..4 query set so "value" stays
+    # comparable across rounds/machines (extract_real_docs only runs
+    # where the reference checkout exists; it is reported per-query + as
+    # real_docs_per_sec)
+    _extra = {
+        "extract_real_docs", "dedup_simhash_near_w48", "images_to_pdf",
+        "pdf_strip_roundtrip",
+    }
     total = round(
-        sum(v for k, v in timings.items() if k != "extract_real_docs"), 3
+        sum(v for k, v in timings.items() if k not in _extra), 3
     )
     print(
         json.dumps(
