@@ -965,6 +965,36 @@ def q_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return images_to_pdf_stats(media).orderBy("doc_id")
 
 
+def q_embed_text_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 (reference views.py:439-474 + utils.py:317-356): per document,
+    a deterministic image-only scan PDF (the corpus writer's OCR bucket
+    shape), OCR word table via the pluggable backend, invisible text
+    layer merged by the from-scratch overlay writer, then the closed
+    loop: the independent parser re-extracts the layer and the tokens
+    must equal the word table in raster reading order.  Oracle: every
+    document round-trips (1 page, words present, tokens exact, both
+    invisibility mechanisms in the output bytes)."""
+    from doctor_spark.operators.multimodal import embed_text_overlay_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        from doctor_spark.corpus import _build_image_pdf, _rng
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                data, _golden = _build_image_pdf(did, _rng(did))
+                rows.append((did, data))
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    media = docs.mapInPandas(gen, schema="doc_id long, pdf binary")
+    return embed_text_overlay_stats(media).orderBy("doc_id")
+
+
 def q_pdf_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 (reference tasks.py:39-53): per document, a deterministic
     multi-page text PDF (the corpus writer) → metadata strip via the
@@ -1158,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
+        "embed_text_overlay": q_embed_text_overlay,
         "pdf_strip_roundtrip": q_pdf_strip_roundtrip,
         "events_daily": q_events_daily,
         "events_user_topk": q_events_user_topk,
@@ -2055,6 +2086,12 @@ SELECT * FROM ranked WHERE rank <= 3
         "images_to_pdf": (
             "SELECT doc_id, (1 + doc_id % 3)::INT AS n_images,"
             " (1 + doc_id % 3)::INT AS page_count, true AS parse_ok"
+            " FROM documents ORDER BY doc_id"
+        ),
+        # V4: the overlay round-trip properties hold for every document
+        "embed_text_overlay": (
+            "SELECT doc_id, 1::INT AS page_count, true AS has_words,"
+            " true AS tokens_match, true AS overlay_invisible"
             " FROM documents ORDER BY doc_id"
         ),
         # V3: the strip round-trip properties hold for every document

@@ -35,8 +35,11 @@ from .pdf import (
     Ref,
     StreamObj,
     _find_encrypt,
+    _inherited,
     _LazyObj,
     _materialize,
+    _page_order,
+    _resolve,
     _scan_objects,
 )
 
@@ -261,6 +264,157 @@ def pdf_from_images(
         Name("Pages"): Ref(pages_num_placeholder, 0),
     })
     return serialize_pdf(objects, root_num)
+
+
+_LETTER_W = 8.5 * 72.0  # 612 pt — the reference hard-codes letter size
+_LETTER_H = 11.0 * 72.0  # 792 pt
+
+
+def _esc_text(text: str) -> bytes:
+    raw = text.encode("cp1252", errors="replace")
+    return (
+        raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    )
+
+
+def _overlay_stream(words: list[dict], img_w: int, img_h: int) -> bytes:
+    """One page's invisible-text content stream.
+
+    Coordinate math is the reference's ``make_page_with_text``
+    (doctor/lib/utils.py:317-356) verbatim: tesseract raster coordinates
+    scale to a US-letter page (``(8.5*72)/w`` horizontally, ``(11*72)/h``
+    vertically), the baseline sits ``sub`` (the scaled word height) below
+    the scaled top edge, the font is Helvetica 9.  Invisibility uses both
+    mechanisms real OCR layers use: text render mode 3 (``3 Tr``) and a
+    zero-alpha ExtGState (reportlab's ``setFillAlpha(0)`` serializes as
+    ``/ca 0``)."""
+    sx = _LETTER_W / img_w
+    sy = _LETTER_H / img_h
+    parts = [b"q /GSdsocr gs BT 3 Tr /Fdsocr 9 Tf"]
+    for w in words:
+        txt = str(w.get("text", ""))
+        if not txt:
+            continue
+        x = sx * int(w.get("left", 0))
+        y_top = sy * int(w.get("top", 0))
+        sub = sy * int(w.get("height", 0))
+        y = _LETTER_H - y_top - sub
+        parts.append(
+            b"1 0 0 1 %s %s Tm (%s) Tj"
+            % (_ser_float(x), _ser_float(y), _esc_text(txt))
+        )
+    parts.append(b"ET Q")
+    return b"\n".join(parts)
+
+
+def embed_text_overlay(
+    data: bytes, pages_words: list[list[dict] | None],
+    img_w: int, img_h: int,
+) -> bytes:
+    """V4 ("embed text", reference views.py:439-474 + utils.py:317-356):
+    merge an invisible OCR text layer into an existing PDF.
+
+    The reference rasterizes the PDF, runs tesseract ``image_to_data``,
+    draws each word as alpha-0 Helvetica-9 text on a reportlab canvas at
+    letter-scaled raster coordinates, and pypdf-merges that overlay onto
+    each source page.  Here the same per-word placement is emitted as an
+    appended content stream per page (text render mode 3 + ``/ca 0``
+    ExtGState), the overlay font/gstate registered in each page's
+    resources, and the document re-serialized deterministically.
+
+    ``pages_words`` holds one tesseract-style word table per page (keys
+    ``text/left/top/width/height`` — the shape this repo's OCR backends
+    return; the reference's flat ``page_num``-keyed dict is the same data
+    grouped).  ``img_w``/``img_h`` are the rasterization dimensions the
+    word coordinates live in.  Pages whose entry is ``None``/empty keep
+    their content untouched.  Extraction tools (this repo's parser
+    included, matching pdftotext) still see the invisible text — that is
+    the point of the operation."""
+    objects = _scan_objects(data)
+    if _find_encrypt(data, objects) is not None:
+        raise PdfWriteError("encrypted document: refusing lossy rewrite")
+    for num, obj in list(objects.items()):
+        if type(obj) is _LazyObj:
+            _materialize(objects, num, obj)
+    order = _page_order(objects)
+    if not order:
+        raise PdfWriteError("no pages")
+    root_num = None
+    for num, obj in objects.items():
+        if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+            root_num = num
+            break
+    if root_num is None:
+        raise PdfWriteError("no document catalog")
+
+    nxt = max(objects) + 1
+
+    def add(obj) -> int:
+        nonlocal nxt
+        objects[nxt] = obj
+        nxt += 1
+        return nxt - 1
+
+    font_num = add({
+        Name("Type"): Name("Font"),
+        Name("Subtype"): Name("Type1"),
+        Name("BaseFont"): Name("Helvetica"),
+        Name("Encoding"): Name("WinAnsiEncoding"),
+    })
+    gs_num = add({
+        Name("Type"): Name("ExtGState"),
+        Name("ca"): 0.0,
+        Name("CA"): 0.0,
+    })
+
+    for idx, pnum in enumerate(order):
+        words = pages_words[idx] if idx < len(pages_words) else None
+        if not words:
+            continue
+        pdict = objects[pnum]
+        if not isinstance(pdict, dict):
+            continue
+        snum = add(StreamObj({}, _overlay_stream(words, img_w, img_h)))
+        contents = pdict.get("Contents")
+        if isinstance(contents, list):
+            contents.append(Ref(snum, 0))
+        elif contents is not None:
+            pdict[Name("Contents")] = [contents, Ref(snum, 0)]
+        else:
+            pdict[Name("Contents")] = Ref(snum, 0)
+        # page resources: copy the inherited dict down if the page has
+        # none of its own (additions must not leak to sibling pages via
+        # a Pages-node dict — a shared Ref'd dict is fine, the additions
+        # are identical for every page)
+        res = pdict.get("Resources")
+        if res is None:
+            inh = _inherited(pdict, "Resources", objects)
+            res_dict = dict(inh) if isinstance(inh, dict) else {}
+            pdict[Name("Resources")] = res_dict
+        else:
+            res_dict = _resolve(res, objects)
+            if not isinstance(res_dict, dict):
+                res_dict = {}
+                pdict[Name("Resources")] = res_dict
+        fonts = _resolve(res_dict.get("Font"), objects)
+        if not isinstance(fonts, dict):
+            fonts = {}
+            res_dict[Name("Font")] = fonts
+        fonts[Name("Fdsocr")] = Ref(font_num, 0)
+        egs = _resolve(res_dict.get("ExtGState"), objects)
+        if not isinstance(egs, dict):
+            egs = {}
+            res_dict[Name("ExtGState")] = egs
+        egs[Name("GSdsocr")] = Ref(gs_num, 0)
+
+    keep: dict[int, object] = {}
+    for num, obj in objects.items():
+        if isinstance(obj, StreamObj) and obj.attrs.get("Type") in (
+            "ObjStm", "XRef",
+        ):
+            continue  # members are promoted; xref is rebuilt classic
+        keep[num] = obj
+    return serialize_pdf(keep, root_num)
 
 
 def pdf_from_png_bytes(pngs: list[bytes], resolution: float = 100.0) -> bytes:

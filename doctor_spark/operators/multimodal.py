@@ -363,6 +363,72 @@ def images_to_pdf_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=IMAGES_TO_PDF_DDL)
 
 
+EMBED_OVERLAY_DDL = (
+    "doc_id long, page_count int, has_words boolean, tokens_match boolean, "
+    "overlay_invisible boolean"
+)
+
+
+def embed_text_overlay_stats(df: DataFrame) -> DataFrame:
+    """(doc_id, pdf binary) → V4 "embed text" round-trip properties via
+    the overlay writer (``kernels.pdfwrite.embed_text_overlay`` —
+    reference views.py:439-474: rasterize, tesseract ``image_to_data``,
+    alpha-0 Helvetica-9 reportlab layer pypdf-merged per page).
+
+    Per document: run the pluggable OCR backend on each page (here the
+    synthetic backend reading the embedded word table — tesseract's
+    subprocess seam), merge the invisible layer, then verify the closed
+    loop with the independent parser: the re-extracted tokens equal the
+    word table in raster reading order, and the overlay carries both
+    invisibility mechanisms (``3 Tr`` + ``/ca 0``)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import re as _re
+
+        from ..kernels.pdf import (
+            extract_pdf_layout_text,
+            parse_pdf,
+            synthetic_ocr_backend,
+        )
+        from ..kernels.pdfwrite import PdfWriteError, embed_text_overlay
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["pdf"]):
+                b = bytes(blob)
+                try:
+                    doc = parse_pdf(b)
+                    tables = []
+                    for page in doc.pages:
+                        try:
+                            tables.append(synthetic_ocr_backend(page, False))
+                        except NotImplementedError:
+                            tables.append(None)
+                    out = embed_text_overlay(b, tables, 1700, 2200)
+                    content = extract_pdf_layout_text(out)[0]
+                    toks = _re.split(r"\s+", content.strip())
+                    exp = [
+                        w["text"] for t in tables if t for w in t
+                        if w.get("text")
+                    ]
+                    rows.append((
+                        did, parse_pdf(out).page_count, bool(exp),
+                        toks == exp if exp else content.strip("\f\n ") == "",
+                        b"3 Tr" in out and b"/ca 0" in out,
+                    ))
+                except (PdfWriteError, ValueError):
+                    rows.append((did, 0, False, False, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "page_count", "has_words", "tokens_match",
+                    "overlay_invisible",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=EMBED_OVERLAY_DDL)
+
+
 STRIP_ROUNDTRIP_DDL = (
     "doc_id long, text_equal boolean, strip_stable boolean, "
     "shrunk_or_equal boolean"

@@ -13,7 +13,11 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from doctor_spark.kernels.pdf import extract_pdf_layout_text, parse_pdf
+from doctor_spark.kernels.pdf import (
+    PdfParseError,
+    extract_pdf_layout_text,
+    parse_pdf,
+)
 from doctor_spark.kernels.pdfwrite import (
     PdfWriteError,
     pdf_from_images,
@@ -101,3 +105,118 @@ class TestStripMetadata:
     def test_garbage_fails_closed(self):
         with pytest.raises((PdfWriteError, ValueError, Exception)):
             strip_pdf_metadata(b"not a pdf at all")
+
+
+class TestEmbedTextOverlay:
+    """V4 "embed text" (reference views.py:439-474 + utils.py:317-356):
+    invisible OCR text layer merged into an existing PDF.  The closed
+    loop this sandbox CAN verify: the overlay written by this kernel is
+    re-extracted by this repo's independent parser (matching pdftotext,
+    which reads invisible text — the point of an OCR layer)."""
+
+    RASTER = (1700, 2200)  # the synthetic corpus' scan dimensions
+
+    @staticmethod
+    def _image_doc(doc_id: int):
+        from doctor_spark.corpus import _build_image_pdf, _rng
+        from doctor_spark.kernels.pdf import synthetic_ocr_backend
+
+        data, golden = _build_image_pdf(doc_id, _rng(doc_id))
+        words = synthetic_ocr_backend(parse_pdf(data).pages[0], False)
+        return data, golden, words
+
+    def test_roundtrip_tokens_exact(self):
+        from doctor_spark.kernels.pdfwrite import embed_text_overlay
+
+        data, _, words = self._image_doc(3)  # 4 lines, 19 words
+        assert len({w["line_num"] for w in words}) >= 3
+        out = embed_text_overlay(data, [words], *self.RASTER)
+        content, err, rc = extract_pdf_layout_text(out)
+        assert rc == 0 and not err
+        # reading order (top, then x) must survive the coordinate math
+        assert re.split(r"\s+", content.strip()) == [w["text"] for w in words]
+        # the source page was image-only: its own layout text was empty
+        assert extract_pdf_layout_text(data)[0].strip("\f\n ") == ""
+
+    def test_overlay_is_invisible_by_both_mechanisms(self):
+        from doctor_spark.kernels.pdfwrite import embed_text_overlay
+
+        data, _, words = self._image_doc(7)
+        out = embed_text_overlay(data, [words], *self.RASTER)
+        assert b"3 Tr" in out          # text render mode 3 (ISO 32000-1)
+        assert b"/ca 0" in out         # reportlab setFillAlpha(0) analog
+        assert b"/GSdsocr" in out and b"/Fdsocr" in out
+
+    def test_reference_coordinate_math(self):
+        """utils.py:336-346 verbatim: x=(8.5*72/w)*left,
+        yy=(11*72)-(11*72/h)*top, baseline=yy-(11*72/h)*height."""
+        from doctor_spark.kernels.pdfwrite import embed_text_overlay
+
+        data, _, _ = self._image_doc(1)
+        w = [{"text": "X", "left": 850, "top": 1100, "width": 30,
+              "height": 44, "line_num": 1, "par_num": 1, "block_num": 1}]
+        out = embed_text_overlay(data, [w], 1700, 2200)
+        x = (8.5 * 72 / 1700) * 850            # 306
+        y = (11 * 72) - (11 * 72 / 2200) * 1100 - (11 * 72 / 2200) * 44
+        frag = b"1 0 0 1 %s %s Tm (X) Tj" % (
+            str(int(x)).encode(), (f"{y:.6f}").rstrip("0").rstrip(".").encode()
+        )
+        assert frag in out, (frag, out[-400:])
+
+    def test_multipage_untouched_pages_byte_stable(self):
+        from doctor_spark.corpus import _build_text_pdf, _rng
+        from doctor_spark.kernels.pdfwrite import embed_text_overlay
+
+        data, _ = _build_text_pdf(3, _rng(3))
+        n = parse_pdf(data).page_count
+        assert n >= 2
+        fake = [{"text": "OVERLAYWORD", "left": 100, "top": 100,
+                 "width": 300, "height": 40}]
+        tables = [None] * n
+        tables[1] = fake
+        out = embed_text_overlay(data, tables, 1700, 2200)
+        p0 = extract_pdf_layout_text(data)[0].split("\f")
+        p1 = extract_pdf_layout_text(out)[0].split("\f")
+        assert len(p0) == len(p1)
+        assert p1[0] == p0[0]                      # untouched page exact
+        assert "OVERLAYWORD" in p1[1]              # overlay present
+        for line in p0[1].split("\n"):             # original text kept
+            if line.strip():
+                assert line.strip() in p1[1]
+
+    def test_deterministic(self):
+        from doctor_spark.kernels.pdfwrite import embed_text_overlay
+
+        data, _, words = self._image_doc(11)
+        a = embed_text_overlay(data, [words], *self.RASTER)
+        assert a == embed_text_overlay(data, [words], *self.RASTER)
+
+    def test_real_tesseract_tsv_words_roundtrip(self):
+        """The recorded pytesseract TSV (tests/fixtures/
+        recap_scan_page1.tsv) drives the overlay exactly as the reference
+        feeds image_to_data output to make_page_with_text — including
+        structural conf=-1 rows (empty text, skipped) and low-confidence
+        words (the reference applies NO conf filter here)."""
+        import csv
+
+        from doctor_spark.kernels.pdfwrite import embed_text_overlay
+
+        path = Path(__file__).parent / "fixtures" / "recap_scan_page1.tsv"
+        rows = list(csv.DictReader(open(path), delimiter="\t"))
+        words = [
+            {"text": r["text"], "left": int(r["left"]), "top": int(r["top"]),
+             "width": int(r["width"]), "height": int(r["height"])}
+            for r in rows if r["text"].strip()
+        ]
+        data, _, _ = self._image_doc(2)
+        out = embed_text_overlay(data, [words], 2550, 3300)
+        content = extract_pdf_layout_text(out)[0]
+        missing = [w["text"] for w in words
+                   if w["text"] not in content]
+        assert not missing, missing[:5]
+
+    def test_garbage_fails_closed(self):
+        from doctor_spark.kernels.pdfwrite import embed_text_overlay
+
+        with pytest.raises((PdfWriteError, PdfParseError, Exception)):
+            embed_text_overlay(b"junk", [[]], 100, 100)
