@@ -965,6 +965,35 @@ def q_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return images_to_pdf_stats(media).orderBy("doc_id")
 
 
+def q_pdf_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 (reference utils.py:164-189, views.py:196-212): per document, a
+    deterministic multi-page text PDF (the corpus writer, always US
+    letter portrait) → page-1 PNG thumbnail at the reference's default
+    max_dimension=350 via the from-scratch layout rasterizer + PNG
+    codec.  Oracle: pdftoppm's -scale-to geometry (350 tall,
+    round(350·612/792)=270 wide) and a decodable, non-blank raster for
+    every document."""
+    from doctor_spark.operators.multimodal import pdf_thumbnail_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        from doctor_spark.corpus import _build_text_pdf, _rng
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                data, _golden = _build_text_pdf(did, _rng(did))
+                rows.append((did, data))
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    media = docs.mapInPandas(gen, schema="doc_id long, pdf binary")
+    return pdf_thumbnail_stats(media).orderBy("doc_id")
+
+
 def q_embed_text_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V4 (reference views.py:439-474 + utils.py:317-356): per document,
     a deterministic image-only scan PDF (the corpus writer's OCR bucket
@@ -1188,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
+        "pdf_thumbnails": q_pdf_thumbnails,
         "embed_text_overlay": q_embed_text_overlay,
         "pdf_strip_roundtrip": q_pdf_strip_roundtrip,
         "events_daily": q_events_daily,
@@ -2086,6 +2116,12 @@ SELECT * FROM ranked WHERE rank <= 3
         "images_to_pdf": (
             "SELECT doc_id, (1 + doc_id % 3)::INT AS n_images,"
             " (1 + doc_id % 3)::INT AS page_count, true AS parse_ok"
+            " FROM documents ORDER BY doc_id"
+        ),
+        # V2: pdftoppm -scale-to geometry + decodable non-blank raster
+        "pdf_thumbnails": (
+            "SELECT doc_id, 270::INT AS thumb_w, 350::INT AS thumb_h,"
+            " true AS png_ok, true AS has_ink"
             " FROM documents ORDER BY doc_id"
         ),
         # V4: the overlay round-trip properties hold for every document

@@ -484,6 +484,9 @@ class Page:
     black_rects: list[tuple[float, float, float, float]] = field(
         default_factory=list
     )
+    # (x0, y0, x1, y1, StreamObj) image paint rects, device space
+    # bottom-up — populated only under parse_pdf(collect_images=True)
+    image_rects: list = field(default_factory=list)
 
 
 @dataclass
@@ -1281,6 +1284,7 @@ def _interpret_content(
     font_cache: dict | None = None,
     collector: "_CharCollector | None" = None,
     build_runs: bool = True,
+    image_rects: list | None = None,
 ) -> tuple[list[TextRun], "_CharCollector", int, list[tuple[float, float, float, float]]]:
     """Execute the text subset of a content stream.
 
@@ -1904,6 +1908,7 @@ def _interpret_content(
                 curves += _do_xobject(
                     str(stack[-1]), resources, objects, ctm, emit_chars,
                     depth, runs, col, black_rects, font_cache, build_runs,
+                    image_rects,
                 )
         except (TypeError, ValueError):
             pass
@@ -1915,12 +1920,24 @@ def _interpret_content(
 def _do_xobject(
     alias, resources, objects, ctm, emit_chars, depth, runs, collector,
     black_rects, font_cache=None, build_runs: bool = True,
+    image_rects: list | None = None,
 ) -> int:
     """Execute a Form XObject's content with its /Matrix composed in.
     Returns the curve-op count inside (the page_needs_ocr gate must see
     curves drawn in stamp/letterhead XObjects too)."""
     res = _resolve((resources or {}).get("XObject"), objects) or {}
     xobj = _resolve(res.get(alias), objects)
+    if isinstance(xobj, StreamObj) and xobj.attrs.get("Subtype") == "Image":
+        # placement for the rasterizer (opt-in): the image paints the
+        # CTM-transformed unit square (ISO 32000-1 §8.9.4)
+        if image_rects is not None:
+            a, b_, c, d, e, f = ctm
+            xs = (e, a + e, c + e, a + c + e)
+            ys = (f, b_ + f, d + f, b_ + d + f)
+            image_rects.append(
+                (min(xs), min(ys), max(xs), max(ys), xobj)
+            )
+        return 0
     if not isinstance(xobj, StreamObj) or xobj.attrs.get("Subtype") != "Form":
         return 0
     mat = _resolve(xobj.attrs.get("Matrix"), objects)
@@ -1942,6 +1959,7 @@ def _do_xobject(
         payload, sub_fonts, emit_chars=emit_chars, objects=objects,
         resources=sub_res, depth=depth + 1, ctm0=sub_ctm,
         font_cache=font_cache, collector=collector, build_runs=build_runs,
+        image_rects=image_rects,
     )
     runs.extend(r)
     black_rects.extend(b)
@@ -2072,7 +2090,8 @@ def _xobjects_have_metric_fonts(
 
 
 def parse_pdf(
-    data: bytes, max_pages: int | None = None, build_runs: bool = True
+    data: bytes, max_pages: int | None = None, build_runs: bool = True,
+    collect_images: bool = False,
 ) -> PdfDocument:
     """Parse PDF bytes into pages of text runs/chars + images + annotations.
 
@@ -2136,10 +2155,12 @@ def parse_pdf(
                     pass
         # media-box translation: device origin at the box corner
         ctm0 = (1.0, 0.0, 0.0, 1.0, -x0_m, -y0_m) if (x0_m or y0_m) else _IDENT
+        irects: list | None = [] if collect_images else None
         runs, col, curves, black_rects = _interpret_content(
             b"\n".join(content_parts), fonts, emit_chars=emit_chars,
             objects=objects, resources=res, ctm0=ctm0,
             font_cache=font_cache, build_runs=build_runs,
+            image_rects=irects,
         )
         chars = col.finalize()
 
@@ -2175,7 +2196,8 @@ def parse_pdf(
         pages.append(
             Page(number=idx, width=width, height=height, runs=runs,
                  chars=chars, images=images, annot_subtypes=annot_subtypes,
-                 curve_count=curves, black_rects=black_rects)
+                 curve_count=curves, black_rects=black_rects,
+                 image_rects=irects or [])
         )
     return PdfDocument(pages=pages)
 

@@ -363,6 +363,45 @@ def images_to_pdf_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=IMAGES_TO_PDF_DDL)
 
 
+THUMBNAIL_DDL = (
+    "doc_id long, thumb_w int, thumb_h int, png_ok boolean, "
+    "has_ink boolean"
+)
+
+
+def pdf_thumbnail_stats(df: DataFrame) -> DataFrame:
+    """(doc_id, pdf binary) → V2 thumbnail properties via the from-scratch
+    layout rasterizer + PNG encoder (``kernels.raster.pdf_thumbnail`` —
+    reference ``pdftoppm -singlefile -f 1 -scale-to 350 -png``,
+    utils.py:164-189 behind views.py:196-212, default dimension
+    forms.py:83-92).  ``png_ok`` asserts the emitted PNG round-trips
+    through the independent decoder; ``has_ink`` that the page's text
+    actually rendered (non-white pixels present)."""
+
+    def run(batches: Iterator) -> Iterator:
+        from ..kernels.png import decode_png
+        from ..kernels.raster import RasterError, pdf_thumbnail
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["pdf"]):
+                try:
+                    png = pdf_thumbnail(bytes(blob), 350)
+                    arr = decode_png(png)
+                    rows.append((
+                        did, int(arr.shape[1]), int(arr.shape[0]), True,
+                        bool((arr < 128).any()),
+                    ))
+                except (RasterError, ValueError):
+                    rows.append((did, 0, 0, False, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "thumb_w", "thumb_h", "png_ok", "has_ink"],
+            )
+
+    return df.mapInPandas(run, schema=THUMBNAIL_DDL)
+
+
 EMBED_OVERLAY_DDL = (
     "doc_id long, page_count int, has_words boolean, tokens_match boolean, "
     "overlay_invisible boolean"
