@@ -965,6 +965,43 @@ def q_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return images_to_pdf_stats(media).orderBy("doc_id")
 
 
+def q_audio_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5/V6 (reference tasks.py:467-603, views.py:396-409): per
+    document id, a deterministic PCM16 WAV (rate 11025·(1+id%4),
+    channels 1+id%2, n = rate/2 + (id%7)·13 samples) → both reference
+    transcode profiles via the from-scratch RIFF kernels + the ID3v2.4
+    retag round-trip.  Oracle: the resampler's closed-form output
+    lengths ((n−1)·out//in + 1), rates, channel policy (mp3 keeps,
+    voip folds to mono), duration, and tag equality — all recomputed
+    arithmetically in SQL."""
+    from doctor_spark.operators.multimodal import audio_transcode_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from doctor_spark.kernels.audio import write_wav
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 11025 * (1 + did % 4)
+                ch = 1 + did % 2
+                n = rate // 2 + (did % 7) * 13
+                t = np.arange(n * ch, dtype=np.int64).reshape(n, ch)
+                samples = ((t * (did % 97 + 3)) % 24001 - 12000).astype(
+                    np.int16
+                )
+                rows.append((did, write_wav(rate, samples)))
+            yield pd.DataFrame(rows, columns=["media_id", "wav"])
+
+    media = docs.mapInPandas(gen, schema="media_id long, wav binary")
+    return audio_transcode_stats(media).orderBy("media_id")
+
+
 def q_pdf_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 (reference utils.py:164-189, views.py:196-212): per document, a
     deterministic multi-page text PDF (the corpus writer, always US
@@ -1217,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
+        "audio_transcode": q_audio_transcode,
         "pdf_thumbnails": q_pdf_thumbnails,
         "embed_text_overlay": q_embed_text_overlay,
         "pdf_strip_roundtrip": q_pdf_strip_roundtrip,
@@ -1400,7 +1438,11 @@ WITH toks AS (
            i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS shl
   FROM toks WHERE len(tk) >= {n}
 ), ex0 AS (
-  SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS shingle FROM sh
+  -- 60-bit md5-prefix shingle keys, identical to the engine's Arrow
+  -- kernel (int(md5(s)[:15 hex], 16)) — 8-byte join keys both sides
+  SELECT doc_id, len(shl) AS n_sh,
+         ('0x' || substr(md5(unnest(shl)), 1, 15))::BIGINT AS shingle
+  FROM sh
 ), ex AS (
   -- document-frequency cap mirrors max_shingle_df (boilerplate shingles
   -- are dropped before the self-join)
@@ -2118,6 +2160,25 @@ SELECT * FROM ranked WHERE rank <= 3
             " (1 + doc_id % 3)::INT AS page_count, true AS parse_ok"
             " FROM documents ORDER BY doc_id"
         ),
+        # V5/V6: closed-form resample lengths + channel policy + duration
+        "audio_transcode": """
+SELECT doc_id AS media_id,
+       22050::INT AS mp3_rate,
+       ((n_in - 1) * 22050 // rate_in + 1)::BIGINT AS mp3_n,
+       (1 + doc_id % 2)::INT AS mp3_ch,
+       8000::INT AS voip_rate,
+       ((n_in - 1) * 8000 // rate_in + 1)::BIGINT AS voip_n,
+       1::INT AS voip_ch,
+       (((n_in - 1) * 22050 // rate_in + 1) / 22050.0)::DOUBLE
+           AS duration_sec,
+       true AS tag_ok
+FROM (
+  SELECT doc_id,
+         11025 * (1 + doc_id % 4) AS rate_in,
+         11025 * (1 + doc_id % 4) // 2 + (doc_id % 7) * 13 AS n_in
+  FROM documents
+) ORDER BY media_id
+""",
         # V2: pdftoppm -scale-to geometry + decodable non-blank raster
         "pdf_thumbnails": (
             "SELECT doc_id, 270::INT AS thumb_w, 350::INT AS thumb_h,"

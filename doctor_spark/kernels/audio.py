@@ -1,0 +1,361 @@
+"""From-scratch audio kernels (reference V5/V6).
+
+The reference shells out for every audio operation: ``ffmpeg`` for the
+mp3 (22050 Hz, 48k) and opus-voip ogg (mono, 8k) transcodes
+(doctor/tasks.py:467-532), ``eyed3`` for the ID3 retag with court seal
+art (tasks.py:535-603) and for duration (views.py:396-409).  This module
+reimplements the container/DSP layer those tools provide from scratch
+over RIFF/WAV — the one audio container implementable exactly and
+deterministically without codec binaries:
+
+- ``parse_wav`` / ``write_wav`` — RIFF chunk walk; PCM 8/16-bit, IEEE
+  float32, and WAVE_FORMAT_EXTENSIBLE, normalized to int16;
+- ``resample_linear`` — deterministic linear-interpolation resampling
+  (the sample-rate half of ``-ar 22050``);
+- ``mixdown_mono`` — integer channel average (``-ac 1``);
+- ``transcode_wav`` — the mp3-analog pipeline: resample to 22050 Hz,
+  keep channels, strip all metadata chunks (write_wav emits fmt+data
+  only);
+- ``transcode_wav_voip`` — the ogg-voip analog: mono + 8000 Hz
+  narrowband (the telephone-quality operating point ``-application
+  voip -b:a 8k`` targets; a BITRATE has no lossless-container analog,
+  so the honesty boundary is documented here: the perceptual opus/mp3
+  BITSTREAM encoders remain declared stubs);
+- ``make_id3v2`` / ``parse_id3v2`` / ``remove_id3`` — a real ID3v2.4
+  tag writer/reader (syncsafe sizes, text + URL + COMM + APIC frames);
+- ``set_audio_metadata`` — the ``set_mp3_meta_data`` field mapping
+  verbatim (title via best_case_name precedence, album
+  "court, year", Argued/Docket comment, Speech genre, Free Law
+  publisher fields, seal-vs-publisher-logo APIC selection with the
+  reference's picture-type numbers 3/14);
+- ``audio_duration_sec`` — eyed3 ``info.time_secs`` analog
+  (data bytes / byte rate), tolerant of a leading ID3 tag.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class WavError(ValueError):
+    """Payload is not a decodable RIFF/WAVE stream."""
+
+
+_KSDATAFORMAT_PCM = bytes.fromhex("0100000000001000800000aa00389b71")
+_KSDATAFORMAT_FLOAT = bytes.fromhex("0300000000001000800000aa00389b71")
+
+
+def parse_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes → (sample_rate, int16 samples shaped (n, channels)).
+
+    Accepts PCM 8-bit (unsigned → centered), PCM 16-bit, IEEE float32
+    (clipped to full scale), and WAVE_FORMAT_EXTENSIBLE wrapping either.
+    A leading ID3v2 tag is skipped (tagged files exist in the wild)."""
+    data = remove_id3(data)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    payload = None
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise WavError("missing fmt or data chunk")
+    tag, channels, rate, _brate, _align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if tag == 0xFFFE and len(fmt) >= 40:  # EXTENSIBLE: real format in GUID
+        guid = fmt[24:40]
+        if guid == _KSDATAFORMAT_PCM:
+            tag = 1
+        elif guid == _KSDATAFORMAT_FLOAT:
+            tag = 3
+        else:
+            raise WavError("unsupported EXTENSIBLE subformat")
+    if channels < 1 or channels > 32 or rate < 1:
+        raise WavError("implausible channel/rate header")
+    if tag == 1 and bits == 16:
+        usable = len(payload) - (len(payload) % (2 * channels))
+        x = np.frombuffer(payload[:usable], dtype="<i2")
+    elif tag == 1 and bits == 8:
+        usable = len(payload) - (len(payload) % channels)
+        x = (
+            np.frombuffer(payload[:usable], dtype=np.uint8).astype(np.int16)
+            - 128
+        ) << 8
+    elif tag == 3 and bits == 32:
+        usable = len(payload) - (len(payload) % (4 * channels))
+        f = np.frombuffer(payload[:usable], dtype="<f4").astype(np.float64)
+        x = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+    else:
+        raise WavError(f"unsupported format tag={tag} bits={bits}")
+    return int(rate), x.reshape(-1, channels)
+
+
+def write_wav(rate: int, samples: np.ndarray) -> bytes:
+    """(rate, int16 (n, ch)) → canonical PCM16 WAV bytes — fmt + data
+    only, no metadata chunks (the ``-map_metadata -1`` analog)."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s.reshape(-1, 1)
+    ch = s.shape[1]
+    raw = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def mixdown_mono(samples: np.ndarray) -> np.ndarray:
+    """Integer channel average (``-ac 1``), floor-divided —
+    deterministic on every platform."""
+    if samples.shape[1] == 1:
+        return samples
+    return (
+        samples.astype(np.int32).sum(axis=1) // samples.shape[1]
+    ).astype(np.int16).reshape(-1, 1)
+
+
+def resample_linear(
+    samples: np.ndarray, sr_in: int, sr_out: int
+) -> np.ndarray:
+    """Deterministic linear-interpolation resample.
+
+    Output length = floor((n-1)·sr_out/sr_in) + 1 — endpoints
+    interpolate inside the input span, never extrapolate; the closed
+    form is the per-query oracle's row-count check."""
+    n = samples.shape[0]
+    if n == 0 or sr_in == sr_out:
+        return samples.copy()
+    m = (n - 1) * sr_out // sr_in + 1
+    pos = np.arange(m, dtype=np.float64) * (sr_in / sr_out)
+    i = np.minimum(pos.astype(np.int64), n - 2) if n > 1 else np.zeros(m, np.int64)
+    frac = (pos - i)[:, None]
+    lo = samples[i].astype(np.float64)
+    hi = samples[np.minimum(i + 1, n - 1)].astype(np.float64)
+    return np.clip(
+        np.rint(lo + (hi - lo) * frac), -32768, 32767
+    ).astype(np.int16)
+
+
+def transcode_wav(data: bytes, rate: int = 22050) -> bytes:
+    """The ``convert_to_mp3`` analog (tasks.py:467-491): resample to
+    22050 Hz, channels preserved, metadata dropped.  The mp3 BITSTREAM
+    encode (``-ab 48k``) is the declared codec stub — this is the
+    container/DSP half ffmpeg performs before it."""
+    sr, x = parse_wav(data)
+    return write_wav(rate, resample_linear(x, sr, rate))
+
+
+def transcode_wav_voip(data: bytes, rate: int = 8000) -> bytes:
+    """The ``convert_to_ogg`` analog (tasks.py:494-532): mono (``-ac
+    1``), 8 kHz narrowband (the voip operating point), metadata dropped
+    (``-map_metadata -1``).  The opus encode itself is the declared
+    codec stub."""
+    sr, x = parse_wav(data)
+    return write_wav(rate, resample_linear(mixdown_mono(x), sr, rate))
+
+
+def audio_duration_sec(data: bytes) -> float:
+    """V6 (views.py:396-409, eyed3 ``info.time_secs``): duration of the
+    data payload in seconds."""
+    rate, x = parse_wav(data)
+    return x.shape[0] / rate
+
+
+# --------------------------------------------------------------------------
+# ID3v2.4 (the eyed3 retag analog)
+# --------------------------------------------------------------------------
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _unsyncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _text_frame(fid: bytes, value: str) -> bytes:
+    body = b"\x03" + value.encode("utf-8")  # encoding 3 = UTF-8
+    return fid + _syncsafe(len(body)) + b"\x00\x00" + body
+
+
+def _url_frame(fid: bytes, url: str) -> bytes:
+    body = url.encode("latin-1", errors="replace")
+    return fid + _syncsafe(len(body)) + b"\x00\x00" + body
+
+
+def _comm_frame(text: str) -> bytes:
+    body = b"\x03engcomment\x00" + text.encode("utf-8")
+    return b"COMM" + _syncsafe(len(body)) + b"\x00\x00" + body
+
+
+def _apic_frame(pic_type: int, image: bytes, mime: str, desc: str) -> bytes:
+    body = (
+        b"\x03" + mime.encode("latin-1") + b"\x00"
+        + bytes([pic_type]) + desc.encode("utf-8") + b"\x00" + image
+    )
+    return b"APIC" + _syncsafe(len(body)) + b"\x00\x00" + body
+
+
+def make_id3v2(
+    tags: dict[str, str],
+    comments: list[str] = (),
+    images: list[tuple[int, bytes, str, str]] = (),
+) -> bytes:
+    """ID3v2.4.0 tag bytes.  ``tags`` maps 4-char frame ids (``TIT2``…,
+    ``W***`` for URLs) to values; ``images`` holds
+    (picture_type, png_bytes, mime, description) APIC entries."""
+    frames = bytearray()
+    for fid, value in tags.items():
+        f = fid.encode("latin-1")
+        if len(f) != 4:
+            raise ValueError(f"bad frame id {fid!r}")
+        frames += (
+            _url_frame(f, value) if f.startswith(b"W")
+            else _text_frame(f, value)
+        )
+    for text in comments:
+        frames += _comm_frame(text)
+    for pic_type, image, mime, desc in images:
+        frames += _apic_frame(pic_type, image, mime, desc)
+    return b"ID3\x04\x00\x00" + _syncsafe(len(frames)) + bytes(frames)
+
+
+def parse_id3v2(
+    data: bytes,
+) -> tuple[dict[str, str], list[str], list[tuple[int, bytes, str, str]]]:
+    """Read back an ID3v2.3/2.4 tag → (text/url tags, comments,
+    APIC images).  Raises WavError when no tag is present."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        raise WavError("no ID3v2 tag")
+    major = data[3]
+    size = _unsyncsafe(data[6:10])
+    pos, end = 10, min(10 + size, len(data))
+    tags: dict[str, str] = {}
+    comments: list[str] = []
+    images: list[tuple[int, bytes, str, str]] = []
+    while pos + 10 <= end:
+        fid = data[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break
+        raw = data[pos + 4:pos + 8]
+        fsize = _unsyncsafe(raw) if major >= 4 else struct.unpack(">I", raw)[0]
+        body = data[pos + 10:pos + 10 + fsize]
+        pos += 10 + fsize
+        if fid == b"COMM" and len(body) > 4:
+            rest = body[4:]
+            sep = rest.find(b"\x00")
+            comments.append(
+                rest[sep + 1:].decode("utf-8", errors="replace")
+            )
+        elif fid == b"APIC" and body:
+            b2 = body[1:]
+            msep = b2.find(b"\x00")
+            mime = b2[:msep].decode("latin-1")
+            ptype = b2[msep + 1]
+            rest = b2[msep + 2:]
+            dsep = rest.find(b"\x00")
+            images.append((
+                ptype, rest[dsep + 1:], mime,
+                rest[:dsep].decode("utf-8", errors="replace"),
+            ))
+        elif fid.startswith(b"W"):
+            tags[fid.decode("latin-1")] = body.decode(
+                "latin-1", errors="replace"
+            )
+        elif fid.startswith(b"T") and body:
+            tags[fid.decode("latin-1")] = body[1:].decode(
+                "utf-8", errors="replace"
+            ).rstrip("\x00")
+    return tags, comments, images
+
+
+def remove_id3(data: bytes) -> bytes:
+    """Strip a leading ID3v2 tag (the reference's ``id3.Tag.remove``
+    before retagging)."""
+    if data[:3] == b"ID3" and len(data) >= 10:
+        return data[10 + _unsyncsafe(data[6:10]):]
+    return data
+
+
+def best_case_name(audio_dict: dict) -> str:
+    """Reference tasks.py:618-634 precedence: case_name →
+    case_name_full → case_name_short."""
+    return (
+        audio_dict.get("case_name")
+        or audio_dict.get("case_name_full")
+        or audio_dict.get("case_name_short", "")
+    )
+
+
+def _publisher_logo_png() -> bytes:
+    """Deterministic 300×300 stand-in for the reference's bundled
+    producer-300x300.png (its asset directory does not ship here) —
+    generated once by the from-scratch PNG encoder."""
+    from .png import encode_png
+
+    yy, xx = np.mgrid[0:300, 0:300]
+    art = (((xx // 30) + (yy // 30)) % 2 * 160 + 40).astype(np.uint8)
+    return encode_png(art)
+
+
+def set_audio_metadata(
+    audio_data: dict, payload: bytes, seal_png: bytes | None = None
+) -> bytes:
+    """The ``set_mp3_meta_data`` analog (tasks.py:535-603): drop any
+    existing tag, build a fresh ID3v2.4 tag with the reference's exact
+    field mapping, and prepend it to the transcoded payload.
+
+    Image selection is the reference's: a court seal becomes the Front
+    Cover (picture type 3) and the publisher logo the Publisher Logo
+    (type 14); without a seal the publisher logo fills both slots."""
+    tags = {
+        "TIT2": best_case_name(audio_data),
+        "TALB": (
+            f"{audio_data['court_full_name']}, "
+            f"{audio_data['date_argued_year']}"
+        ),
+        "TPE1": audio_data["court_full_name"],
+        "WOAR": audio_data["court_url"],
+        "WOAS": audio_data["download_url"],
+        "TCON": "Speech",
+        "TPUB": "Free Law Project",
+        "WPUB": "https://free.law",
+        "TDRC": audio_data["date_argued"],
+    }
+    comment = (
+        f"Argued: {audio_data['date_argued']}. "
+        f"Docket number: {audio_data['docket_number']}"
+    )
+    logo = _publisher_logo_png()
+    image_frames = [3, 14]
+    images: list[tuple[int, bytes, str, str]] = []
+    if seal_png is not None:
+        images.append((
+            3, seal_png, "image/png",
+            f"Seal for {audio_data['court_short_name']}",
+        ))
+        image_frames.remove(3)
+    for frame in image_frames:
+        images.append((
+            frame, logo, "image/png",
+            "Created for the public domain by Free Law Project",
+        ))
+    return make_id3v2(tags, [comment], images) + remove_id3(payload)

@@ -363,6 +363,81 @@ def images_to_pdf_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=IMAGES_TO_PDF_DDL)
 
 
+AUDIO_TRANSCODE_DDL = (
+    "media_id long, mp3_rate int, mp3_n bigint, mp3_ch int, "
+    "voip_rate int, voip_n bigint, voip_ch int, duration_sec double, "
+    "tag_ok boolean"
+)
+
+
+def audio_transcode_stats(df: DataFrame) -> DataFrame:
+    """(media_id, wav binary) → V5/V6 transcode properties via the
+    from-scratch RIFF/WAV kernels (``kernels.audio`` — reference
+    tasks.py:467-532 ffmpeg transcodes, 535-603 eyed3 retag,
+    views.py:396-409 duration).
+
+    Both reference output profiles run per row: the mp3 analog
+    (22050 Hz, channels kept) and the opus-voip analog (8000 Hz mono),
+    each re-parsed to verify its header; the ID3v2.4 retag round-trips
+    through the reader (title/publisher/APIC selection exact).  The
+    emitted sample counts follow the resampler's closed form
+    ``(n-1)·out//in + 1`` — the oracle recomputes them in SQL."""
+
+    def run(batches: Iterator) -> Iterator:
+        from ..kernels.audio import (
+            WavError,
+            audio_duration_sec,
+            parse_id3v2,
+            parse_wav,
+            set_audio_metadata,
+            transcode_wav,
+            transcode_wav_voip,
+        )
+
+        audio_data = {
+            "court_full_name": "Testing Supreme Court",
+            "court_short_name": "Testing Supreme Court",
+            "court_pk": "mad", "court_url": "http://www.example.com/",
+            "docket_number": "docket 1", "date_argued": "2020-01-01",
+            "date_argued_year": "2020", "case_name": "A v. B",
+            "case_name_full": "", "case_name_short": "",
+            "download_url": "http://media.example.gov/x.mp3",
+        }
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["wav"]):
+                try:
+                    mp3a = transcode_wav(bytes(blob))
+                    voip = transcode_wav_voip(bytes(blob))
+                    r1, x1 = parse_wav(mp3a)
+                    r2, x2 = parse_wav(voip)
+                    tagged = set_audio_metadata(audio_data, mp3a)
+                    tags, comments, images = parse_id3v2(tagged)
+                    tag_ok = (
+                        tags.get("TIT2") == "A v. B"
+                        and tags.get("TPUB") == "Free Law Project"
+                        and [im[0] for im in images] == [3, 14]
+                        and parse_wav(tagged)[1].shape == x1.shape
+                    )
+                    rows.append((
+                        mid, r1, x1.shape[0], x1.shape[1],
+                        r2, x2.shape[0], x2.shape[1],
+                        audio_duration_sec(mp3a), bool(tag_ok),
+                    ))
+                except (WavError, ValueError):
+                    rows.append((mid, 0, 0, 0, 0, 0, 0, 0.0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "mp3_rate", "mp3_n", "mp3_ch",
+                    "voip_rate", "voip_n", "voip_ch", "duration_sec",
+                    "tag_ok",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_TRANSCODE_DDL)
+
+
 THUMBNAIL_DDL = (
     "doc_id long, thumb_w int, thumb_h int, png_ok boolean, "
     "has_ink boolean"
