@@ -324,13 +324,45 @@ def simhash_buckets(
     )
 
 
-def _shingles_udf(n: int = 3):
+def _shingles_udf(n: int = 3, hashed: bool = False):
     """Arrow-batched distinct n-gram shingles, bit-identical to the JVM
     ``shingles()`` expression and the DuckDB oracle's list_transform.
 
     Returns struct<n_sh, sh> so both the set size and the explode source
     come from ONE UDF column — separate size()/explode() references would
-    each get their own ArrowEvalPython evaluation."""
+    each get their own ArrowEvalPython evaluation.
+
+    ``hashed``: emit the 60-bit md5 prefix of each shingle as int64
+    (``int(md5(s)[:15 hex], 16)``, the same value DuckDB's
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT`` computes) instead of the
+    string — 8-byte shuffle keys for the join-heavy callers."""
+
+    if hashed:
+
+        @F.pandas_udf("struct<n_sh: int, sh: array<long>>")
+        def sh(texts: pd.Series) -> pd.DataFrame:
+            from hashlib import md5
+
+            ns, shs = [], []
+            for text in texts:
+                toks = _java_ws_tokens(text or "")
+                if len(toks) < n:
+                    ns.append(0)
+                    shs.append([])
+                else:
+                    seen = dict.fromkeys(
+                        int.from_bytes(
+                            md5(
+                                " ".join(toks[i : i + n]).encode()
+                            ).digest()[:8], "big",
+                        ) >> 4
+                        for i in range(len(toks) - n + 1)
+                    )
+                    ns.append(len(seen))
+                    shs.append(list(seen))
+            return pd.DataFrame({"n_sh": ns, "sh": shs})
+
+        return sh
 
     @F.pandas_udf("struct<n_sh: int, sh: array<string>>")
     def sh(texts: pd.Series) -> pd.DataFrame:
@@ -603,6 +635,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over shingle-sharing candidate pairs.
 
@@ -629,8 +662,17 @@ def ngram_jaccard_pairs(
     Plan shape: shingling runs in ONE Arrow batch kernel (the equivalent
     higher-order Catalyst expression is interpreted at ~1 ms/row and gets
     re-inlined into both join branches), behind one exchange on shingle
-    that the DF-cap window and the self-join both reuse."""
-    shingle_udf = _shingles_udf(n)
+    that the DF-cap window and the self-join both reuse.
+
+    ``hash_shingles`` (default True, round 5): join on the 60-bit md5
+    prefix of each shingle (int64) instead of the shingle string — the
+    exchange/join/window keys shrink from ~20-40 bytes of UTF-8 to 8
+    bytes, which is most of the shuffle at web scale.  Distinct-set
+    sizes and intersections are computed over the hashes, so a 2^-60
+    -scale prefix collision could merge two shingles; the cross-engine
+    oracle applies the identical hash, keeping the contract exact by
+    construction.  Pass False for literal string-key semantics."""
+    shingle_udf = _shingles_udf(n, hashed=hash_shingles)
     base = df.select(
         F.col(id_col).alias("id"), shingle_udf(F.col(text_col)).alias("r")
     )
