@@ -965,6 +965,60 @@ def q_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return images_to_pdf_stats(media).orderBy("doc_id")
 
 
+def q_fetch_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 + the /convert/images/pdf/ chain (reference tasks.py:436-458 +
+    views.py:370-393): per document, 1 + doc_id % 3 image URLs fetched
+    through the pluggable transport (deterministic PNG fake — the
+    network seam, like the OCR backend's tesseract seam), assembled to
+    one page per image by the V1 writer, metadata-stripped (V3), and
+    re-parsed by the independent reader.  Oracle: the page tree matches
+    the URL count for every document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from doctor_spark.kernels.pdf import parse_pdf
+        from doctor_spark.kernels.pdfwrite import PdfWriteError
+        from doctor_spark.kernels.png import encode_png
+        from doctor_spark.sources.fetch import images_to_pdf_from_urls
+
+        def transport(url: str) -> bytes:
+            did, k = (int(v) for v in url.rsplit("/", 2)[-2:])
+            h = 8 + (did + k) % 5
+            w = 6 + (did * 3 + k) % 7
+            arr = ((np.arange(h * w) * (did + 7 + k)) % 256).astype(
+                np.uint8
+            ).reshape(h, w)
+            return encode_png(arr)
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                urls = [
+                    f"http://img.example/{did}/{k}"
+                    for k in range(1 + did % 3)
+                ]
+                try:
+                    out = images_to_pdf_from_urls(urls, transport=transport)
+                    doc = parse_pdf(out)
+                    ok = doc.page_count == len(urls) and all(
+                        len(pg.images) == 1 for pg in doc.pages
+                    )
+                    rows.append((did, len(urls), doc.page_count, bool(ok)))
+                except (PdfWriteError, ValueError):
+                    rows.append((did, len(urls), 0, False))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_urls", "page_count", "parse_ok"]
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, n_urls int, page_count int, parse_ok boolean"
+    ).orderBy("doc_id")
+
+
 def q_audio_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V5/V6 (reference tasks.py:467-603, views.py:396-409): per
     document id, a deterministic PCM16 WAV (rate 11025·(1+id%4),
@@ -1254,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
+        "fetch_images_to_pdf": q_fetch_images_to_pdf,
         "audio_transcode": q_audio_transcode,
         "pdf_thumbnails": q_pdf_thumbnails,
         "embed_text_overlay": q_embed_text_overlay,
@@ -2157,6 +2212,12 @@ SELECT * FROM ranked WHERE rank <= 3
         # V1: the page tree the writer must produce — one page per image
         "images_to_pdf": (
             "SELECT doc_id, (1 + doc_id % 3)::INT AS n_images,"
+            " (1 + doc_id % 3)::INT AS page_count, true AS parse_ok"
+            " FROM documents ORDER BY doc_id"
+        ),
+        # S2 chain: fetched-URL count == page count for every document
+        "fetch_images_to_pdf": (
+            "SELECT doc_id, (1 + doc_id % 3)::INT AS n_urls,"
             " (1 + doc_id % 3)::INT AS page_count, true AS parse_ok"
             " FROM documents ORDER BY doc_id"
         ),

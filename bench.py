@@ -185,6 +185,10 @@ def main() -> None:
         "dedup_simhash_near_w48",
         "images_to_pdf",
         "pdf_strip_roundtrip",
+        "embed_text_overlay",
+        "pdf_thumbnails",
+        "audio_transcode",
+        "fetch_images_to_pdf",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -194,7 +198,8 @@ def main() -> None:
     # real_docs_per_sec)
     _extra = {
         "extract_real_docs", "dedup_simhash_near_w48", "images_to_pdf",
-        "pdf_strip_roundtrip",
+        "pdf_strip_roundtrip", "embed_text_overlay", "pdf_thumbnails",
+        "audio_transcode", "fetch_images_to_pdf",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
