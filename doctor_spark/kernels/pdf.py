@@ -459,6 +459,10 @@ class TextRun:
     size: float
     skewed: bool
     fontname: str
+    # text render mode 3 (ISO 32000-1 §9.3.6) — OCR overlay layers;
+    # extraction reads these like pdftotext does, the rasterizer skips
+    # them like pdftoppm does
+    invisible: bool = False
 
     def width(self) -> float:
         return len(self.text) * CHAR_WIDTH_FACTOR * self.size
@@ -1307,6 +1311,7 @@ def _interpret_content(
     composed into the CTM (bounded depth).
     """
     runs: list[TextRun] = []
+    render_mode = 0  # Tr; 3 = invisible (OCR text layers)
     col = collector if collector is not None else _CharCollector()
     curves = 0
     black_rects: list[tuple[float, float, float, float]] = []
@@ -1345,7 +1350,8 @@ def _interpret_content(
             m = _mat_mul(tm, ctm)
             runs.append(
                 TextRun(text=text, x=m[4], y=m[5], size=size,
-                        skewed=(m[1] != 0), fontname=fontname)
+                        skewed=(m[1] != 0), fontname=fontname,
+                        invisible=render_mode == 3)
             )
             if emit_chars:
                 # a page mixing metric fonts with a metric-less one (e.g.
@@ -1439,7 +1445,8 @@ def _interpret_content(
             if build_runs:
                 runs.append(
                     TextRun(text="".join(texts[seg_start:]), x=m[4], y=m[5],
-                            size=size, skewed=skew, fontname=fontname)
+                            size=size, skewed=skew, fontname=fontname,
+                            invisible=render_mode == 3)
                 )
 
     def show_tj_array(arr) -> None:
@@ -1532,7 +1539,8 @@ def _interpret_content(
                         runs_append(
                             TextRun(text="".join(texts[seg_start:]), x=me,
                                     y=mf, size=size, skewed=skew,
-                                    fontname=fontname)
+                                    fontname=fontname,
+                                    invisible=render_mode == 3)
                         )
             elif isinstance(item, (int, float)):
                 tx = -item / 1000.0 * size * th
@@ -1722,7 +1730,8 @@ def _interpret_content(
                     runs_append(
                         TextRun(text="".join(texts[seg_start:]), x=me,
                                 y=mf, size=size, skewed=skew,
-                                fontname=fontname)
+                                fontname=fontname,
+                                invisible=render_mode == 3)
                     )
         if ok:
             m3 = _TJ_AFTER.match(content, pos2)
@@ -1848,6 +1857,11 @@ def _interpret_content(
                 t_h = float(stack[-1]) / 100.0
             elif op == b"Ts" and stack:
                 rise = float(stack[-1])
+            elif op == b"Tr" and stack:
+                try:
+                    render_mode = int(float(stack[-1]))
+                except (TypeError, ValueError):
+                    pass
             elif op == b"T*":
                 lm = _mat_translate(lm, 0.0, -leading)
                 tm = lm
@@ -1857,12 +1871,12 @@ def _interpret_content(
                 # with Q, not just the CTM
                 ctm_stack.append(
                     (ctm, fill_black, slot, fontname, size, t_c, t_w, t_h,
-                     leading, rise)
+                     leading, rise, render_mode)
                 )
             elif op == b"Q":
                 if ctm_stack:
                     (ctm, fill_black, slot, fontname, size, t_c, t_w, t_h,
-                     leading, rise) = ctm_stack.pop()
+                     leading, rise, render_mode) = ctm_stack.pop()
             elif op == b"cm" and len(stack) >= 6:
                 mat = tuple(float(v) for v in stack[-6:])
                 ctm = _mat_mul(mat, ctm)

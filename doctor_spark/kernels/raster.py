@@ -130,7 +130,7 @@ def rasterize_page(page, scale: float) -> tuple[np.ndarray, int]:
     #    per-character boxes so word shapes emerge at thumbnail scale
     elif page.runs:
         for run in page.runs:
-            if run.skewed:
+            if run.skewed or run.invisible:
                 continue
             adv = _RUN_ADVANCE * run.size
             for i, chtxt in enumerate(run.text):

@@ -127,3 +127,29 @@ class TestFailClosed:
         data, _ = _build_text_pdf(3, _rng(3))
         with pytest.raises(RasterError):
             pdf_thumbnail(data, page=99)
+
+
+class TestOverlayInvisibility:
+    def test_v4_overlay_does_not_change_the_v2_thumbnail(self):
+        """pdftoppm does not render text in render mode 3 — an OCR
+        overlay (V4) must leave the page-1 thumbnail byte-identical,
+        while extraction still reads the embedded words.  Cross-checks
+        the interpreter's new Tr tracking end-to-end."""
+        from doctor_spark.kernels.pdf import (
+            extract_pdf_layout_text,
+            synthetic_ocr_backend,
+        )
+        from doctor_spark.kernels.pdfwrite import embed_text_overlay
+
+        data, _ = _build_image_pdf(7, _rng(7))
+        words = synthetic_ocr_backend(
+            parse_pdf(data).pages[0], False
+        )
+        out = embed_text_overlay(data, [words], 1700, 2200)
+        assert pdf_thumbnail(out, 200) == pdf_thumbnail(data, 200)
+        assert extract_pdf_layout_text(out)[0].strip() != ""
+
+    def test_visible_text_still_rasterizes(self):
+        data = build_pdf([PageSpec(lines=[Line(row=3, col=1, text="ink")])])
+        arr = decode_png(pdf_thumbnail(data, 150))
+        assert (arr < 128).any()
