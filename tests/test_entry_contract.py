@@ -174,6 +174,8 @@ ADVERSARIAL_QUERIES = [
     # decontamination and hash sampling (all need only doc_id + text)
     "dedup_minhash_pairs_w128", "dedup_filtered_corpus",
     "decontaminate", "corpus_sample", "clean_corpus",
+    # round-5 addition: production-entropy simhash (needs only doc_id+text)
+    "dedup_simhash_near_w48",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
