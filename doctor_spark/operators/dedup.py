@@ -383,6 +383,61 @@ def _shingles_udf(n: int = 3, hashed: bool = False):
     return sh
 
 
+def _shingle_structs_expr(col, n: int = 3, hashed: bool = True):
+    """Pure-JVM equivalent of :func:`_shingles_udf`: distinct n-gram
+    shingles packed as ``array<struct<n_sh, shingle>>`` so ONE explode
+    yields both the set size and the element — no Python, no Arrow.
+
+    The naive expression form (``F.size(sh)`` + ``F.explode(sh)`` over a
+    projected ``sh``) re-inlines the whole shingling expression into BOTH
+    references when Catalyst collapses the projections — the reason the
+    Arrow kernel returned ``struct<n_sh, sh>``.  Here the distinct array
+    is bound to a higher-order LAMBDA VARIABLE instead:
+    ``transform(array(d), dd -> transform(dd, x -> struct(size(dd), x)))``
+    evaluates ``d`` exactly once per row and references the bound ``dd``
+    for free, giving the single-evaluation property in expression land.
+
+    ``hashed`` emits the 60-bit md5 prefix as int64 — bit-identical to
+    the Arrow kernel (``int(md5_hex[:15], 16)`` ==
+    ``conv(substring(md5(s), 1, 15), 16, 10)``); n_sh counts DISTINCT
+    HASHES (not strings), matching the kernel's collision semantics."""
+    toks = tokens(col)
+    if hashed:
+        elem_type = "long"
+
+        def elem(i):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, n))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+
+    else:
+        elem_type = "string"
+
+        def elem(i):
+            return F.concat_ws(" ", F.slice(toks, i, n))
+
+    raw = F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), elem)
+    d = F.array_distinct(raw)
+    packed = F.flatten(
+        F.transform(
+            F.array(d),
+            lambda dd: F.transform(
+                dd,
+                lambda x: F.struct(
+                    F.size(dd).alias("n_sh"), x.alias("shingle")
+                ),
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= n, packed).otherwise(
+        F.array().cast(f"array<struct<n_sh:int,shingle:{elem_type}>>")
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -636,6 +691,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
     hash_shingles: bool = True,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Exact n-gram Jaccard over shingle-sharing candidate pairs.
 
@@ -671,14 +727,41 @@ def ngram_jaccard_pairs(
     sizes and intersections are computed over the hashes, so a 2^-60
     -scale prefix collision could merge two shingles; the cross-engine
     oracle applies the identical hash, keeping the contract exact by
-    construction.  Pass False for literal string-key semantics."""
-    shingle_udf = _shingles_udf(n, hashed=hash_shingles)
-    base = df.select(
-        F.col(id_col).alias("id"), shingle_udf(F.col(text_col)).alias("r")
-    )
-    exploded = base.select(
-        "id", F.col("r.n_sh").alias("n_sh"), F.explode("r.sh").alias("shingle")
-    ).repartition(F.col("shingle"))
+    construction.  Pass False for literal string-key semantics.
+
+    ``engine`` selects the shingling kernel: ``"arrow"`` (the Pandas UDF,
+    default) or ``"expr"`` (pure Catalyst higher-order expressions via
+    :func:`_shingle_structs_expr` — no Python worker in the plan at all).
+    Both are bit-identical (differential-tested in
+    tests/test_dedup.py::TestShingleEngineDifferential).  Measured round
+    5 at sf0.1 (interleaved, warm): arrow 2.0-2.9 s, expr 7.7-21.8 s —
+    Catalyst evaluates higher-order lambdas INTERPRETED (one
+    ``InterpretedEvaluator`` tree walk per element, with a per-shingle
+    md5→conv→substring sub-tree), so even with the single-evaluation
+    lambda-binding trick the JVM path loses 4-8× to the Arrow kernel.
+    The ``"expr"`` path stays as a cross-engine differential validator,
+    not a performance option — recorded in BENCH/BASELINE.md so later
+    rounds do not re-litigate it."""
+    if engine == "expr":
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                _shingle_structs_expr(F.col(text_col), n, hash_shingles)
+            ).alias("r"),
+        )
+        exploded = base.select(
+            "id", F.col("r.n_sh").alias("n_sh"),
+            F.col("r.shingle").alias("shingle"),
+        ).repartition(F.col("shingle"))
+    else:
+        shingle_udf = _shingles_udf(n, hashed=hash_shingles)
+        base = df.select(
+            F.col(id_col).alias("id"), shingle_udf(F.col(text_col)).alias("r")
+        )
+        exploded = base.select(
+            "id", F.col("r.n_sh").alias("n_sh"),
+            F.explode("r.sh").alias("shingle"),
+        ).repartition(F.col("shingle"))
     if max_shingle_df is not None:
         from pyspark.sql import Window
 

@@ -184,6 +184,37 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     assert elapsed < 120, f"quadratic bucket suspected: {elapsed:.0f}s"
 
 
+def test_ngram_shingle_engines_bit_identical(spark):
+    """The pure-Catalyst shingle engine (``engine="expr"``) must produce
+    the exact pair set of the Arrow kernel, for both hashed-int64 and
+    string shingle keys — the cross-engine differential that pins the
+    Arrow kernel's tokenization/hash semantics to Spark's own expression
+    evaluator (in addition to the DuckDB oracle).  Perf note: expr
+    measured 4-8x SLOWER at sf0.1 (interpreted higher-order lambdas);
+    it is a validator, not an option — see ngram_jaccard_pairs docs."""
+    from doctor_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "  Mixed \t CASE \n tokens here trailing newline\n"),
+        (3, "short doc"),          # sub-shingle-length
+        (4, ""),                   # empty
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (6, "unicode café naïve résumé tokens plus filler words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hashed in (True, False):
+        got = {}
+        for engine in ("arrow", "expr"):
+            pairs = ngram_jaccard_pairs(
+                df, threshold=0.1, hash_shingles=hashed, engine=engine
+            ).collect()
+            got[engine] = sorted((r.id_a, r.id_b, r.jaccard) for r in pairs)
+        assert got["arrow"] == got["expr"], (hashed, got)
+        assert len(got["arrow"]) >= 2  # (0,1) near-dup and (0,5) exact
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Two tables bucketed+sorted on the join key must sort-merge join
     with ZERO exchanges (and zero sorts) — the co-location contract for
