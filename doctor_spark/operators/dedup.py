@@ -691,7 +691,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
     hash_shingles: bool = True,
-    engine: str = "arrow",
+    engine: str = "hybrid",
 ) -> DataFrame:
     """Exact n-gram Jaccard over shingle-sharing candidate pairs.
 
@@ -729,11 +729,12 @@ def ngram_jaccard_pairs(
     oracle applies the identical hash, keeping the contract exact by
     construction.  Pass False for literal string-key semantics.
 
-    ``engine`` selects the shingling kernel: ``"arrow"`` (the Pandas UDF,
-    default) or ``"expr"`` (pure Catalyst higher-order expressions via
+    ``engine`` selects the shingling kernel: ``"hybrid"`` (default, see
+    below), ``"arrow"`` (the all-Python Pandas UDF: md5 via hashlib
+    inside the kernel) or ``"expr"`` (pure Catalyst higher-order expressions via
     :func:`_shingle_structs_expr` — no Python worker in the plan at all).
-    Both are bit-identical (differential-tested in
-    tests/test_dedup.py::TestShingleEngineDifferential).  Measured round
+    All engines are bit-identical (differential-tested in
+    tests/test_plans.py::test_ngram_shingle_engines_bit_identical).  Measured round
     5 at sf0.1 (interleaved, warm): arrow 2.0-2.9 s, expr 7.7-21.8 s —
     Catalyst evaluates higher-order lambdas INTERPRETED (one
     ``InterpretedEvaluator`` tree walk per element, with a per-shingle
@@ -741,8 +742,40 @@ def ngram_jaccard_pairs(
     lambda-binding trick the JVM path loses 4-8× to the Arrow kernel.
     The ``"expr"`` path stays as a cross-engine differential validator,
     not a performance option — recorded in BENCH/BASELINE.md so later
-    rounds do not re-litigate it."""
-    if engine == "expr":
+    rounds do not re-litigate it.
+
+    ``"hybrid"`` splits the work along the cheap/expensive seam: the
+    Arrow kernel emits distinct shingle STRINGS (tokenize + join +
+    dict.fromkeys — pure C string ops, no hashlib), and the 60-bit md5
+    lands in the JVM as ordinary codegen expressions on the EXPLODED
+    rows (``conv(substr(md5(s),1,15),16,10)`` — no higher-order lambda,
+    so none of the ``"expr"`` interpretation penalty).  The explode and
+    the hash run in the same stage, so the exchange still carries 8-byte
+    keys.  Note the hybrid is bit-identical to the DuckDB oracle BY
+    CONSTRUCTION even under a 2^-60 prefix collision: the oracle also
+    dedups strings first (``list_distinct`` on shingle text) and hashes
+    after, whereas the ``"arrow"`` int64 kernel dedups the hashes — the
+    three engines only diverge if two distinct shingles of one document
+    collide in 60 bits.  Measured (sf1 synth, 50k docs, interleaved
+    min-of-3, BENCH/ngram_engine_ab.py): the shingle MAP STAGE alone is
+    2.0× faster hybrid (3.41 s vs 6.85 s) — the hashlib loop moves to
+    JVM codegen digest; end-to-end the sf1 wall ties (~10 s both) because
+    the local self-join dominates, but the map stage is the term that
+    scales with corpus size, hence the default."""
+    if engine == "hybrid" and hash_shingles:
+        shingle_udf = _shingles_udf(n, hashed=False)
+        base = df.select(
+            F.col(id_col).alias("id"), shingle_udf(F.col(text_col)).alias("r")
+        )
+        exploded = base.select(
+            "id", F.col("r.n_sh").alias("n_sh"),
+            F.explode("r.sh").alias("shingle_str"),
+        ).select(
+            "id", "n_sh",
+            F.conv(F.substring(F.md5("shingle_str"), 1, 15), 16, 10)
+            .cast("long").alias("shingle"),
+        ).repartition(F.col("shingle"))
+    elif engine == "expr":
         base = df.select(
             F.col(id_col).alias("id"),
             F.explode(

@@ -206,12 +206,13 @@ def test_ngram_shingle_engines_bit_identical(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     for hashed in (True, False):
         got = {}
-        for engine in ("arrow", "expr"):
+        for engine in ("arrow", "expr", "hybrid"):
             pairs = ngram_jaccard_pairs(
                 df, threshold=0.1, hash_shingles=hashed, engine=engine
             ).collect()
             got[engine] = sorted((r.id_a, r.id_b, r.jaccard) for r in pairs)
         assert got["arrow"] == got["expr"], (hashed, got)
+        assert got["arrow"] == got["hybrid"], (hashed, got)
         assert len(got["arrow"]) >= 2  # (0,1) near-dup and (0,5) exact
 
 
