@@ -57,7 +57,6 @@ Y_TOLERANCE = 5.0  # same-line clustering tolerance (reference y_tolerance=5)
 
 _IMAGE_BYTES_RE = re.compile(rb"/Image ?")
 _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page[^s]")
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 _DOCNUM_RE = re.compile(
     r"Document:(.[0-9.\-.\#]+)|Document(.[0-9.\-.\#]+)"
@@ -502,6 +501,59 @@ class PdfDocument:
         return len(self.pages)
 
 
+_OBJ_WS = frozenset(b" \t\n\r\f\v")  # bytes-regex \s alphabet
+
+
+def _next_obj_header(data: bytes, pos: int):
+    """Find the next ``N G obj`` header at or after ``pos`` via literal
+    ``find(b"obj")`` + backward digit/whitespace verification — the exact
+    match set of ``_OBJ_RE.finditer`` (``(\\d+)\\s+(\\d+)\\s+obj\\b``),
+    but at memchr speed.  The regex engine crawls binary payloads at
+    ~25 MB/s because every digit byte starts a doomed ``\\d+\\s+\\d+``
+    attempt; a 100-page scanned court PDF is mostly such payload.
+    Returns ``(num, gen, start, end, next_pos)`` or None; the caller may
+    resume at any position ≥ ``next_pos`` (used to jump over stream
+    payloads entirely)."""
+    ws = _OBJ_WS
+    find = data.find
+    while True:
+        p = find(b"obj", pos)
+        if p == -1:
+            return None
+        pos = p + 3
+        nxt = data[p + 3 : p + 4]
+        if nxt.isalnum() or nxt == b"_":  # \b after 'obj' fails
+            continue
+        j = p - 1
+        while j >= 0 and data[j] in ws:
+            j -= 1
+        if j == p - 1:
+            continue  # no whitespace before 'obj'
+        g_end = j
+        while j >= 0 and 48 <= data[j] <= 57:
+            j -= 1
+        if j == g_end:
+            continue  # no generation digits
+        g_start = j + 1
+        k = j
+        while k >= 0 and data[k] in ws:
+            k -= 1
+        if k == j:
+            continue
+        n_end = k
+        while k >= 0 and 48 <= data[k] <= 57:
+            k -= 1
+        if k == n_end:
+            continue
+        return (
+            int(data[k + 1 : n_end + 1]),
+            int(data[g_start : g_end + 1]),
+            k + 1,
+            p + 3,
+            pos,
+        )
+
+
 def _scan_objects(data: bytes) -> dict[int, object]:
     """Discover objects by scanning for ``N G obj`` — deliberately not
     trusting the xref table (the reference's page-count path must survive
@@ -513,25 +565,47 @@ def _scan_objects(data: bytes) -> dict[int, object]:
     stream_spans: list[tuple[int, int]] = []  # payload byte ranges
     pending_lengths: list[tuple[int, int]] = []  # (obj num, stream start)
     covered_until = 0  # skip 'N G obj' byte patterns inside stream payloads
-    for m in _OBJ_RE.finditer(data):
-        if m.start() < covered_until:
+    scan_pos = 0
+    while True:
+        # restart the header scan past any stream payload parsed since the
+        # last yield — find() never touches those megabytes at all (the
+        # old finditer enumerated-then-skipped every false header inside)
+        hdr = _next_obj_header(data, max(scan_pos, covered_until))
+        if hdr is None:
+            break
+        num, gen, m_start, m_end, scan_pos = hdr
+        if m_start < covered_until:
             continue
-        num = int(m.group(1))
-        gens[num] = int(m.group(2))
+        gens[num] = gen
         # Lazy top-level objects: a non-stream object (no ``stream``
         # keyword before its ``endobj``) whose bytes cannot hold a
         # page-tree/catalog node parses on first resolve, like ObjStm
         # members.  Stream objects always parse eagerly — their /Length
         # drives the payload-span tracking that keeps false ``N G obj``
         # byte patterns inside payloads from shadowing real objects.
-        e_pos = data.find(b"endobj", m.end())
-        if e_pos != -1 and data.find(b"stream", m.end(), e_pos) == -1:
-            span = data[m.end():e_pos]
+        #
+        # The endobj/stream lookahead is windowed: an unbounded
+        # ``find(b"endobj")`` walks the WHOLE stream payload (megabytes
+        # for images) before the object is even known to be a stream,
+        # which profiled at ~5% of extraction wall.  An object header
+        # dict almost always fits in 2 KiB; whichever keyword occurs
+        # first inside the window gives the same classification as the
+        # unbounded search, and only the (rare) object whose first
+        # keyword lies beyond the window pays the full-range fallback.
+        e_pos = data.find(b"endobj", m_end, m_end + 2048)
+        s_pos = data.find(b"stream", m_end, m_end + 2048)
+        if e_pos == -1 and s_pos == -1:
+            e_pos = data.find(b"endobj", m_end)
+            s_pos = data.find(
+                b"stream", m_end, e_pos if e_pos != -1 else len(data)
+            )
+        if e_pos != -1 and (s_pos == -1 or s_pos > e_pos):
+            span = data[m_end:e_pos]
             if not (b"/Page" in span or b"/Catalog" in span
                     or b"/Kids" in span or b"#" in span):
-                objects[num] = _LazyObj(data, m.end())
+                objects[num] = _LazyObj(data, m_end)
                 continue
-        lex = _Lexer(data, m.end())
+        lex = _Lexer(data, m_end)
         try:
             val = lex.parse_value()
         except (PdfParseError, IndexError, ValueError):

@@ -757,3 +757,73 @@ class TestProportionalLayout:
         assert err == ""
         assert "metric text" in text
         assert "helvetica text" in text
+
+
+class TestObjHeaderScanner:
+    """_next_obj_header must reproduce the exact match set of the regex
+    it replaced (``(\\d+)\\s+(\\d+)\\s+obj\\b``, leftmost non-overlapping)
+    — the memchr-speed scanner is a pure performance substitution."""
+
+    CASES = [
+        b"1 0 obj << >> endobj",
+        b"12  34\t\r\nobj",
+        b"obj",                      # bare keyword, no header
+        b" 0 obj",                   # missing object number
+        b"x1 0 obj",                 # digits end at non-digit: still a match
+        b"1 0 objx",                 # \b fails
+        b"1 0 obj_",                 # \b fails (underscore)
+        b"5 0 obj 6 0 obj",          # adjacent headers
+        b"1 2 3 obj",                # leftmost-wins inside digit runs
+        b"abc123 99 obj\xff",        # binary tail, \b at non-word byte
+        b"7\x000 obj",               # NUL is not \s in a bytes regex
+        b"1 0 obj2 0 obj",           # joined: \b fails on first, 2nd ok
+        bytes(range(256)) * 3 + b" 17 5 obj",  # header after binary noise
+        b"1 0 obj\n<< /Length 3 >>\nstream\nabc\nendstream\nendobj\n2 0 obj 3 endobj",
+    ]
+
+    def test_matches_regex_semantics(self):
+        import re
+
+        from doctor_spark.kernels.pdf import _next_obj_header
+
+        obj_re = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+        for data in self.CASES:
+            expect = [
+                (int(m.group(1)), int(m.group(2)), m.start(), m.end())
+                for m in obj_re.finditer(data)
+            ]
+            got, pos = [], 0
+            while (h := _next_obj_header(data, pos)) is not None:
+                num, gen, start, end, pos = h
+                got.append((num, gen, start, end))
+            assert got == expect, (data[:60], got, expect)
+
+    def test_fuzz_matches_regex(self):
+        import re
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from doctor_spark.kernels.pdf import _next_obj_header
+
+        obj_re = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+        alphabet = st.sampled_from(
+            [b"0", b"1", b"9", b" ", b"\t", b"\n", b"\r", b"\x0b", b"\x0c",
+             b"obj", b"ob", b"j", b"_", b"x", b"\x00", b"\xff", b"12 0 obj"]
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(alphabet, max_size=40))
+        def check(parts):
+            data = b"".join(parts)
+            expect = [
+                (int(m.group(1)), int(m.group(2)), m.start(), m.end())
+                for m in obj_re.finditer(data)
+            ]
+            got, pos = [], 0
+            while (h := _next_obj_header(data, pos)) is not None:
+                num, gen, start, end, pos = h
+                got.append((num, gen, start, end))
+            assert got == expect, (data, got, expect)
+
+        check()
