@@ -562,6 +562,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021) via the duplicated-k-window
+    identity: every token inside a corpus-duplicated span of ≥8 tokens is
+    erased, sparing the lexicographically-first occurrence of each
+    window.  One exchange on the window hash (count + row_number share
+    it), one keyed agg of the marked positions, one join back — the
+    distributed-exact replacement for the paper's suffix array."""
+    from doctor_spark.operators.dedup import exact_substring_dedup
+
+    out = exact_substring_dedup(_docs(spark, sf_dir), k=8)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "n_windows",
+        "n_dup_windows",
+        "n_dropped",
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing local fingerprints (k=8 char-grams, window w=4,
     rightmost-min selection) — matching is a keyed join on fp."""
@@ -1289,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_exact_substring": q_dedup_exact_substring,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
@@ -2145,6 +2166,42 @@ SELECT doc_id::BIGINT AS doc_id,
        md5(coalesce(string_agg(CASE WHEN keep THEN ln END, chr(10)
                                ORDER BY pos), '')) AS text_hash
 FROM marked GROUP BY doc_id
+""",
+        "dedup_exact_substring": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS tk
+  FROM documents WHERE text IS NOT NULL
+), wins AS (
+  SELECT doc_id, pos, md5(array_to_string(tk[pos+1 : pos+8], ' ')) AS wh
+  FROM toks, unnest(range(0, greatest(len(tk)-8+1, 0))) AS u(pos)
+), marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY wh) AS cnt,
+           row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+    FROM wins) WHERE cnt > 1 AND rn > 1
+), tok AS (
+  SELECT doc_id, e.i - 1 AS i, e.t AS t
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) + 1),
+                      j -> {'i': j, 't': tk[j]})) AS e
+        FROM toks)
+), cov AS (
+  SELECT tok.doc_id, tok.i, tok.t,
+         EXISTS(SELECT 1 FROM marked m WHERE m.doc_id = tok.doc_id
+                AND m.pos <= tok.i AND tok.i < m.pos + 8) AS covered
+  FROM tok
+), dstats AS (
+  SELECT doc_id, count(*) AS n_dup_windows FROM marked GROUP BY doc_id
+)
+SELECT c.doc_id::BIGINT AS doc_id,
+       count(*)::BIGINT AS n_tokens,
+       greatest(count(*) - 8 + 1, 0)::BIGINT AS n_windows,
+       coalesce(any_value(d.n_dup_windows), 0)::BIGINT AS n_dup_windows,
+       sum(CASE WHEN covered THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN NOT covered THEN t END,
+                               ' ' ORDER BY i), '')) AS text_hash
+FROM cov c LEFT JOIN dstats d USING (doc_id)
+GROUP BY c.doc_id
 """,
         "repetition_stats": f"""
 WITH toks AS (

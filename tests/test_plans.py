@@ -600,3 +600,63 @@ def test_clean_corpus_single_exchange(spark):
     # the exchange operators themselves)
     n_ex = final.count("Exchange hashpartitioning")
     assert n_ex == 1, final
+
+
+def test_exact_substring_dedup_behavior_and_plan(spark):
+    """Lee-et-al. ExactSubstr via duplicated k-windows: the corpus-wide
+    first occurrence of a duplicated ≥k-token span survives, every other
+    occurrence is erased token-exactly (union of its duplicated windows);
+    short docs pass through untouched.  Plan: exactly three keyed
+    exchanges (window hash, then doc id twice for the agg + join-back) —
+    no cartesian product, no nested-loop join."""
+    from doctor_spark.operators.dedup import exact_substring_dedup
+
+    shared = " ".join(f"S{j}" for j in range(10))
+    rows = []
+    for i in range(6):
+        filler = " ".join(f"f{i}x{j}" for j in range(5))
+        tail = " ".join(f"t{i}x{j}" for j in range(5))
+        body = shared if i in (1, 4) else f"u{i}"
+        rows.append((i, f"{filler} {body} {tail}"))
+    rows.append((6, "too short"))
+    rows.append((7, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = exact_substring_dedup(df, k=8)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 8
+    # doc 1 is the (doc_id, pos)-first occurrence: kept in full
+    assert got[1]["n_dup_windows"] == 0 and got[1]["n_dropped"] == 0
+    assert shared in got[1]["text"]
+    # doc 4: the 3 windows inside the shared run are marked; their union
+    # is exactly the 10 shared tokens — filler and tail survive verbatim
+    assert got[4]["n_dup_windows"] == 3 and got[4]["n_dropped"] == 10
+    assert got[4]["text"] == (
+        " ".join(f"f4x{j}" for j in range(5))
+        + " "
+        + " ".join(f"t4x{j}" for j in range(5))
+    )
+    # unrelated docs untouched; sub-k docs have no windows at all
+    assert got[0]["n_dropped"] == 0 and got[0]["n_dup_windows"] == 0
+    assert got[6]["n_windows"] == 0 and got[6]["text"] == "too short"
+    # empty text tokenizes to [''] on every engine (split keeps empties)
+    assert got[7]["n_tokens"] == 1 and got[7]["n_dropped"] == 0
+
+    # keep_first=False: ALL copies of the duplicated span are erased
+    strict = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, k=8, keep_first=False).collect()
+    }
+    assert strict[1]["n_dropped"] == 10 and strict[4]["n_dropped"] == 10
+    assert shared not in strict[1]["text"]
+
+    import re as _re
+
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    final_plan = plan.split("== Initial Plan ==")[0]
+    keys = _re.findall(r"Exchange hashpartitioning\((\w+)", final_plan)
+    assert sorted(keys) == ["id", "id", "wh"], final_plan
+    assert "CartesianProduct" not in final_plan
+    assert "BroadcastNestedLoopJoin" not in final_plan
