@@ -699,6 +699,34 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style paragraph dedup: corpus-wide, only the first occurrence
+    of each exact paragraph survives.  The single-line synthetic docs are
+    given a web-page paragraph shape deterministically (sentence breaks →
+    blank-line paragraphs + a shared share-bar paragraph) — mirrored
+    exactly in the oracle — then the operator runs.  Plan: ONE exchange
+    on the paragraph fingerprint (row_number window), ONE exchange back
+    on doc_id."""
+    from doctor_spark.operators.dedup import dedup_paragraphs
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    body = F.regexp_replace(F.col("text"), r"\. ", ".\n\n")
+    aug = d.select(
+        F.col("doc_id"),
+        F.concat_ws(
+            "\n\n", F.lit("Share this article on social media."), body
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(aug)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_paras").cast("bigint").alias("n_paras"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+    )
+
+
 def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher repetition family (Rae et al. 2021 §A1.1): top
     {2,3,4}-gram and duplicate {5..10}-gram character fractions + the
@@ -1310,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_exact_substring": q_dedup_exact_substring,
+        "paragraph_dedup": q_paragraph_dedup,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
@@ -2165,6 +2194,34 @@ SELECT doc_id::BIGINT AS doc_id,
        (count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))::BIGINT AS n_dropped,
        md5(coalesce(string_agg(CASE WHEN keep THEN ln END, chr(10)
                                ORDER BY pos), '')) AS text_hash
+FROM marked GROUP BY doc_id
+""",
+        "paragraph_dedup": """
+WITH aug AS (
+  SELECT doc_id,
+         'Share this article on social media.' || chr(10) || chr(10) ||
+         regexp_replace(text, '\\. ', '.' || chr(10) || chr(10), 'g') AS text
+  FROM documents WHERE text IS NOT NULL
+), d AS (
+  SELECT doc_id, str_split(text, chr(10) || chr(10)) AS ps FROM aug
+), paras AS (
+  SELECT doc_id, e.pos AS pos, e.p AS p, md5(trim(e.p)) AS fp
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ps) + 1),
+                      i -> {'pos': i, 'p': ps[i]})) AS e
+        FROM d)
+), marked AS (
+  SELECT doc_id, pos, p,
+         (trim(p) = '' OR
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) = 1) AS keep
+  FROM paras
+)
+SELECT doc_id::BIGINT AS doc_id,
+       count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       (count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))::BIGINT AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN keep THEN p END,
+                               chr(10) || chr(10) ORDER BY pos), '')) AS text_hash
 FROM marked GROUP BY doc_id
 """,
         "dedup_exact_substring": """

@@ -1042,3 +1042,61 @@ def exact_substring_dedup(
         (F.size("tk") - F.size(kept)).cast("long").alias("n_dropped"),
         F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("text"),
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Dolma-style paragraph dedup: across the whole corpus, keep only the
+    FIRST occurrence (lexicographic ``(doc_id, pos)``) of each exact
+    paragraph; later occurrences are dropped and each document is
+    re-assembled from its surviving paragraphs.  This is the
+    paragraph-granularity complement to ``strip_common_lines`` (which
+    drops by frequency threshold, keeping none) — the Dolma pipeline's
+    second dedup stage, after URL-level and before document-level.
+
+    Paragraphs are compared by their ``trim``-ed text; whitespace-only
+    paragraphs are structural (kept verbatim, never counted as
+    duplicates).  NULL-text documents are dropped.
+
+    Returns ``(id_col, n_paras, n_kept, n_dropped, text)``.
+
+    Plan shape: posexplode → ONE exchange on the paragraph fingerprint
+    (a single ``row_number`` window marks first occurrences — the
+    paragraph "registry" of the single-node implementation never
+    materializes; it lives in the window sort) → ONE exchange back on
+    the doc id to re-assemble.  Two keyed shuffles end-to-end, and the
+    wide text column only crosses the wire once per paragraph.
+    """
+    from pyspark.sql import Window
+
+    paras = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep.replace("\n", r"\n"))).alias(
+            "pos", "para"
+        ),
+    ).withColumn("fp", F.md5(F.trim(F.col("para")).cast("binary")))
+    w = Window.partitionBy("fp").orderBy("id", "pos")
+    marked = paras.withColumn(
+        "keep",
+        (F.trim(F.col("para")) == "") | (F.row_number().over(w) == 1),
+    ).select("id", "pos", "para", "keep")
+    kept_structs = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "para", "keep"))),
+        lambda s: s["keep"],
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            (F.count("*") - F.sum(F.col("keep").cast("long"))).alias("n_dropped"),
+            F.array_join(
+                F.transform(kept_structs, lambda s: s["para"]), sep
+            ).alias("text"),
+        )
+        .select(F.col("id").alias(id_col), "n_paras", "n_kept", "n_dropped", "text")
+    )

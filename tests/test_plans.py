@@ -660,3 +660,38 @@ def test_exact_substring_dedup_behavior_and_plan(spark):
     assert sorted(keys) == ["id", "id", "wh"], final_plan
     assert "CartesianProduct" not in final_plan
     assert "BroadcastNestedLoopJoin" not in final_plan
+
+
+def test_dedup_paragraphs_behavior_and_plan(spark):
+    """Dolma paragraph dedup: the (doc_id, pos)-first copy of each exact
+    paragraph survives, later copies drop, whitespace-only paragraphs are
+    structural and always kept; exactly TWO keyed exchanges (paragraph
+    fingerprint, then doc id)."""
+    from doctor_spark.operators.dedup import dedup_paragraphs
+
+    share = "Share on Facebook"
+    rows = [
+        (0, f"{share}\n\nalpha body\n\n\n\ntail zero"),
+        (1, f"{share}\n\nbeta body\n\ntail one"),
+        (2, f"gamma body\n\n{share}\n\nalpha body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_paragraphs(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 0 keeps everything incl. the empty structural paragraph
+    assert got[0]["n_dropped"] == 0
+    assert got[0]["text"] == f"{share}\n\nalpha body\n\n\n\ntail zero"
+    # doc 1 loses only the share bar (doc 0 owns its first occurrence)
+    assert got[1]["n_dropped"] == 1
+    assert got[1]["text"] == "beta body\n\ntail one"
+    # doc 2 loses the share bar AND the re-used alpha paragraph
+    assert got[2]["n_dropped"] == 2 and got[2]["text"] == "gamma body"
+
+    import re as _re
+
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    final_plan = plan.split("== Initial Plan ==")[0]
+    n_exchange = len(_re.findall(r"Exchange hashpartitioning", final_plan))
+    assert n_exchange == 2, final_plan
