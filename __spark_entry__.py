@@ -727,6 +727,106 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic messy-URL synthesis for the URL-stage queries: one SQL
+# snippet, parsed by Spark via F.expr AND spliced verbatim into the DuckDB
+# oracle — the two engines can never drift on the input side.  Exercises
+# every canonicalization rule: mixed-case scheme/host, www prefix, default
+# and non-default ports (incl. :443 under plain http, which must be KEPT),
+# tracking params in both positions, trailing slashes, fragments.
+_URL_SYNTH_SQL = """
+'HtTp' || CASE WHEN doc_id % 4 = 0 THEN 'S' ELSE '' END || '://' ||
+CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+'Site' || CAST(doc_id % 23 AS VARCHAR(8)) ||
+CASE WHEN doc_id % 5 = 0 THEN '.co.uk' WHEN doc_id % 5 = 1 THEN '.org'
+     WHEN doc_id % 5 = 2 THEN '.io' WHEN doc_id % 5 = 3 THEN '.com.au'
+     ELSE '.com' END ||
+CASE WHEN doc_id % 6 = 0 THEN ':80' WHEN doc_id % 6 = 1 THEN ':8080'
+     WHEN doc_id % 6 = 2 THEN ':443' ELSE '' END ||
+'/Articles/' || CAST(doc_id AS VARCHAR(20)) ||
+CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+CASE WHEN doc_id % 3 = 0
+     THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR(20))
+     WHEN doc_id % 3 = 1
+     THEN '?id=' || CAST(doc_id AS VARCHAR(20)) || '&utm_campaign=x'
+     ELSE '' END ||
+CASE WHEN doc_id % 2 = 1 THEN '#section-2' ELSE '' END
+"""
+
+_URL_BLOCKLIST = ("site0.co.uk", "site7.io", "site16.org")
+_BL_VALUES = ", ".join(f"('{d}')" for d in _URL_BLOCKLIST)
+
+
+def _canon_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doctor_spark.functions.urls import (
+        canonicalize_url,
+        registrable_domain,
+        url_host,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", F.expr(_URL_SYNTH_SQL).alias("url")
+    )
+    host = url_host(F.col("url"))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        host.alias("host"),
+        registrable_domain(host).alias("domain"),
+    )
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL stage of a web-corpus pipeline: canonicalize (lowercase
+    scheme/host, drop fragment/default port/tracking params, sort query,
+    strip trailing slash), registrable domain under a two-label-suffix
+    table, and a domain-blocklist flag via a broadcast left join (the
+    100 TB form — the blocklist is a dimension table, never a driver-side
+    set).  Pure Column expressions: zero Python, zero shuffles besides
+    the broadcast."""
+    bl = spark.createDataFrame(
+        [(d,) for d in _URL_BLOCKLIST], "domain string"
+    ).withColumn("hit", F.lit(True))
+    out = _canon_urls(spark, sf_dir).join(F.broadcast(bl), "domain", "left")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "canon_url",
+        "host",
+        "domain",
+        F.coalesce(F.col("hit"), F.lit(False)).alias("blocked"),
+    )
+
+
+def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus stats + deterministic top-10 (docs desc, chars
+    desc, domain asc): the quota/reporting aggregate every crawl pipeline
+    runs.  ONE keyed exchange on the domain (partial agg map-side); the
+    top-k is a single-partition window over the tiny aggregate."""
+    from pyspark.sql import Window
+
+    agg = (
+        _canon_urls(spark, sf_dir)
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("n_docs").desc(), F.col("sum_chars").desc(), F.col("domain")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "domain",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
 def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher repetition family (Rae et al. 2021 §A1.1): top
     {2,3,4}-gram and duplicate {5..10}-gram character fractions + the
@@ -1339,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_exact_substring": q_dedup_exact_substring,
         "paragraph_dedup": q_paragraph_dedup,
+        "url_canonicalize": q_url_canonicalize,
+        "domain_topk": q_domain_topk,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
@@ -1945,6 +2047,76 @@ _FP = (
 )
 
 
+def _url_canon_cte() -> str:
+    """DuckDB mirror of functions/urls.py over the shared _URL_SYNTH_SQL
+    input: produces CTE ``canon(doc_id, n_chars, host, domain,
+    canon_url)``.  Every regex matches at most once, so DuckDB's
+    first-match regexp_replace equals Spark's replace-all."""
+    from doctor_spark.functions.urls import SUFFIX_2
+
+    suffixes = ",".join(f"'{s}'" for s in SUFFIX_2)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, n_chars, ({_URL_SYNTH_SQL}) AS url FROM documents
+), parts AS (
+  SELECT doc_id, n_chars, split_part(url, '#', 1) AS nofrag FROM raw
+), comp AS (
+  SELECT doc_id, n_chars, nofrag,
+         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)
+           AS auth
+  FROM parts
+), comp2 AS (
+  SELECT doc_id, n_chars, nofrag, scheme,
+         CASE WHEN lower(split_part(auth, ':', 1)) = '' THEN NULL
+              ELSE lower(split_part(auth, ':', 1)) END AS host,
+         CASE WHEN contains(auth, ':') THEN split_part(auth, ':', 2)
+              ELSE '' END AS port,
+         regexp_replace(regexp_extract(nofrag,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+(/[^?]*)?', 1),
+             '/+$', '') AS path,
+         list_sort(list_filter(
+             str_split(regexp_extract(nofrag, '\\?(.*)$', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(p,
+                  '^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)=')))
+           AS params
+  FROM comp
+), labelled AS (
+  SELECT *,
+         CASE WHEN host IS NULL THEN NULL ELSE
+           CASE WHEN len(list_filter(str_split(host, '.'), x -> x <> '')) > 1
+                     AND list_filter(str_split(host, '.'), x -> x <> '')[1]
+                         = 'www'
+                THEN list_filter(str_split(host, '.'), x -> x <> '')[2:]
+                ELSE list_filter(str_split(host, '.'), x -> x <> '') END
+         END AS l
+  FROM comp2
+), canon AS (
+  SELECT doc_id, n_chars, host,
+         CASE WHEN host IS NULL THEN NULL
+              WHEN len(l) = 0 THEN NULL
+              WHEN len(l) = 1 THEN l[1]
+              WHEN len(l) >= 3
+                   AND (l[-2] || '.' || l[-1]) IN ({suffixes})
+              THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+              ELSE l[-2] || '.' || l[-1] END AS domain,
+         CASE WHEN host IS NULL THEN nofrag
+              ELSE scheme || '://' || host ||
+                   CASE WHEN port <> ''
+                             AND NOT (scheme = 'http' AND port = '80')
+                             AND NOT (scheme = 'https' AND port = '443')
+                        THEN ':' || port ELSE '' END ||
+                   path ||
+                   CASE WHEN len(params) > 0
+                        THEN '?' || array_to_string(params, '&')
+                        ELSE '' END
+         END AS canon_url
+  FROM labelled
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fmt_rows = " UNION ALL ".join(
         f"SELECT '{ext}' AS extension, {cnt * (CORPUS_N // 100)}::BIGINT AS n_docs"
@@ -2195,6 +2367,25 @@ SELECT doc_id::BIGINT AS doc_id,
        md5(coalesce(string_agg(CASE WHEN keep THEN ln END, chr(10)
                                ORDER BY pos), '')) AS text_hash
 FROM marked GROUP BY doc_id
+""",
+        "url_canonicalize": _url_canon_cte() + f"""
+SELECT c.doc_id::BIGINT AS doc_id, c.canon_url, c.host, c.domain,
+       (b.domain IS NOT NULL) AS blocked
+FROM canon c LEFT JOIN (VALUES {_BL_VALUES}) b(domain)
+  ON c.domain = b.domain
+""",
+        "domain_topk": _url_canon_cte() + """
+, agg AS (
+  SELECT domain, count(*) AS n_docs, sum(n_chars) AS sum_chars
+  FROM canon GROUP BY domain
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY n_docs DESC, sum_chars DESC, domain)
+           AS rank, domain, n_docs, sum_chars
+  FROM agg
+)
+SELECT rank::BIGINT AS rank, domain, n_docs::BIGINT AS n_docs,
+       sum_chars::BIGINT AS sum_chars
+FROM ranked WHERE rank <= 10
 """,
         "paragraph_dedup": """
 WITH aug AS (

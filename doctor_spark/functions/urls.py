@@ -1,0 +1,138 @@
+"""URL functions for web-corpus pipelines (Common-Crawl-style tables).
+
+The first stages of every web-text pipeline (CCNet, C4, RefinedWeb,
+Dolma) key on the URL: canonicalize → dedup by URL → filter by
+domain blocklist → per-domain quotas/stats.  These are pure Column
+expressions (JVM codegen, zero Python, zero shuffles per row), so the
+URL stage of a 10^12-row table is a map over the scan.
+
+Canonical form produced by :func:`canonicalize_url`:
+
+- scheme and host lowercased
+- fragment removed
+- default port removed (``http:80``, ``https:443``); other ports kept
+- trailing slashes stripped from the path (root path becomes empty)
+- tracking query parameters removed (``utm_*``, ``fbclid``, ``gclid``,
+  ``ref``), remaining parameters sorted lexicographically
+
+The parser is structural (anchored ``regexp_extract`` + ``split_part``
++ array higher-order functions), NOT global regex rewriting — DuckDB's
+``regexp_replace`` is first-match-only while Spark's replaces all, so
+the oracle can only be exact if every regex here matches at most once.
+Assumes authority-form URLs (``scheme://host[:port][/path][?q][#f]``);
+inputs that don't parse yield NULL host/domain and pass through
+canonicalization unchanged beyond the structural rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# two-label public suffixes recognized by registrable_domain(); a real
+# deployment loads the full Mozilla PSL as a broadcast join table — the
+# expression form below is the hot-path shape (no join needed for the
+# overwhelmingly common suffixes)
+SUFFIX_2 = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "com.cn", "co.in", "co.kr", "com.mx",
+)
+
+# tracking parameters dropped by canonicalize_url (the uBlock/URLhaus
+# consensus core set)
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)="
+
+
+def _no_fragment(url: Column) -> Column:
+    return F.split_part(url, F.lit("#"), F.lit(1))
+
+
+def url_scheme(url: Column) -> Column:
+    """Lowercased scheme, '' when the URL has no ``scheme://``."""
+    return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (no port, no credentials handling), NULL when the
+    URL has no authority."""
+    rest = F.regexp_extract(_no_fragment(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1)
+    host = F.lower(F.split_part(rest, F.lit(":"), F.lit(1)))
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port as a string, '' when absent."""
+    rest = F.regexp_extract(_no_fragment(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1)
+    return F.when(
+        rest.contains(":"), F.split_part(rest, F.lit(":"), F.lit(2))
+    ).otherwise(F.lit(""))
+
+
+def url_path(url: Column) -> Column:
+    """Path with trailing slashes stripped ('' for the root)."""
+    raw = F.regexp_extract(
+        _no_fragment(url), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+(/[^?]*)?", 1
+    )
+    return F.regexp_replace(raw, r"/+$", "")
+
+
+def url_query_params(url: Column, drop_tracking: bool = True) -> Column:
+    """Query parameters as a sorted array, tracking params removed."""
+    q = F.regexp_extract(_no_fragment(url), r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "")
+        & (~p.rlike(TRACKING_PARAM_RE) if drop_tracking else F.lit(True)),
+    )
+    return F.array_sort(params)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL per the module contract; NULL-host URLs return the
+    fragment-stripped input unchanged (nothing to normalize against)."""
+    scheme, host, port = url_scheme(url), url_host(url), url_port(url)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    params = url_query_params(url)
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        url_path(url),
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+    return F.when(host.isNull(), _no_fragment(url)).otherwise(rebuilt)
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 under the SUFFIX_2 table: last two labels, or last three
+    when the last two form a known two-label public suffix.  A leading
+    ``www.`` label is ignored; single-label hosts return themselves."""
+    labels = F.filter(
+        F.split(F.coalesce(host, F.lit("")), r"\."), lambda x: x != ""
+    )
+    labels = F.when(
+        (F.size(labels) > 1) & (F.element_at(labels, 1) == "www"),
+        F.slice(labels, 2, F.size(labels) - 1),
+    ).otherwise(labels)
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    dom = (
+        F.when(n <= 0, F.lit(None).cast("string"))
+        .when(n == 1, F.element_at(labels, 1))
+        .when((n >= 3) & last2.isin(*SUFFIX_2), last3)
+        .otherwise(last2)
+    )
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(dom)
