@@ -827,6 +827,25 @@ def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-linear quality scoring (the CCNet/GPT-3
+    filter stage): Σ W[md5(token) mod 1024] as a JVM aggregate over the
+    token array — zero shuffles, zero Python; the weight table is a
+    deterministic md5-derived stand-in (docstring in functions/text.py
+    documents the real-model swap, which keeps the identical plan)."""
+    from doctor_spark.functions.text import quality_classifier
+
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            quality_classifier(F.col("text")).alias("q"),
+        )
+        .select("doc_id", "q.*")
+    )
+
+
 def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher repetition family (Rae et al. 2021 §A1.1): top
     {2,3,4}-gram and duplicate {5..10}-gram character fractions + the
@@ -1441,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "url_canonicalize": q_url_canonicalize,
         "domain_topk": q_domain_topk,
+        "quality_classifier": q_quality_classifier,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
@@ -2386,6 +2406,28 @@ FROM canon c LEFT JOIN (VALUES {_BL_VALUES}) b(domain)
 SELECT rank::BIGINT AS rank, domain, n_docs::BIGINT AS n_docs,
        sum_chars::BIGINT AS sum_chars
 FROM ranked WHERE rank <= 10
+""",
+        "quality_classifier": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk, length(trim(text)) AS tl
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT doc_id, unnest(tk) AS tok FROM toks
+), w AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('w' ||
+             ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 + 1024)
+              % 1024)::VARCHAR), 1, 15))::BIGINT % 2001 + 2001) % 2001
+           - 1000 AS wt
+  FROM t
+), s AS (
+  SELECT doc_id, sum(wt) AS raw_score FROM w GROUP BY doc_id
+)
+SELECT k.doc_id::BIGINT AS doc_id,
+       (CASE WHEN k.tl = 0 THEN 0 ELSE len(k.tk) END)::BIGINT AS n_tokens,
+       (CASE WHEN k.tl = 0 THEN 0 ELSE s.raw_score END)::BIGINT AS score,
+       (CASE WHEN k.tl = 0 THEN 0 ELSE s.raw_score END) > 0 AS keep
+FROM toks k JOIN s USING (doc_id)
 """,
         "paragraph_dedup": """
 WITH aug AS (

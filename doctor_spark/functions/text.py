@@ -628,3 +628,71 @@ def gopher_metrics_udf():
         .replace(" boolean", ": boolean")
     )
     return pandas_udf(kernel, f"struct<{struct_ddl}>")
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fasttext-style scoring machinery)
+# ---------------------------------------------------------------------------
+
+QUALITY_HASH_DIM = 1024
+
+
+def _hash_bucket(tok: Column, dim: int) -> Column:
+    """Hashing-trick bucket for a token: 60-bit md5 prefix mod ``dim``
+    (the conv→BIGINT idiom shared with the shingle/fingerprint kernels,
+    exactly mirrorable as ``('0x' || substr(md5(t),1,15))::BIGINT``)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(dim),
+    )
+
+
+def _bucket_weight(bucket: Column) -> Column:
+    """Deterministic integer weight in [-1000, 1000] for a bucket:
+    ``pmod(md5('w' || bucket)[60-bit], 2001) - 1000``.  Integer-exact on
+    every engine — no float rounding to drift an oracle."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("w"), bucket.cast("string")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(2001)) - F.lit(1000)
+
+
+def quality_classifier(col: Column, dim: int = QUALITY_HASH_DIM) -> Column:
+    """fastText-style linear document classifier over hashed bag-of-words:
+    ``score = Σ_tokens W[h(token) mod dim]``, label = ``score > 0`` — the
+    scoring machinery of the CCNet / GPT-3 / RefinedWeb quality-filter
+    stage, as a pure Column expression (JVM-side ``aggregate`` over the
+    token array: zero Python, zero shuffles — the filter is a map over
+    the scan at any corpus size).
+
+    The weight table is a deterministic md5-derived stand-in (no trained
+    model ships in this sandbox); a real deployment replaces
+    ``_bucket_weight`` with ``element_at(lit(weights), bucket + 1)`` or a
+    broadcast-joined weight dimension — the plan shape is identical.
+    Integer weights keep the score BIGINT-exact cross-engine.
+
+    Returns ``struct(n_tokens BIGINT, score BIGINT, keep BOOLEAN)``;
+    whitespace-only documents score 0 with n_tokens = 0 and are kept
+    (no evidence either way)."""
+    tk = tokens(col)
+    score = F.aggregate(
+        tk,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + _bucket_weight(_hash_bucket(t, dim)),
+    )
+    empty = F.length(F.trim(col)) == 0
+    n_tokens = F.when(empty, F.lit(0)).otherwise(F.size(tk)).cast("long")
+    final_score = F.when(empty, F.lit(0)).otherwise(score).cast("long")
+    return F.struct(
+        n_tokens.alias("n_tokens"),
+        final_score.alias("score"),
+        (final_score > 0).alias("keep"),
+    )

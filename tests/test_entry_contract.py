@@ -176,6 +176,9 @@ ADVERSARIAL_QUERIES = [
     "decontaminate", "corpus_sample", "clean_corpus",
     # round-5 addition: production-entropy simhash (needs only doc_id+text)
     "dedup_simhash_near_w48",
+    # round-5 additions: ExactSubstr span dedup, Dolma paragraph dedup,
+    # hashed-linear quality scoring (all need only doc_id + text)
+    "dedup_exact_substring", "paragraph_dedup", "quality_classifier",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
