@@ -846,6 +846,28 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/BFF-style Bloom-filter cross-corpus dedup, in the shape it
+    is used for: snapshot B of a crawl probed against the Bloom filter of
+    the previous snapshot A, where the snapshots overlap (A = doc_id <
+    250, B = doc_id >= 200 — the 50-document overlap guarantees true
+    hits, everything else exercises the negative path + Bloom false
+    positives).  m=4096 bits / k=4 hashes, in the exactly-mirrorable
+    JOIN form (build = bounded distinct-set-bits aggregate, probe = one
+    keyed equi-join + all-k having).  The production dense-bitmap
+    broadcast form is pinned identical by tests/test_plans.py."""
+    from doctor_spark.operators.dedup import bloom_maybe_in, bloom_set_bits
+
+    d = _docs(spark, sf_dir)
+    a = d.where(F.col("doc_id") < 250)
+    b = d.where(F.col("doc_id") >= 200)
+    bits = bloom_set_bits(a, m_bits=4096, k_hashes=4)
+    out = bloom_maybe_in(b, bits, m_bits=4096, k_hashes=4)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "maybe_in_a"
+    )
+
+
 def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher repetition family (Rae et al. 2021 §A1.1): top
     {2,3,4}-gram and duplicate {5..10}-gram character fractions + the
@@ -1461,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "domain_topk": q_domain_topk,
         "quality_classifier": q_quality_classifier,
+        "bloom_dedup": q_bloom_dedup,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
@@ -2428,6 +2451,23 @@ SELECT k.doc_id::BIGINT AS doc_id,
        (CASE WHEN k.tl = 0 THEN 0 ELSE s.raw_score END)::BIGINT AS score,
        (CASE WHEN k.tl = 0 THEN 0 ELSE s.raw_score END) > 0 AS keep
 FROM toks k JOIN s USING (doc_id)
+""",
+        "bloom_dedup": f"""
+WITH fp AS (
+  SELECT doc_id, {_FP} AS fp FROM documents WHERE text IS NOT NULL
+), pos AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('b' || j::VARCHAR || '|' || fp), 1, 15))::BIGINT
+           % 4096 AS bit
+  FROM fp, unnest(range(0, 4)) AS u(j)
+), abits AS (
+  SELECT DISTINCT bit FROM pos WHERE doc_id < 250
+), probes AS (
+  SELECT doc_id, bit FROM pos WHERE doc_id >= 200
+)
+SELECT p.doc_id::BIGINT AS doc_id, (count(a.bit) = 4) AS maybe_in_a
+FROM probes p LEFT JOIN abits a ON p.bit = a.bit
+GROUP BY p.doc_id
 """,
         "paragraph_dedup": """
 WITH aug AS (

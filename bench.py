@@ -212,6 +212,17 @@ def main() -> None:
         "fetch_images_to_pdf",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect(), reps=1)
+    for name in (
+        # round-5 second wave (also excluded from the comparable total,
+        # normal min-of-3 timing — these are sub-second map/shuffle ops)
+        "dedup_exact_substring",
+        "paragraph_dedup",
+        "url_canonicalize",
+        "domain_topk",
+        "quality_classifier",
+        "bloom_dedup",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
     # total spans the FIXED round-1..4 query set so "value" stays
     # comparable across rounds/machines (extract_real_docs only runs
@@ -221,6 +232,8 @@ def main() -> None:
         "extract_real_docs", "dedup_simhash_near_w48", "images_to_pdf",
         "pdf_strip_roundtrip", "embed_text_overlay", "pdf_thumbnails",
         "audio_transcode", "fetch_images_to_pdf",
+        "dedup_exact_substring", "paragraph_dedup", "url_canonicalize",
+        "domain_topk", "quality_classifier", "bloom_dedup",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -1100,3 +1100,113 @@ def dedup_paragraphs(
         )
         .select(F.col("id").alias(id_col), "n_paras", "n_kept", "n_dropped", "text")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter cross-corpus dedup (the Dolma/BFF membership machinery)
+# ---------------------------------------------------------------------------
+
+
+def bloom_bit_positions(
+    text_col: Column, m_bits: int, k_hashes: int
+) -> Column:
+    """The ``k_hashes`` Bloom bit positions of a document: positions
+    ``('0x' || md5('b<j>|' || fingerprint)[:15])::int64 mod m_bits`` over
+    the whole-document fingerprint — deterministic, integer-exact, and
+    mirrorable verbatim in any engine with md5."""
+    fp = fingerprint(text_col)
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"b{j}|"), fp).cast("binary")),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m_bits),
+            )
+            for j in range(k_hashes)
+        ]
+    )
+
+
+def bloom_set_bits(
+    df: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Distributed Bloom-filter BUILD over corpus A: the filter as a
+    sparse table of DISTINCT set bit positions (column ``bit``).  At
+    10^12 rows this is a bounded aggregate — at most ``m_bits`` rows out
+    regardless of corpus size; densifying to a broadcastable bitmap is
+    the last-mile step (:func:`bloom_dense_bytes`)."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                bloom_bit_positions(F.col(text_col), m_bits, k_hashes)
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_dense_bytes(set_bits: DataFrame, m_bits: int) -> bytes:
+    """Densify the set-bit table into the classic bitmap (little-endian
+    bit order within each byte).  The collect is bounded by ``m_bits``
+    (the filter size you chose for your memory budget), NOT by corpus
+    size — a 1 GiB bitmap covers ~10^9 documents at 1% FPR with k=7.
+    Broadcast the returned bytes and test membership map-side."""
+    import numpy as np
+
+    arr = np.zeros(m_bits, dtype=bool)
+    for row in set_bits.collect():
+        arr[row["bit"]] = True
+    return np.packbits(arr, bitorder="little").tobytes()
+
+
+def bloom_maybe_in(
+    docs: DataFrame,
+    set_bits: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Membership test of corpus B against corpus A's Bloom filter, in
+    the JOIN form: a document is ``maybe_in_a`` iff ALL ``k_hashes`` of
+    its bit positions are set — semantically the exact Bloom filter
+    (false positives included), expressed as one keyed equi-join +
+    having-count, so a SQL oracle can mirror it bit-for-bit.
+
+    The production form broadcasts :func:`bloom_dense_bytes` and tests
+    map-side (zero shuffles); this join form IS the semantics and the
+    cross-engine gate for it — pinned identical by
+    tests/test_plans.py::test_bloom_join_and_dense_forms_agree.
+
+    Returns ``(id_col, maybe_in_a)`` for every non-NULL-text row of B.
+
+    Plan shape: B explodes to (id, bit) — k rows per doc — and meets the
+    ≤ m_bits set-bit table in ONE keyed equi-join (AQE broadcasts the
+    tiny build side); a doc-id count-aggregate applies the all-k rule.
+    """
+    probes = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            bloom_bit_positions(F.col(text_col), m_bits, k_hashes)
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(set_bits.withColumnRenamed("bit", "setbit"),
+                    probes["bit"] == F.col("setbit"), "left")
+        .groupBy("id")
+        .agg(
+            (F.count("setbit") == F.lit(k_hashes)).alias("maybe_in_a")
+        )
+    )
+    return hits.select(F.col("id").alias(id_col), "maybe_in_a")

@@ -695,3 +695,49 @@ def test_dedup_paragraphs_behavior_and_plan(spark):
     final_plan = plan.split("== Initial Plan ==")[0]
     n_exchange = len(_re.findall(r"Exchange hashpartitioning", final_plan))
     assert n_exchange == 2, final_plan
+
+
+def test_bloom_join_and_dense_forms_agree(spark):
+    """The Bloom JOIN form (the oracle-checkable semantics) and the dense
+    broadcast-bitmap form (the 100 TB deployment shape) must flag the
+    identical maybe-duplicate set — including any false positives, which
+    are part of the Bloom contract, not noise."""
+    import numpy as np
+
+    from doctor_spark.operators.dedup import (
+        bloom_bit_positions,
+        bloom_dense_bytes,
+        bloom_maybe_in,
+        bloom_set_bits,
+    )
+
+    m_bits, k = 256, 4  # small filter so false positives actually occur
+    rows_a = [(i, f"doc body number {i}") for i in range(0, 60, 2)]
+    rows_b = (
+        [(100 + i, f"doc body number {i}") for i in range(0, 20)]  # half dup
+        + [(200 + i, f"unseen text {i}") for i in range(40)]
+    )
+    a = spark.createDataFrame(rows_a, "doc_id long, text string")
+    b = spark.createDataFrame(rows_b, "doc_id long, text string")
+
+    bits = bloom_set_bits(a, m_bits=m_bits, k_hashes=k)
+    join_form = {
+        r["doc_id"]: r["maybe_in_a"]
+        for r in bloom_maybe_in(b, bits, m_bits=m_bits, k_hashes=k).collect()
+    }
+    # every true duplicate MUST be flagged (no false negatives, ever)
+    for i in range(0, 20, 2):
+        assert join_form[100 + i] is True
+
+    dense = np.unpackbits(
+        np.frombuffer(bloom_dense_bytes(bits, m_bits), dtype=np.uint8),
+        bitorder="little",
+    )[:m_bits].astype(bool)
+    probe = b.select(
+        "doc_id",
+        bloom_bit_positions(F.col("text"), m_bits, k).alias("pos"),
+    ).collect()
+    dense_form = {
+        r["doc_id"]: bool(all(dense[p] for p in r["pos"])) for r in probe
+    }
+    assert dense_form == join_form
