@@ -846,6 +846,25 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix quota sampling: 5 documents per (lang, source)
+    stratum, ranked by the engine-portable (md5-bucket, key) order — the
+    deterministic complement to rate-based corpus_sample.  ONE exchange
+    on the strata columns; the hot-stratum prefilter path is documented
+    and tested in the operator."""
+    from doctor_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir), ["lang", "source"], quota=5
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("sample_rank").cast("bigint").alias("sample_rank"),
+    )
+
+
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma/BFF-style Bloom-filter cross-corpus dedup, in the shape it
     is used for: snapshot B of a crawl probed against the Bloom filter of
@@ -1484,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_topk": q_domain_topk,
         "quality_classifier": q_quality_classifier,
         "bloom_dedup": q_bloom_dedup,
+        "stratified_sample": q_stratified_sample,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
@@ -2451,6 +2471,16 @@ SELECT k.doc_id::BIGINT AS doc_id,
        (CASE WHEN k.tl = 0 THEN 0 ELSE s.raw_score END)::BIGINT AS score,
        (CASE WHEN k.tl = 0 THEN 0 ELSE s.raw_score END) > 0 AS keep
 FROM toks k JOIN s USING (doc_id)
+""",
+        "stratified_sample": """
+SELECT doc_id::BIGINT AS doc_id, lang, source, rk::BIGINT AS sample_rank
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY substr(md5(doc_id::VARCHAR), 1, 4), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 5
 """,
         "bloom_dedup": f"""
 WITH fp AS (

@@ -221,6 +221,7 @@ def main() -> None:
         "domain_topk",
         "quality_classifier",
         "bloom_dedup",
+        "stratified_sample",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -234,6 +235,7 @@ def main() -> None:
         "audio_transcode", "fetch_images_to_pdf",
         "dedup_exact_substring", "paragraph_dedup", "url_canonicalize",
         "domain_topk", "quality_classifier", "bloom_dedup",
+        "stratified_sample",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -50,3 +50,44 @@ def hash_sample(
         # top band simply has no upper bound
         cond = cond & (b < F.lit(f"{hi_i:04x}"))
     return df.where(cond)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    quota: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    prefilter_rate: float | None = None,
+) -> DataFrame:
+    """Deterministic quota sampling per stratum — the training-mix
+    builder's "N documents per (source, language)" primitive.  Rows rank
+    within their stratum by ``(md5(salt || key), key)`` (the same
+    engine-portable ordering :func:`hash_sample` filters on, with the key
+    as an exact tiebreak) and the first ``quota`` survive.  Same salt →
+    same sample on any cluster size, any engine, any retry.
+
+    Adds ``sample_rank`` (1-based within the stratum).
+
+    Plan shape: ONE exchange on the strata columns + a window sort.  A
+    hot stratum funnels through one partition BEFORE the rank filter, so
+    at 10^12 rows pass ``prefilter_rate`` — a map-side
+    :func:`hash_sample` (SAME salt, so it keeps exactly the rows that
+    sort first) applied before the shuffle.  With rate r, the stratum
+    ships ~r·|stratum| rows; correctness requires r·|stratum| ≥ quota
+    for every stratum (the prefilter keeps the LOWEST-sorting buckets,
+    so the top-quota set is preserved whenever enough rows survive —
+    asserted cheaply by the caller via max(sample_rank) == quota)."""
+    from pyspark.sql import Window
+
+    out = df
+    if prefilter_rate is not None:
+        out = hash_sample(out, key_col=key_col, rate=prefilter_rate, salt=salt)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in strata_cols])
+        .orderBy(sample_bucket(F.col(key_col), salt), F.col(key_col))
+    )
+    return (
+        out.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= quota)
+    )

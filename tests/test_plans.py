@@ -741,3 +741,31 @@ def test_bloom_join_and_dense_forms_agree(spark):
         r["doc_id"]: bool(all(dense[p] for p in r["pos"])) for r in probe
     }
     assert dense_form == join_form
+
+
+def test_stratified_sample_prefilter_equivalence(spark):
+    """The map-side hash_sample prefilter (same salt) must preserve the
+    exact quota sample whenever enough rows survive per stratum — it
+    keeps the lowest-sorting md5 buckets, which is precisely the set the
+    rank keeps.  Also: the sample is partitioning-invariant."""
+    from doctor_spark.operators.sampling import stratified_sample
+
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], f"src{i % 2}") for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+
+    def key_set(out):
+        return {(r["doc_id"], r["sample_rank"]) for r in out.collect()}
+
+    base = key_set(stratified_sample(df, ["lang", "source"], quota=7))
+    assert len(base) == 6 * 7
+    # rate 0.5 leaves ~50 rows per 100-row stratum >= quota 7
+    pre = key_set(
+        stratified_sample(df, ["lang", "source"], quota=7, prefilter_rate=0.5)
+    )
+    assert pre == base
+    shuffled = key_set(
+        stratified_sample(df.repartition(17), ["lang", "source"], quota=7)
+    )
+    assert shuffled == base
