@@ -865,6 +865,56 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing lineage: each document's placement in
+    the per-source concatenated token stream (offset, first/last
+    sequence id at L=256 tokens).  ONE keyed exchange on the stream
+    column + a window prefix sum."""
+    from doctor_spark.operators.packing import pack_sequences
+
+    out = pack_sequences(_docs(spark, sf_dir), seq_len=256)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("source"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("start_offset").cast("bigint").alias("start_offset"),
+        F.col("seq_first").cast("bigint").alias("seq_first"),
+        F.col("seq_last").cast("bigint").alias("seq_last"),
+        F.col("n_seqs").cast("bigint").alias("n_seqs"),
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style incremental crawl diff: snapshot B vs snapshot A derived
+    deterministically from the documents table (A drops doc_id % 7 == 0,
+    B drops doc_id % 5 == 0 and edits the text of doc_id % 3 == 0), full-
+    outer join on the key with fingerprint-only comparison — no text
+    crosses the wire."""
+    from doctor_spark.operators.incremental import snapshot_diff
+
+    d = _docs(spark, sf_dir)
+    a = d.where(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    b = (
+        d.where(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    out = snapshot_diff(a, b, key_col="doc_id")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "status",
+        "old_fp",
+        "new_fp",
+    )
+
+
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma/BFF-style Bloom-filter cross-corpus dedup, in the shape it
     is used for: snapshot B of a crawl probed against the Bloom filter of
@@ -1504,6 +1554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bloom_dedup": q_bloom_dedup,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "snapshot_diff": q_snapshot_diff,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
@@ -2471,6 +2523,52 @@ SELECT k.doc_id::BIGINT AS doc_id,
        (CASE WHEN k.tl = 0 THEN 0 ELSE s.raw_score END)::BIGINT AS score,
        (CASE WHEN k.tl = 0 THEN 0 ELSE s.raw_score END) > 0 AS keep
 FROM toks k JOIN s USING (doc_id)
+""",
+        "pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id, source,
+         (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKS}) END)::BIGINT AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       seq_first, seq_last,
+       coalesce(seq_last - seq_first + 1, 0)::BIGINT AS n_seqs
+FROM (
+  SELECT doc_id::BIGINT AS doc_id, source, n_tokens,
+         start_offset::BIGINT AS start_offset,
+         (CASE WHEN n_tokens > 0 THEN start_offset // 256 END)::BIGINT
+           AS seq_first,
+         (CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 256
+          END)::BIGINT AS seq_last
+  FROM s
+)
+""",
+        "snapshot_diff": f"""
+WITH a AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(coalesce(text, ''))),
+         '{_JAVA_WS_CLASS}+', ' ', 'g')) AS old_fp
+  FROM documents WHERE doc_id % 7 <> 0
+), b AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(
+           CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '') || ' v2'
+                ELSE text END)),
+         '{_JAVA_WS_CLASS}+', ' ', 'g')) AS new_fp
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(a.doc_id, b.doc_id)::BIGINT AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'new'
+            WHEN b.doc_id IS NULL THEN 'gone'
+            WHEN a.old_fp = b.new_fp THEN 'same'
+            ELSE 'changed' END AS status,
+       a.old_fp, b.new_fp
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 """,
         "stratified_sample": """
 SELECT doc_id::BIGINT AS doc_id, lang, source, rk::BIGINT AS sample_rank

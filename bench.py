@@ -222,6 +222,8 @@ def main() -> None:
         "quality_classifier",
         "bloom_dedup",
         "stratified_sample",
+        "pack_sequences",
+        "snapshot_diff",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -235,7 +237,7 @@ def main() -> None:
         "audio_transcode", "fetch_images_to_pdf",
         "dedup_exact_substring", "paragraph_dedup", "url_canonicalize",
         "domain_topk", "quality_classifier", "bloom_dedup",
-        "stratified_sample",
+        "stratified_sample", "pack_sequences", "snapshot_diff",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

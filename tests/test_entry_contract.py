@@ -179,7 +179,7 @@ ADVERSARIAL_QUERIES = [
     # round-5 additions: ExactSubstr span dedup, Dolma paragraph dedup,
     # hashed-linear quality scoring (all need only doc_id + text)
     "dedup_exact_substring", "paragraph_dedup", "quality_classifier",
-    "bloom_dedup",
+    "bloom_dedup", "snapshot_diff",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]

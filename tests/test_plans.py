@@ -769,3 +769,49 @@ def test_stratified_sample_prefilter_equivalence(spark):
         stratified_sample(df.repartition(17), ["lang", "source"], quota=7)
     )
     assert shuffled == base
+
+
+def test_pack_sequences_placement(spark):
+    """Prefix-sum placement in the per-source token stream: offsets are
+    exclusive cumsums, boundary-spanning docs report both sequences, and
+    zero-token docs occupy no sequence (NULL ids, n_seqs 0)."""
+    from doctor_spark.operators.packing import pack_sequences
+
+    rows = [
+        (0, "s", "a b c"),          # 3 tokens, offset 0
+        (1, "s", ""),               # 0 tokens
+        (2, "s", " ".join("x" * 1 for _ in range(6))),  # 6 tokens, offset 3
+        (3, "s", "y y y"),          # 3 tokens, offset 9 -> spans 8-token seqs
+        (4, "t", "z"),              # separate stream, offset 0
+        (5, "s", None),             # NULL text -> 0 tokens, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, seq_len=8).collect()
+    }
+    assert (got[0]["start_offset"], got[0]["seq_first"], got[0]["seq_last"]) == (0, 0, 0)
+    assert got[1]["n_tokens"] == 0 and got[1]["seq_first"] is None
+    assert got[1]["n_seqs"] == 0
+    assert (got[2]["start_offset"], got[2]["seq_first"], got[2]["seq_last"]) == (3, 0, 1)
+    assert got[2]["n_seqs"] == 2  # tokens 3..8 cross the 8-boundary
+    assert (got[3]["start_offset"], got[3]["seq_first"], got[3]["seq_last"]) == (9, 1, 1)
+    assert (got[4]["start_offset"], got[4]["seq_first"]) == (0, 0)
+    assert got[5]["n_tokens"] == 0 and got[5]["n_seqs"] == 0
+
+
+def test_snapshot_diff_statuses(spark):
+    """Full-outer fingerprint diff: new/gone/changed/same each exercised,
+    NULL text treated as the empty document."""
+    from doctor_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, None)],
+        "url long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma CHANGED"), (4, ""), (5, "fresh")],
+        "url long, text string",
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new, "url").collect()}
+    assert got == {1: "gone", 2: "same", 3: "changed", 4: "same", 5: "new"}
