@@ -815,3 +815,61 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r["url"]: r["status"] for r in snapshot_diff(old, new, "url").collect()}
     assert got == {1: "gone", 2: "same", 3: "changed", 4: "same", 5: "new"}
+
+
+def test_exact_substring_dedup_vs_bruteforce_model(spark):
+    """Differential gate on a seeded random corpus with planted shared
+    runs: the distributed operator must agree exactly with a brute-force
+    single-node model of the ExactSubstr semantics (global window index,
+    first-occurrence spared, coverage-union erase)."""
+    import random
+
+    from doctor_spark.operators.dedup import exact_substring_dedup
+
+    k = 5
+    r = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    shared_runs = [
+        [f"R{j}_{t}" for t in range(r.randint(k, k + 6))] for j in range(5)
+    ]
+    docs = []
+    for i in range(120):
+        toks = [r.choice(vocab) for _ in range(r.randint(0, 25))]
+        if i % 3 == 0 and toks:
+            run = r.choice(shared_runs)
+            at = r.randint(0, len(toks))
+            toks = toks[:at] + run + toks[at:]
+        docs.append((i, " ".join(toks)))
+
+    # single-node model
+    import re as _re
+
+    def toks_of(s):
+        return _re.split(r"[ \t\n\x0b\f\r]+", s.strip(" "))
+
+    index = {}
+    for i, text in docs:
+        tk = toks_of(text)
+        for p in range(len(tk) - k + 1):
+            index.setdefault(tuple(tk[p : p + k]), []).append((i, p))
+    expected = {}
+    for i, text in docs:
+        tk = toks_of(text)
+        covered = set()
+        ndw = 0
+        for p in range(len(tk) - k + 1):
+            occ = index[tuple(tk[p : p + k])]
+            if len(occ) > 1 and min(occ) < (i, p):
+                ndw += 1
+                covered.update(range(p, p + k))
+        kept = [t for j, t in enumerate(tk) if j not in covered]
+        expected[i] = (len(tk), ndw, len(covered), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r2["doc_id"]: (
+            r2["n_tokens"], r2["n_dup_windows"], r2["n_dropped"], r2["text"]
+        )
+        for r2 in exact_substring_dedup(df, k=k).collect()
+    }
+    assert got == expected
