@@ -865,6 +865,28 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus health rollup (the per-snapshot dashboard row):
+    doc/NULL counts, token mass, exact distinct fingerprints (dup rate),
+    language spread.  ONE aggregate over ONE scan — partial map-side
+    aggregation makes this a near-free pass even at 10^12 rows; the only
+    exchange carries a handful of partial states."""
+    from doctor_spark.functions.text import fingerprint, token_count
+
+    d = _docs(spark, sf_dir)
+    tok = F.coalesce(token_count(F.col("text")), F.lit(0))
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.sum(tok).cast("bigint").alias("total_tokens"),
+        F.countDistinct(fingerprint(F.col("text"))).alias("n_distinct_fp"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg(tok), 4).alias("avg_tokens"),
+        F.max(F.length("text")).cast("bigint").alias("max_chars"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing lineage: each document's placement in
     the per-source concatenated token stream (offset, first/last
@@ -1556,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "snapshot_diff": q_snapshot_diff,
+        "corpus_health": q_corpus_health,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
@@ -2523,6 +2546,24 @@ SELECT k.doc_id::BIGINT AS doc_id,
        (CASE WHEN k.tl = 0 THEN 0 ELSE s.raw_score END)::BIGINT AS score,
        (CASE WHEN k.tl = 0 THEN 0 ELSE s.raw_score END) > 0 AS keep
 FROM toks k JOIN s USING (doc_id)
+""",
+        "corpus_health": f"""
+WITH t AS (
+  SELECT text, lang, source,
+         (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKS}) END) AS tok,
+         CASE WHEN text IS NULL THEN NULL ELSE {_FP} END AS fp
+  FROM documents
+)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_text,
+       sum(tok)::BIGINT AS total_tokens,
+       count(DISTINCT fp)::BIGINT AS n_distinct_fp,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       round(avg(tok), 4)::DOUBLE AS avg_tokens,
+       max(length(text))::BIGINT AS max_chars
+FROM t
 """,
         "pack_sequences": f"""
 WITH t AS (
