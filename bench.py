@@ -224,6 +224,7 @@ def main() -> None:
         "stratified_sample",
         "pack_sequences",
         "snapshot_diff",
+        "corpus_health",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -238,6 +239,7 @@ def main() -> None:
         "dedup_exact_substring", "paragraph_dedup", "url_canonicalize",
         "domain_topk", "quality_classifier", "bloom_dedup",
         "stratified_sample", "pack_sequences", "snapshot_diff",
+        "corpus_health",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
