@@ -975,12 +975,16 @@ def exact_substring_dedup(
     Plan shape (the 100 TB form): tokenize → per-doc window expressions
     (map-side higher-order functions, no Python) → ONE exchange on the
     window hash where a count/row_number window marks duplicated
-    occurrences → the ~0.1% surviving marked positions aggregate per doc
-    (ONE keyed exchange with partial agg) → join back to the token table
-    on the id (AQE broadcasts the small marked side when it fits,
-    otherwise keyed shuffle) → coverage test + re-assembly as array HOFs,
-    map-side.  Three keyed shuffles worst case, none on raw text wider
-    than the k-token windows themselves.
+    occurrences → the surviving marked positions aggregate per doc (ONE
+    keyed exchange with partial agg, carrying only (id, positions)) →
+    join back to the token table on the id → coverage test + re-assembly
+    as array HOFs, map-side.  The window-hash exchange ships only k-token
+    windows; the join-back is the one stage that can move full documents:
+    when the marked side fits the broadcast threshold (sparse-dup
+    corpora — the common case after upstream exact dedup) AQE broadcasts
+    it and the token table never shuffles, otherwise the token arrays
+    shuffle once on the id — the same single text-wide exchange the
+    line/paragraph dedup reassembly pays.
 
     The per-token coverage test is ``exists(dpos, p -> p ≤ i < p+k)`` —
     O(n_tokens × n_marked_windows) per document.  Marked windows per doc
