@@ -846,6 +846,48 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (Wenzek et al. 2019): train a
+    stupid-backoff trigram LM on a deterministic hash-band half of the
+    corpus (the "Wikipedia" stand-in), score EVERY document's average
+    log10-probability per token, and bucket head/middle/tail by
+    per-language terciles — the filter stage CCNet/RedPajama/FineWeb
+    pipelines run between dedup and mixing.
+
+    Engine-exactness: all log-probs are quantized once to int64
+    micro-log10 (floor(log10·1e6 + 0.5)) so every sum is associative and
+    the DuckDB oracle replays the arithmetic bit-for-bit; log10 itself
+    is libm on both sides (numpy kernel / DuckDB), never Java's.
+
+    Plan: training is ONE (ord, gram-hash) count exchange + per-order
+    denominator equi-joins; scoring is a map-only candidate expansion
+    with THREE BROADCAST joins (the pruned model is the thing KenLM
+    ships to every node) + one groupBy(doc) exchange + one per-lang
+    window exchange.  ``broadcast_model=False`` documented for models
+    beyond executor memory."""
+    from doctor_spark.operators.lm import (
+        perplexity_buckets,
+        score_perplexity,
+        train_ngram_lm,
+    )
+    from doctor_spark.operators.sampling import hash_sample
+
+    d = _docs(spark, sf_dir)
+    ref = hash_sample(d, key_col="doc_id", rate=0.5, salt="lm")
+    model, n_tokens = train_ngram_lm(ref, order=3, min_count=2)
+    scores = score_perplexity(
+        d, model, n_tokens, order=3, alpha=0.4, keep_cols=("lang",)
+    )
+    return perplexity_buckets(scores).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "sum_lp_micro",
+        "score",
+        "bucket",
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix quota sampling: 5 documents per (lang, source)
     stratum, ranked by the engine-portable (md5-bucket, key) order — the
@@ -1574,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "domain_topk": q_domain_topk,
         "quality_classifier": q_quality_classifier,
+        "ccnet_perplexity": q_ccnet_perplexity,
         "bloom_dedup": q_bloom_dedup,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -1620,6 +1663,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # must tokenize identically on both engines (caught by the adversarial
 # differential test, not by the sf tables)
 _JAVA_WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
+
+# stupid-backoff penalty literal, generated from the LM module's own
+# quantizer so the Spark side and the oracle can never drift
+from doctor_spark.operators.lm import _lp_micro as _lm_lp_micro  # noqa: E402
+
+_LM_ALPHA_MICRO = _lm_lp_micro(0.4)
 _TOKS = f"regexp_split_to_array(trim(lower(text)), '{_JAVA_WS_CLASS}+')"
 
 # generated from the single source of truth so the Spark side and the
@@ -2546,6 +2595,89 @@ SELECT k.doc_id::BIGINT AS doc_id,
        (CASE WHEN k.tl = 0 THEN 0 ELSE s.raw_score END)::BIGINT AS score,
        (CASE WHEN k.tl = 0 THEN 0 ELSE s.raw_score END) > 0 AS keep
 FROM toks k JOIN s USING (doc_id)
+""",
+        "ccnet_perplexity": f"""
+-- CCNet LM gate oracle: train stupid-backoff trigram counts on the
+-- md5-band ref half (salt 'lm', rate 0.5), score every doc in int64
+-- micro-log10 units, bucket per-lang terciles.  All arithmetic mirrors
+-- operators/lm.py exactly: 60-bit md5 gram keys, floor(x*1e6+0.5)
+-- quantization, alpha literal {_LM_ALPHA_MICRO} from the same Python
+-- source of truth.
+WITH tk AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '{_JAVA_WS_CLASS}+') AS t
+  FROM documents WHERE text IS NOT NULL
+), ref AS (
+  SELECT t FROM tk
+  WHERE substring(md5('lm' || doc_id::VARCHAR), 1, 4)
+        < printf('%04x', 32768)
+), refg AS (
+  SELECT e.ord AS ord, e.g AS g, e.ctx AS ctx FROM (
+    SELECT unnest(flatten(list_transform(range(1, len(t) + 1), p ->
+      list_transform(range(1, least(p, 3) + 1), m ->
+        {{'ord': m,
+         'g': array_to_string(list_slice(t, p - m + 1, p), ' '),
+         'ctx': array_to_string(list_slice(t, p - m + 1, p - 1), ' ')
+        }})))) AS e
+    FROM ref
+  )
+), cnt AS (
+  SELECT ord, g, ctx, count(*) AS c FROM refg GROUP BY 1, 2, 3
+), ntot AS (
+  SELECT sum(c)::BIGINT AS n FROM cnt WHERE ord = 1
+), model AS (
+  SELECT ord, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh,
+         CAST(floor(log10(c::DOUBLE / den) * 1e6 + 0.5) AS BIGINT) AS lp
+  FROM (
+    SELECT c1.ord, c1.g, c1.c,
+           CASE WHEN c1.ord = 1 THEN (SELECT n FROM ntot)
+                ELSE c2.c END AS den
+    FROM cnt c1 LEFT JOIN cnt c2
+      ON c2.ord = c1.ord - 1 AND c2.g = c1.ctx
+    WHERE c1.ord = 1 OR c2.g IS NOT NULL
+  ) WHERE c >= 2
+), unk AS (
+  SELECT CAST(floor(log10(1.0 / greatest(n, 1)) * 1e6 + 0.5) AS BIGINT)
+         AS u FROM ntot
+), cand AS (
+  SELECT doc_id, lang, e.pos AS pos, e.ord AS ord,
+         ('0x' || substr(md5(e.g), 1, 15))::BIGINT AS gh
+  FROM (
+    SELECT doc_id, lang,
+      unnest(flatten(list_transform(range(1, len(t) + 1), p ->
+        list_transform(range(1, least(p, 3) + 1), m ->
+          {{'pos': p - 1, 'ord': m,
+           'g': array_to_string(list_slice(t, p - m + 1, p), ' ')
+          }})))) AS e
+    FROM tk
+  )
+), pos AS (
+  SELECT c.doc_id, c.lang, c.pos, least(c.pos + 1, 3) AS att,
+         max(CASE WHEN m.ord = 3 THEN m.lp END) AS lp3,
+         max(CASE WHEN m.ord = 2 THEN m.lp END) AS lp2,
+         max(CASE WHEN m.ord = 1 THEN m.lp END) AS lp1
+  FROM cand c LEFT JOIN model m ON m.ord = c.ord AND m.gh = c.gh
+  GROUP BY 1, 2, 3, 4
+), ps AS (
+  SELECT doc_id, lang,
+    CASE WHEN lp3 IS NOT NULL THEN lp3 + (att - 3) * ({_LM_ALPHA_MICRO})
+         WHEN lp2 IS NOT NULL THEN lp2 + (att - 2) * ({_LM_ALPHA_MICRO})
+         WHEN lp1 IS NOT NULL THEN lp1 + (att - 1) * ({_LM_ALPHA_MICRO})
+         ELSE (SELECT u FROM unk) + (att - 1) * ({_LM_ALPHA_MICRO})
+    END AS lp
+  FROM pos
+), agg AS (
+  SELECT doc_id, lang, count(*)::BIGINT AS n_tok,
+         sum(lp)::BIGINT AS sum_lp_micro
+  FROM ps GROUP BY 1, 2
+)
+SELECT doc_id::BIGINT AS doc_id, lang, n_tok, sum_lp_micro,
+       round(sum_lp_micro / (n_tok::DOUBLE * 1e6), 4) AS score,
+       CASE ntile(3) OVER (PARTITION BY lang
+              ORDER BY sum_lp_micro / (n_tok::DOUBLE * 1e6) DESC, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM agg
 """,
         "corpus_health": f"""
 WITH t AS (

@@ -225,6 +225,8 @@ def main() -> None:
         "pack_sequences",
         "snapshot_diff",
         "corpus_health",
+        # third wave: the CCNet LM gate (train + score + buckets)
+        "ccnet_perplexity",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -239,7 +241,7 @@ def main() -> None:
         "dedup_exact_substring", "paragraph_dedup", "url_canonicalize",
         "domain_topk", "quality_classifier", "bloom_dedup",
         "stratified_sample", "pack_sequences", "snapshot_diff",
-        "corpus_health",
+        "corpus_health", "ccnet_perplexity",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

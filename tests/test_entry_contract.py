@@ -262,3 +262,56 @@ def test_text_oracles_on_adversarial_corpus(spark, tmp_path, qname):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)
+
+def test_ccnet_perplexity_on_adversarial_corpus(spark, tmp_path):
+    r"""The LM gate vs its DuckDB oracle on hostile strings — separate
+    from the main matrix because it needs a ``lang`` column (per-lang
+    tercile buckets).  Stresses: the \x0b whitespace divergence, empty
+    text ([''] token), single-token docs, exact duplicates (identical
+    scores, id tiebreak in ntile), high-repetition text (trigram hits),
+    and docs whose every gram is OOV for the hash-band reference half."""
+    import random
+
+    import duckdb
+    import pandas.testing as pdt
+
+    import __spark_entry__ as entry
+
+    nasty = [
+        "", " ", "a", "the the the the the the",
+        "tab\tand\nnewline\x0bvt\x0cff\rcr mix",
+        "x y x y x y x y x y x y",
+        ("spam ham " * 30).strip(),
+        "ünïcode wörds ünïcode wörds",
+        " leading trailing ", "a  b   c    d",
+        "zz yy xx ww vv uu",
+    ]
+    base = "the quick brown fox jumps over the lazy dog"
+    nasty += [base, base, base + " tail", base.replace(" ", "\t")]
+    r = random.Random(11)
+    words = ["w%d" % i for i in range(5)] + ["the", "dup"]
+    for _ in range(40):
+        nasty.append(
+            " ".join(r.choice(words) for _ in range(r.randint(0, 25)))
+        )
+    rows = [
+        (i, t, ("en", "fr", "de")[i % 3]) for i, t in enumerate(nasty)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    spark_pdf = _normalize(
+        entry.queries()["ccnet_perplexity"](spark, sf).toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    oracle_pdf = _normalize(
+        con.execute(entry.oracle_sql()["ccnet_perplexity"]).fetch_df()
+    )
+    assert len(spark_pdf) == len(oracle_pdf) == len(nasty)
+    pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)
