@@ -888,6 +888,49 @@ def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing weights (GPT-3/Llama recipe
+    stage): w_d ∝ p_d^0.5 over the source column, plus the per-doc
+    expected-copy rate that rebuilds a same-sized corpus.  pow() is
+    quantized straight to int64 (libm on both engines) so the
+    normalizer and rates are exact integer arithmetic; ONE
+    groupBy(domain) exchange with map-side partials."""
+    from doctor_spark.operators.sampling import mixture_weights
+
+    return mixture_weights(
+        _docs(spark, sf_dir), domain_col="source", alpha=0.5
+    ).select(
+        "domain",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "p",
+        "weight",
+        "rate_micro",
+    )
+
+
+def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized temperature mixture: every doc appears
+    floor(rate) times plus one more iff its md5 bucket clears the
+    fractional remainder — deterministic multinomial-expectation
+    resampling on any engine/cluster/retry.  Map-only over a broadcast
+    domain→rate table + explode(sequence); the only exchange is the
+    weights' domain count."""
+    from doctor_spark.operators.sampling import (
+        mixture_weights,
+        temperature_resample,
+    )
+
+    d = _docs(spark, sf_dir)
+    w = mixture_weights(d, domain_col="source", alpha=0.5)
+    return temperature_resample(
+        d, w, domain_col="source", key_col="doc_id", salt="mix"
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("source").alias("domain"),
+        F.col("copy_no").cast("bigint").alias("copy_no"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix quota sampling: 5 documents per (lang, source)
     stratum, ranked by the engine-portable (md5-bucket, key) order — the
@@ -1617,6 +1660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_topk": q_domain_topk,
         "quality_classifier": q_quality_classifier,
         "ccnet_perplexity": q_ccnet_perplexity,
+        "mix_weights": q_mix_weights,
+        "mix_resample": q_mix_resample,
         "bloom_dedup": q_bloom_dedup,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2678,6 +2723,56 @@ SELECT doc_id::BIGINT AS doc_id, lang, n_tok, sum_lp_micro,
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
        END AS bucket
 FROM agg
+""",
+        "mix_weights": """
+WITH c AS (
+  SELECT source AS domain, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1
+), t AS (SELECT sum(n_docs)::BIGINT AS tot FROM c),
+w AS (
+  SELECT domain, n_docs, tot,
+         CAST(floor(pow(n_docs::DOUBLE / tot, 0.5) * 1e9 + 0.5)
+              AS BIGINT) AS pw
+  FROM c, t
+), z AS (SELECT sum(pw)::BIGINT AS z FROM w)
+SELECT domain, n_docs,
+       round(n_docs::DOUBLE / tot, 4) AS p,
+       round(pw::DOUBLE / z, 4) AS weight,
+       CAST(floor(tot::DOUBLE * pw / (z::DOUBLE * n_docs) * 1e6 + 0.5)
+            AS BIGINT) AS rate_micro
+FROM w, z
+""",
+        "mix_resample": """
+WITH c AS (
+  SELECT source AS domain, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1
+), t AS (SELECT sum(n_docs)::BIGINT AS tot FROM c),
+w AS (
+  SELECT domain, n_docs, tot,
+         CAST(floor(pow(n_docs::DOUBLE / tot, 0.5) * 1e9 + 0.5)
+              AS BIGINT) AS pw
+  FROM c, t
+), z AS (SELECT sum(pw)::BIGINT AS z FROM w),
+rates AS (
+  SELECT domain,
+         CAST(floor(tot::DOUBLE * pw / (z::DOUBLE * n_docs) * 1e6 + 0.5)
+              AS BIGINT) AS rate_micro
+  FROM w, z
+), docs AS (
+  SELECT d.doc_id, d.source AS domain, r.rate_micro,
+         ('0x' || substring(md5('mix' || d.doc_id::VARCHAR), 1, 4))::BIGINT
+           AS b
+  FROM documents d JOIN rates r ON d.source = r.domain
+), cp AS (
+  SELECT doc_id, domain,
+         rate_micro // 1000000
+           + CASE WHEN b * 1000000 < (rate_micro % 1000000) * 65536
+                  THEN 1 ELSE 0 END AS copies
+  FROM docs
+)
+SELECT doc_id::BIGINT AS doc_id, domain,
+       unnest(range(1, copies + 1))::BIGINT AS copy_no
+FROM cp WHERE copies >= 1
 """,
         "corpus_health": f"""
 WITH t AS (

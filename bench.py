@@ -225,8 +225,10 @@ def main() -> None:
         "pack_sequences",
         "snapshot_diff",
         "corpus_health",
-        # third wave: the CCNet LM gate (train + score + buckets)
+        # third wave: CCNet LM gate, temperature mixing
         "ccnet_perplexity",
+        "mix_weights",
+        "mix_resample",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -241,7 +243,8 @@ def main() -> None:
         "dedup_exact_substring", "paragraph_dedup", "url_canonicalize",
         "domain_topk", "quality_classifier", "bloom_dedup",
         "stratified_sample", "pack_sequences", "snapshot_diff",
-        "corpus_health", "ccnet_perplexity",
+        "corpus_health", "ccnet_perplexity", "mix_weights",
+        "mix_resample",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -315,3 +315,34 @@ def test_ccnet_perplexity_on_adversarial_corpus(spark, tmp_path):
     )
     assert len(spark_pdf) == len(oracle_pdf) == len(nasty)
     pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)
+
+@pytest.mark.parametrize("qname", ["mix_weights", "mix_resample"])
+def test_mix_oracles_on_skewed_corpus(spark, tmp_path, qname):
+    """The sf documents table is perfectly uniform (every source 5%),
+    so its rates are all exactly 1.0 and the pow/normalizer arithmetic
+    is never stressed — this corpus has a 2000:3:1 domain skew plus a
+    singleton domain, the shapes where cross-engine pow/rounding drift
+    would actually show."""
+    import duckdb
+    import pandas.testing as pdt
+
+    import __spark_entry__ as entry
+
+    rows = (
+        [(i, "crawl") for i in range(2000)]
+        + [(2000 + i, "wiki") for i in range(3)]
+        + [(2003, "books")]
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, source string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    spark_pdf = _normalize(entry.queries()[qname](spark, sf).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    oracle_pdf = _normalize(con.execute(entry.oracle_sql()[qname]).fetch_df())
+    assert len(spark_pdf) == len(oracle_pdf) > 0
+    pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)

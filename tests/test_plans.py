@@ -873,3 +873,88 @@ def test_exact_substring_dedup_vs_bruteforce_model(spark):
         for r2 in exact_substring_dedup(df, k=k).collect()
     }
     assert got == expected
+
+
+def test_mixture_weights_and_resample(spark):
+    """Temperature mixing on a SKEWED corpus (the sf tables are uniform,
+    which exercises nothing): alpha=0.5 upsamples the rare domain above
+    its natural share, expectation is preserved within rounding, the
+    resample is deterministic and per-domain copy counts match the
+    integer rate arithmetic exactly."""
+    import math
+
+    from doctor_spark.operators.sampling import (
+        BUCKETS,
+        MIX_MICRO,
+        mixture_weights,
+        temperature_resample,
+    )
+
+    rows = [(i, "common") for i in range(900)] + [
+        (i, "rare") for i in range(900, 1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = mixture_weights(df, domain_col="source", alpha=0.5)
+    by_d = {r["domain"]: r for r in w.collect()}
+    # hand-computed: pw = floor(p^0.5 * 1e9 + 0.5)
+    pw_c = math.floor(math.sqrt(0.9) * 1e9 + 0.5)
+    pw_r = math.floor(math.sqrt(0.1) * 1e9 + 0.5)
+    z = pw_c + pw_r
+    assert by_d["rare"]["rate_micro"] == math.floor(
+        1000.0 * pw_r / (float(z) * 100.0) * MIX_MICRO + 0.5
+    )
+    assert by_d["rare"]["rate_micro"] > MIX_MICRO  # rare upsampled
+    assert by_d["common"]["rate_micro"] < MIX_MICRO  # common downsampled
+
+    out = temperature_resample(
+        df, w, domain_col="source", key_col="doc_id", salt="t"
+    )
+    pdf = out.groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in pdf}
+    # exact per-domain counts from the integer spec: base copies for
+    # every doc + one extra where bucket*1e6 < frac*65536
+    from hashlib import md5
+
+    for dom, n in (("common", 900), ("rare", 100)):
+        rm = by_d[dom]["rate_micro"]
+        base, frac = divmod(rm, MIX_MICRO)
+        ids = range(900) if dom == "common" else range(900, 1000)
+        extra = sum(
+            1
+            for i in ids
+            if int(md5(f"t{i}".encode()).hexdigest()[:4], 16) * MIX_MICRO
+            < frac * BUCKETS
+        )
+        assert got.get(dom, 0) == base * n + extra
+    # deterministic: second run identical
+    out2 = temperature_resample(
+        df, w, domain_col="source", key_col="doc_id", salt="t"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+    # plan: resample is map-only over a broadcast rate table — no
+    # shuffle of the corpus side beyond the weights' own aggregates
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_mixture_zero_copy_domain_drops_cleanly(spark):
+    """A domain whose rate rounds below one copy for some docs must
+    produce an EMPTY sequence, not the descending [1, 0] Spark's
+    sequence() would infer: alpha=1 keeps natural proportions at a
+    target so small every rate is fractional."""
+    from doctor_spark.operators.sampling import (
+        mixture_weights,
+        temperature_resample,
+    )
+
+    rows = [(i, "a") for i in range(100)] + [(i + 100, "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = mixture_weights(df, domain_col="source", alpha=1.0, target_rows=20)
+    out = temperature_resample(df, w, domain_col="source", key_col="doc_id")
+    rows_out = out.collect()
+    # every emitted copy_no is 1 (rate ~0.1 < 1), count is the band hits
+    assert all(r["copy_no"] == 1 for r in rows_out)
+    assert 0 < len(rows_out) < 60
