@@ -931,6 +931,28 @@ def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain TF-IDF keywords (corpus-audit stage): top-10 terms per
+    source by tf·idf with idf quantized to int64 micro-log10 (libm on
+    both engines) and the ranking key a single IEEE multiply of exact
+    int64s — bit-identical ordering on any engine.  Plan: two keyed
+    aggregation exchanges (tf, doc-level df), a vocab-keyed equi-join
+    (never broadcast — crawl vocab is huge), min_df tail pruning before
+    the per-domain top-k window."""
+    from doctor_spark.operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _docs(spark, sf_dir), k=10, min_df=2
+    ).select(
+        "domain",
+        "rank",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df_docs").cast("bigint").alias("df_docs"),
+        "score",
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix quota sampling: 5 documents per (lang, source)
     stratum, ranked by the engine-portable (md5-bucket, key) order — the
@@ -1662,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity": q_ccnet_perplexity,
         "mix_weights": q_mix_weights,
         "mix_resample": q_mix_resample,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "bloom_dedup": q_bloom_dedup,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2773,6 +2796,35 @@ rates AS (
 SELECT doc_id::BIGINT AS doc_id, domain,
        unnest(range(1, copies + 1))::BIGINT AS copy_no
 FROM cp WHERE copies >= 1
+""",
+        "tfidf_top_terms": f"""
+WITH base AS (
+  SELECT doc_id AS id, source AS domain, unnest({_TOKS}) AS term
+  FROM documents WHERE text IS NOT NULL
+), nd AS (
+  SELECT count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT domain, term, count(*)::BIGINT AS tf FROM base GROUP BY 1, 2
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df_docs
+  FROM (SELECT DISTINCT id, term FROM base) GROUP BY 1
+  HAVING count(*) >= 2
+), s AS (
+  SELECT tf.domain, tf.term, tf.tf, dft.df_docs,
+         tf.tf::DOUBLE *
+           CAST(floor(log10((SELECT n_docs FROM nd)::DOUBLE / dft.df_docs)
+                      * 1e6 + 0.5) AS BIGINT)::DOUBLE AS key
+  FROM tf JOIN dft USING (term)
+), r AS (
+  SELECT domain, term, tf, df_docs, key,
+         row_number() OVER (PARTITION BY domain ORDER BY key DESC, term)
+           AS rank
+  FROM s
+)
+SELECT domain, rank::BIGINT AS rank, term, tf, df_docs,
+       round(key / 1e6, 4) AS score
+FROM r WHERE rank <= 10
 """,
         "corpus_health": f"""
 WITH t AS (

@@ -229,6 +229,7 @@ def main() -> None:
         "ccnet_perplexity",
         "mix_weights",
         "mix_resample",
+        "tfidf_top_terms",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -244,7 +245,7 @@ def main() -> None:
         "domain_topk", "quality_classifier", "bloom_dedup",
         "stratified_sample", "pack_sequences", "snapshot_diff",
         "corpus_health", "ccnet_perplexity", "mix_weights",
-        "mix_resample",
+        "mix_resample", "tfidf_top_terms",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

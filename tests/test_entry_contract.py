@@ -346,3 +346,38 @@ def test_mix_oracles_on_skewed_corpus(spark, tmp_path, qname):
     oracle_pdf = _normalize(con.execute(entry.oracle_sql()[qname]).fetch_df())
     assert len(spark_pdf) == len(oracle_pdf) > 0
     pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)
+
+def test_tfidf_oracle_on_adversarial_corpus(spark, tmp_path):
+    r"""tfidf_top_terms vs its DuckDB oracle on hostile strings:
+    \x0b/\t/\r whitespace classes, case folding, empty docs (the ''
+    token), score ties, and a skewed domain layout."""
+    import duckdb
+    import pandas.testing as pdt
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, "big", "The QUICK\tbrown\x0bfox the the"),
+        (2, "big", "quick brown dogs bark"),
+        (3, "big", ""),
+        (4, "big", "fox fox fox unique_term"),
+        (5, "small", "the quick"),
+        (6, "small", "brown\r\nfox lines"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    spark_pdf = _normalize(
+        entry.queries()["tfidf_top_terms"](spark, sf).toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    oracle_pdf = _normalize(
+        con.execute(entry.oracle_sql()["tfidf_top_terms"]).fetch_df()
+    )
+    assert len(spark_pdf) == len(oracle_pdf) > 0
+    pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)

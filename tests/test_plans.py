@@ -958,3 +958,51 @@ def test_mixture_zero_copy_domain_drops_cleanly(spark):
     # every emitted copy_no is 1 (rate ~0.1 < 1), count is the band hits
     assert all(r["copy_no"] == 1 for r in rows_out)
     assert 0 < len(rows_out) < 60
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """Tiny corpus with hand-checkable tf/df/idf, a score tie broken by
+    term order, and a min_df-pruned singleton."""
+    import math
+
+    from doctor_spark.operators.tfidf import MICRO, tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "apple banana apple"),
+            (2, "a", "banana cherry"),
+            (3, "b", "apple cherry unique"),
+            (4, "b", "banana banana apple"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = tfidf_top_terms(df, k=10, min_df=2).collect()
+    rows = {(r["domain"], r["term"]): r for r in out}
+    # 'unique' appears in 1 doc -> pruned by min_df=2
+    assert ("b", "unique") not in rows
+    # domain a: tf(apple)=2 df=3 idf=log10(4/3); tf(banana)=2 df=3
+    idf3 = math.floor(math.log10(4 / 3) * MICRO + 0.5)
+    idf4 = math.floor(math.log10(4 / 4) * MICRO + 0.5)
+    assert idf4 == 0  # term in every doc scores 0
+    a_apple = rows[("a", "apple")]
+    assert a_apple["tf"] == 2 and a_apple["df_docs"] == 3
+    assert a_apple["score"] == round(2 * idf3 / MICRO, 4)
+    # domain a ranking: cherry (1·log10(2) ≈ 0.301) beats the
+    # apple/banana TIE (2·log10(4/3) ≈ 0.25 each), which alphabetical
+    # term order breaks
+    a = [r for r in out if r["domain"] == "a"]
+    assert [r["term"] for r in sorted(a, key=lambda r: r["rank"])] == [
+        "cherry", "apple", "banana",
+    ]
+    # cherry: tf=1, df=2 -> idf=log10(2), present in a
+    assert rows[("a", "cherry")]["score"] == round(
+        math.floor(math.log10(2) * MICRO + 0.5) / MICRO, 4
+    )
+    # plan: no cartesian, vocab join NOT broadcast (both sides keyed)
+    plan = (
+        tfidf_top_terms(df, k=10, min_df=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan
