@@ -953,6 +953,44 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 5-gram novelty vs a hash-band reference half — the
+    memorization/overlap audit (Lee/Carlini lineage): |doc shingles not
+    in ref| / |doc shingles|.  ONE distinct exchange on the ref side,
+    ONE keyed 60-bit-hash equi-join (never broadcast by default — a
+    crawl-scale reference can't be), ONE groupBy(doc) fold-back."""
+    from doctor_spark.operators.dedup import ngram_novelty
+    from doctor_spark.operators.sampling import hash_sample
+
+    d = _docs(spark, sf_dir)
+    ref = hash_sample(d, key_col="doc_id", rate=0.5, salt="nov")
+    return ngram_novelty(d, ref, n=5).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_sh",
+        "n_seen",
+        "novel_frac",
+    )
+
+
+def q_token_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-count deciles (corpus audit): type-1
+    quantiles at rank ceil(q·n/10) — pure integer rank arithmetic, no
+    estimator, engine-exact.  One window per language + one tiny rank-
+    target join; the pre-aggregate-to-(value,count) variant for a
+    single global group is documented in the operator."""
+    from doctor_spark.functions.text import token_count
+    from doctor_spark.operators.stats import grouped_deciles
+
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("lang", token_count(F.col("text")).alias("tok"))
+    )
+    return grouped_deciles(d, "tok", "lang").select(
+        "lang", "q", "n", F.col("value").cast("bigint").alias("value")
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix quota sampling: 5 documents per (lang, source)
     stratum, ranked by the engine-portable (md5-bucket, key) order — the
@@ -1685,6 +1723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": q_mix_weights,
         "mix_resample": q_mix_resample,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "ngram_novelty": q_ngram_novelty,
+        "token_deciles": q_token_deciles,
         "bloom_dedup": q_bloom_dedup,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2825,6 +2865,47 @@ WITH base AS (
 SELECT domain, rank::BIGINT AS rank, term, tf, df_docs,
        round(key / 1e6, 4) AS score
 FROM r WHERE rank <= 10
+""",
+        "ngram_novelty": f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk) - 5 + 2), i ->
+           ('0x' || substr(md5(
+              array_to_string(list_slice(tk, i, i + 4), ' ')), 1, 15)
+           )::BIGINT)) AS s
+  FROM tk WHERE len(tk) >= 5
+), refh AS (
+  SELECT DISTINCT unnest(s) AS h FROM sh
+  WHERE substring(md5('nov' || doc_id::VARCHAR), 1, 4)
+        < printf('%04x', 32768)
+), d AS (
+  SELECT doc_id, len(s)::BIGINT AS n_sh, unnest(s) AS h FROM sh
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.n_sh,
+       count(r.h)::BIGINT AS n_seen,
+       round((d.n_sh - count(r.h))::DOUBLE / d.n_sh, 4) AS novel_frac
+FROM d LEFT JOIN refh r ON d.h = r.h
+GROUP BY d.doc_id, d.n_sh
+""",
+        "token_deciles": f"""
+WITH v AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS}) END AS v
+  FROM documents WHERE text IS NOT NULL
+), r AS (
+  SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn
+  FROM v
+), c AS (
+  SELECT lang, count(*)::BIGINT AS n FROM v GROUP BY 1
+), q AS (
+  SELECT lang, n, unnest(range(1, 10)) AS q FROM c
+)
+SELECT q.lang, q.q::BIGINT AS q, q.n,
+       r.v::BIGINT AS value
+FROM q JOIN r ON r.lang = q.lang AND r.rn = (q.q * q.n + 9) // 10
 """,
         "corpus_health": f"""
 WITH t AS (

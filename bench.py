@@ -230,6 +230,8 @@ def main() -> None:
         "mix_weights",
         "mix_resample",
         "tfidf_top_terms",
+        "ngram_novelty",
+        "token_deciles",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -245,7 +247,8 @@ def main() -> None:
         "domain_topk", "quality_classifier", "bloom_dedup",
         "stratified_sample", "pack_sequences", "snapshot_diff",
         "corpus_health", "ccnet_perplexity", "mix_weights",
-        "mix_resample", "tfidf_top_terms",
+        "mix_resample", "tfidf_top_terms", "ngram_novelty",
+        "token_deciles",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -1232,3 +1232,64 @@ def bloom_maybe_in(
         )
     )
     return hits.select(F.col("id").alias(id_col), "maybe_in_a")
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_ref: bool = False,
+) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus — the
+    memorization/overlap audit (how much of each doc is already in the
+    training set?): ``novel_frac = |shingles(doc) \\ shingles(ref)| /
+    |shingles(doc)|`` over distinct ``n``-token shingles.
+
+    Complements :func:`decontaminate` (binary flag, benchmark side) with
+    a graded per-document score against an arbitrary reference corpus —
+    the quantity memorization studies (Lee et al. 2021; Carlini et al.
+    2022) threshold on.
+
+    Returns ``(id_col, n_sh, n_seen, novel_frac)`` for every doc with at
+    least one shingle (docs shorter than ``n`` tokens have no shingles
+    and no row — same convention as the other shingle operators).
+
+    Plan shape: reference shingles distinct in ONE keyed exchange; doc
+    shingles meet them in ONE 60-bit-hash equi-join (keyed by default —
+    a crawl-scale reference set must NOT be broadcast; flip
+    ``broadcast_ref`` for benchmark-sized references) and fold back with
+    ONE groupBy(id).  Shingling itself is the Arrow batch kernel shared
+    with the dedup family; counts are over distinct HASHES, the
+    documented 2^-60 collision semantics every oracle mirrors."""
+    sh_udf = _shingles_udf(n, hashed=True)
+
+    refsh = (
+        ref.where(F.col(text_col).isNotNull())
+        .select(F.explode(sh_udf(F.col(text_col))["sh"]).alias("h"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    if broadcast_ref:
+        refsh = F.broadcast(refsh)
+    d = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("s"))
+        .select("id", F.col("s.n_sh").alias("n_sh"), F.explode("s.sh").alias("h"))
+    )
+    return (
+        d.join(refsh, "h", "left")
+        .groupBy("id", "n_sh")
+        .agg(F.count("__seen").alias("n_seen"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_sh").cast("bigint").alias("n_sh"),
+            F.col("n_seen").cast("bigint").alias("n_seen"),
+            F.round(
+                (F.col("n_sh") - F.col("n_seen"))
+                / F.col("n_sh").cast("double"),
+                4,
+            ).alias("novel_frac"),
+        )
+    )

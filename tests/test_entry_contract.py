@@ -180,6 +180,8 @@ ADVERSARIAL_QUERIES = [
     # hashed-linear quality scoring (all need only doc_id + text)
     "dedup_exact_substring", "paragraph_dedup", "quality_classifier",
     "bloom_dedup", "snapshot_diff",
+    # round-5 third wave: memorization audit (doc_id + text only)
+    "ngram_novelty",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
@@ -263,13 +265,15 @@ def test_text_oracles_on_adversarial_corpus(spark, tmp_path, qname):
 
     pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)
 
-def test_ccnet_perplexity_on_adversarial_corpus(spark, tmp_path):
-    r"""The LM gate vs its DuckDB oracle on hostile strings — separate
-    from the main matrix because it needs a ``lang`` column (per-lang
-    tercile buckets).  Stresses: the \x0b whitespace divergence, empty
-    text ([''] token), single-token docs, exact duplicates (identical
-    scores, id tiebreak in ntile), high-repetition text (trigram hits),
-    and docs whose every gram is OOV for the hash-band reference half."""
+@pytest.mark.parametrize("qname", ["ccnet_perplexity", "token_deciles"])
+def test_lang_oracles_on_adversarial_corpus(spark, tmp_path, qname):
+    r"""Lang-column queries vs their DuckDB oracles on hostile strings —
+    separate from the main matrix because they need a ``lang`` column.
+    Stresses: the \x0b whitespace divergence, empty text ([''] token),
+    single-token docs, exact duplicates (identical scores, id tiebreak
+    in ntile), high-repetition text (trigram hits), docs whose every
+    gram is OOV for the hash-band reference half, and tiny per-lang
+    groups (decile ranks collapse onto few rows)."""
     import random
 
     import duckdb
@@ -303,7 +307,7 @@ def test_ccnet_perplexity_on_adversarial_corpus(spark, tmp_path):
     ).write.parquet(f"{sf}/documents.parquet")
 
     spark_pdf = _normalize(
-        entry.queries()["ccnet_perplexity"](spark, sf).toPandas()
+        entry.queries()[qname](spark, sf).toPandas()
     )
     con = duckdb.connect()
     con.execute(
@@ -311,9 +315,13 @@ def test_ccnet_perplexity_on_adversarial_corpus(spark, tmp_path):
         f"read_parquet('{sf}/documents.parquet/*.parquet')"
     )
     oracle_pdf = _normalize(
-        con.execute(entry.oracle_sql()["ccnet_perplexity"]).fetch_df()
+        con.execute(entry.oracle_sql()[qname]).fetch_df()
     )
-    assert len(spark_pdf) == len(oracle_pdf) == len(nasty)
+    assert len(spark_pdf) == len(oracle_pdf)
+    if qname == "ccnet_perplexity":  # per-doc output: one row per doc
+        assert len(spark_pdf) == len(nasty)
+    else:  # token_deciles: 9 deciles per language
+        assert len(spark_pdf) == 9 * 3
     pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)
 
 @pytest.mark.parametrize("qname", ["mix_weights", "mix_resample"])

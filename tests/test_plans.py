@@ -1006,3 +1006,62 @@ def test_tfidf_top_terms_hand_computed(spark):
         .toString()
     )
     assert "Cartesian" not in plan
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """Known overlap: doc B shares exactly its first 5-gram with ref doc
+    A; doc C is fully novel; doc D is too short for any shingle (no
+    row); a ref doc scored against itself is fully seen."""
+    from doctor_spark.operators.dedup import ngram_novelty
+
+    a = "one two three four five six"          # shingles: 2
+    b = "one two three four five NEW WORDS HERE"  # 4 shingles, 1 seen
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "totally different words in this doc"),
+         (4, "too short")],
+        "doc_id long, text string",
+    )
+    ref = df.where("doc_id = 1")
+    out = {r["doc_id"]: r for r in ngram_novelty(df, ref, n=5).collect()}
+    assert 4 not in out  # < 5 tokens -> no shingles -> no row
+    assert out[1]["n_sh"] == 2 and out[1]["n_seen"] == 2
+    assert out[1]["novel_frac"] == 0.0
+    assert out[2]["n_sh"] == 4 and out[2]["n_seen"] == 1
+    assert out[2]["novel_frac"] == 0.75
+    assert out[3]["n_seen"] == 0 and out[3]["novel_frac"] == 1.0
+    # plan: keyed join by default (no broadcast of the ref side), no
+    # cartesian; broadcast_ref flips it for benchmark-sized refs
+    plan = (
+        ngram_novelty(df, ref, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan
+    plan_b = (
+        ngram_novelty(df, ref, n=5, broadcast_ref=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan_b
+
+
+def test_grouped_deciles_hand_computed(spark):
+    """Type-1 decile spec on known data: n=10 ascending values (decile q
+    = value at rank q), a tied group, and a singleton group (every
+    decile = the one value)."""
+    from doctor_spark.operators.stats import grouped_deciles
+
+    rows = (
+        [(f"a{i}", "a", (i + 1) * 10) for i in range(10)]
+        + [(f"b{i}", "b", 7) for i in range(4)]
+        + [("c0", "c", 99)]
+    )
+    df = spark.createDataFrame(rows, "id string, grp string, v long")
+    out = grouped_deciles(df, "v", "grp").collect()
+    got = {(r["grp"], r["q"]): r["value"] for r in out}
+    # group a: rank ceil(q*10/10) = q -> value q*10
+    for q in range(1, 10):
+        assert got[("a", q)] == q * 10
+    # group b: all ties -> every decile is 7
+    assert all(got[("b", q)] == 7 for q in range(1, 10))
+    # group c: singleton -> rank ceil(q/10) = 1 always
+    assert all(got[("c", q)] == 99 for q in range(1, 10))
+    assert len(out) == 27
