@@ -90,60 +90,65 @@ def _hash60(b: bytes) -> int:
 def _gram_counts_udf(order: int):
     """Arrow kernel: for each doc emit, for every position and every
     m ∈ [1, min(pos+1, order)], the m-gram ending at that position as
-    (ord, gh, ctx) where gh is the 60-bit hash of the space-joined gram
-    and ctx the hash of its (m-1)-prefix (0 for unigrams).  Struct of
-    parallel arrays so ONE UDF evaluation feeds arrays_zip + explode."""
+    (ord, gram string, (m-1)-prefix string — None for unigrams).  The
+    60-bit keys are added JVM-side by the caller (:func:`_hash60_col`,
+    the hybrid-engine split).  Struct of parallel arrays so ONE UDF
+    evaluation feeds arrays_zip + explode."""
 
-    @F.pandas_udf("struct<ord: array<int>, gh: array<long>, ctx: array<long>>")
+    @F.pandas_udf("struct<ord: array<int>, g: array<string>, cx: array<string>>")
     def grams(texts: pd.Series) -> pd.DataFrame:
-        ords, ghs, ctxs = [], [], []
+        ords, gs, cxs = [], [], []
         for text in texts:
             tk = _java_ws_tokens(text or "")
             o_l: list[int] = []
-            g_l: list[int] = []
-            c_l: list[int] = []
+            g_l: list[str] = []
+            c_l: list[str | None] = []
             for pos in range(len(tk)):
                 for m in range(1, min(pos + 1, order) + 1):
-                    g = " ".join(tk[pos - m + 1 : pos + 1])
                     o_l.append(m)
-                    g_l.append(_hash60(g.encode()))
+                    g_l.append(" ".join(tk[pos - m + 1 : pos + 1]))
                     c_l.append(
-                        _hash60(
-                            " ".join(tk[pos - m + 1 : pos]).encode()
-                        )
-                        if m > 1
-                        else 0
+                        " ".join(tk[pos - m + 1 : pos]) if m > 1 else None
                     )
             ords.append(o_l)
-            ghs.append(g_l)
-            ctxs.append(c_l)
-        return pd.DataFrame({"ord": ords, "gh": ghs, "ctx": ctxs})
+            gs.append(g_l)
+            cxs.append(c_l)
+        return pd.DataFrame({"ord": ords, "g": gs, "cx": cxs})
 
     return grams
 
 
+def _hash60_col(c):
+    """JVM codegen 60-bit md5 prefix — the dedup-family convention,
+    bit-identical to :func:`_hash60` and the oracle's
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
 def _candidates_udf(order: int):
     """Arrow kernel for scoring: per doc, one entry per position with the
-    gram hash at every order 1..min(pos+1, order) (None above), again as
-    struct-of-arrays for a single evaluation.  k[m] is the hash of the
-    m-gram ending at pos."""
-    fields = ", ".join(f"k{m}: array<long>" for m in range(1, order + 1))
+    gram STRING at every order 1..min(pos+1, order) (None above), again
+    as struct-of-arrays for a single evaluation; g[m] is the m-gram
+    ending at pos (g1 is the token array itself, shipped as-is), hashed
+    JVM-side by the caller."""
+    fields = ", ".join(f"g{m}: array<string>" for m in range(1, order + 1))
 
     @F.pandas_udf(f"struct<pos: array<int>, {fields}>")
     def cands(texts: pd.Series) -> pd.DataFrame:
         cols: dict[str, list] = {"pos": []}
         for m in range(1, order + 1):
-            cols[f"k{m}"] = []
+            cols[f"g{m}"] = []
         for text in texts:
             tk = _java_ws_tokens(text or "")
             n = len(tk)
             cols["pos"].append(list(range(n)))
-            for m in range(1, order + 1):
-                cols[f"k{m}"].append(
+            cols["g1"].append(tk)
+            for m in range(2, order + 1):
+                cols[f"g{m}"].append(
                     [
-                        _hash60(" ".join(tk[p - m + 1 : p + 1]).encode())
-                        if p + 1 >= m
-                        else None
+                        " ".join(tk[p - m + 1 : p + 1]) if p + 1 >= m else None
                         for p in range(n)
                     ]
                 )
@@ -189,12 +194,18 @@ def train_ngram_lm(
     )
     counts = (
         g.select(
-            F.explode(F.arrays_zip("s.ord", "s.gh", "s.ctx")).alias("e")
+            F.explode(F.arrays_zip("s.ord", "s.g", "s.cx")).alias("e")
         )
         .select(
             F.col("e.ord").alias("ord"),
-            F.col("e.gh").alias("gh"),
-            F.col("e.ctx").alias("ctx"),
+            # HYBRID engine seam (the measured-2x shingle result): the
+            # Arrow kernel ships gram STRINGS; the 60-bit keys come from
+            # JVM codegen md5 — hashlib in the Python loop was the
+            # dominant kernel cost
+            _hash60_col(F.col("e.g")).alias("gh"),
+            F.when(F.col("e.ord") == 1, F.lit(0).cast("long"))
+            .otherwise(_hash60_col(F.col("e.cx")))
+            .alias("ctx"),
         )
         .groupBy("ord", "gh", "ctx")
         .agg(F.count("*").alias("c"))
@@ -267,13 +278,18 @@ def score_perplexity(
         id_col,
         *keep_cols,
         F.explode(
-            F.arrays_zip("s.pos", *[f"s.k{m}" for m in range(1, order + 1)])
+            F.arrays_zip("s.pos", *[f"s.g{m}" for m in range(1, order + 1)])
         ).alias("e"),
     ).select(
         id_col,
         *keep_cols,
         F.col("e.pos").alias("pos"),
-        *[F.col(f"e.k{m}").alias(f"k{m}") for m in range(1, order + 1)],
+        # hybrid seam, as in training: strings from the kernel, 60-bit
+        # keys from JVM codegen md5 (null gram -> null key -> join miss)
+        *[
+            _hash60_col(F.col(f"e.g{m}")).alias(f"k{m}")
+            for m in range(1, order + 1)
+        ],
     )
 
     scored = zipped
