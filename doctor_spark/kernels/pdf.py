@@ -1274,6 +1274,95 @@ def _hex_to_bytes(hs: bytes) -> bytes | None:
 # or BDC property array rolls back to the generic parser)
 _TJ_AFTER = re.compile(rb"[\x00\t\n\x0c\r ]*TJ(?![A-Za-z'\"*])")
 
+# Batch TJ validation: ONE possessive-quantifier match proves the whole
+# operand array is nothing but whitespace + simple tokens (numbers,
+# escape-free literals, plain hex strings) through the closing bracket.
+# When it matches, the `TJ` operator check happens BEFORE execution (the
+# token-walk path must execute-then-roll-back) and _TJ_BATCH.findall
+# extracts every token in one C pass — the per-token Python overhead of
+# the walk (anchored .match call, lastindex dispatch, group/span calls,
+# position bookkeeping) collapses to a tuple unpack.  Possessive
+# quantifiers (*+ / ++ / ?+, Python 3.11) make rejection linear: a bare
+# `\d+` chain would otherwise re-split digit runs exponentially while
+# failing on e.g. a dash-pattern array.  Anything outside this grammar
+# (escaped literals, nested parens, comments, names) fails the validator
+# and falls back to the token walk, whose semantics are unchanged.
+_TJ_ARR_VALID = re.compile(
+    rb"""\[
+      (?: [\x00\t\n\x0c\r ]*+
+          (?: [+-]?(?:\d++\.?+\d*+|\.\d++)
+              (?: [\x00\t\n\x0c\r ]*+
+                  (?: \([^()\\\r]*+(?:\\[\s\S][^()\\\r]*+)*+\)
+                    | <[0-9A-Fa-f\s]*+> ) )?+
+            | \([^()\\\r]*+(?:\\[\s\S][^()\\\r]*+)*+\)
+            | <[0-9A-Fa-f\s]*+>
+          )
+      )*+
+      [\x00\t\n\x0c\r ]*+ \]""",
+    re.VERBOSE,
+)
+
+# token extractor for a validated span: same shapes as _TJ_ARR_VALID with
+# payload captures.  String/hex captures INCLUDE their delimiters so an
+# empty capture unambiguously means "group absent" (`()` captures b"()").
+# findall segmentation is identical to the _TJ_TOK walk: same alternatives,
+# same leftmost preference, and the validator guarantees the span contains
+# no skippable garbage between tokens.
+_TJ_BATCH = re.compile(
+    rb"""[\x00\t\n\x0c\r ]*+
+      (?: ([+-]?(?:\d++\.?+\d*+|\.\d++))
+          (?: [\x00\t\n\x0c\r ]*+
+              (?: (\([^()\\\r]*+(?:\\[\s\S][^()\\\r]*+)*+\))
+                | (<[0-9A-Fa-f\s]*+>) ) )?+
+        | (\([^()\\\r]*+(?:\\[\s\S][^()\\\r]*+)*+\))
+        | (<[0-9A-Fa-f\s]*+>)
+      )""",
+    re.VERBOSE,
+)
+
+_LIT_ESC_MAP = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b",
+                0x66: b"\f"}
+
+
+def _unescape_literal(s: bytes) -> bytes:
+    """Escape resolution for a literal-string payload (outer parens
+    stripped) that the batch grammar admitted: no unescaped parens or
+    bare CR, and every backslash is followed by at least one byte.
+    Byte-for-byte identical to PdfLexer._parse_string on this input
+    class (named escapes, up-to-3-digit octal, line continuations,
+    identity escapes)."""
+    out = bytearray()
+    i = 0
+    n = len(s)
+    while i < n:
+        j = s.find(b"\\", i)
+        if j < 0:
+            out += s[i:]
+            break
+        out += s[i:j]
+        i = j + 1
+        e = s[i]
+        if e in b"nrtbf":
+            out += _LIT_ESC_MAP[e]
+            i += 1
+        elif e in b"()\\":
+            out.append(e)
+            i += 1
+        elif 0x30 <= e <= 0x37:
+            k = i + 1
+            while k < n and k - i < 3 and 0x30 <= s[k] <= 0x37:
+                k += 1
+            out.append(int(s[i:k], 8) & 0xFF)
+            i = k
+        elif e in b"\r\n":
+            i += 1
+            if e == 0x0D and i < n and s[i] == 0x0A:
+                i += 1
+        else:
+            out.append(e)
+            i += 1
+    return bytes(out)
+
 
 def _parse_tj_array(lex, content: bytes, start: int):
     """Parse a flat array starting at ``start`` (the '[').  Returns
@@ -1676,6 +1765,118 @@ def _interpret_content(
             tc, tw, th = t_c, t_w, t_h
             plain = tc == 0.0 and tw == 0.0
             sb_metric = not two_byte
+
+        # ---- batch path: one validator match + one findall ----
+        # Proves the whole array is simple tokens, checks the TJ operator
+        # BEFORE executing (so no rollback bookkeeping), then executes a
+        # tuple-per-token loop with zero per-token match objects.  Every
+        # float operation below is verbatim from the token walk, so the
+        # goldens stay byte-identical; arrays outside the simple grammar
+        # (escaped literals, comments, names) fall through to the walk.
+        mval = _TJ_ARR_VALID.match(content, astart)
+        if mval is not None:
+            vend = mval.end()
+            m3 = _TJ_AFTER.match(content, vend)
+            if m3 is None:
+                return None  # `[...] 0 d` / BDC array — nothing executed
+            toks = _TJ_BATCH.findall(content, astart + 1, vend - 1)
+            if not metric:
+                for knum, fp, fh, bp, bh in toks:
+                    if knum:
+                        tm = _mat_translate(
+                            tm, -float(knum) / 1000.0 * size * t_h, 0.0)
+                        if fp:
+                            frag = fp[1:-1]
+                            show(_unescape_literal(frag)
+                                 if b"\\" in frag else frag)
+                        elif fh:
+                            show(_hex_to_bytes(fh[1:-1]))
+                    elif bp:
+                        frag = bp[1:-1]
+                        show(_unescape_literal(frag)
+                             if b"\\" in frag else frag)
+                    else:
+                        show(_hex_to_bytes(bh[1:-1]))
+                return m3.end()
+            for knum, fp, fh, bp, bh in toks:
+                if knum:
+                    tx = -float(knum) / 1000.0 * size * th
+                    tm_e = tx * tm_a + 0.0 * tm_c + tm_e
+                    tm_f = tx * tm_b + 0.0 * tm_d + tm_f
+                    if fp:
+                        frag = fp[1:-1]
+                        if b"\\" in frag:
+                            frag = _unescape_literal(frag)
+                    elif fh:
+                        frag = _hex_to_bytes(fh[1:-1])
+                    else:
+                        continue
+                elif bp:
+                    frag = bp[1:-1]
+                    if b"\\" in frag:
+                        frag = _unescape_literal(frag)
+                else:
+                    frag = _hex_to_bytes(bh[1:-1])
+                # shared fragment execution, verbatim from the walk
+                me = tm_e * ca_ + tm_f * cc_ + ce_
+                mf = tm_e * cb_ + tm_f * cd_ + cf_
+                seg_start = len(texts)
+                cum = 0.0
+                if sb_metric:
+                    if plain:
+                        for code in frag:
+                            text, w_text, wth = tbl[code]
+                            if text:
+                                texts_append(text)
+                                cums_append(cum)
+                                wths_append(wth)
+                            cum += wth
+                    else:
+                        for code in frag:
+                            text, w_text, wth = tbl[code]
+                            disp = w_text + tc
+                            if code == 32:
+                                disp += tw
+                            if text:
+                                texts_append(text)
+                                cums_append(cum)
+                                wths_append(wth)
+                            cum += disp * th
+                else:
+                    for i2 in range(0, len(frag) - 1, 2):
+                        code = (frag[i2] << 8) | frag[i2 + 1]
+                        e2 = tbl2.get(code)
+                        if e2 is None:
+                            text = to_uni.get(code)
+                            if text is None:
+                                text = "" if code == 0 else "�"
+                            w_text = (
+                                widths.get(code, default_w) / 1000.0 * size
+                            )
+                            e2 = (text, w_text, w_text * th)
+                            tbl2[code] = e2
+                        text, w_text, wth = e2
+                        if text:
+                            texts_append(text)
+                            cums_append(cum)
+                            wths_append(wth)
+                        cum += (w_text + tc) * th
+                tm_e = cum * tm_a + 0.0 * tm_c + tm_e
+                tm_f = cum * tm_b + 0.0 * tm_d + tm_f
+                if len(texts) > seg_start:
+                    seg_end.append(len(texts))
+                    seg_meta.append(
+                        (me + rise_x, mf + rise_y, ma, mb, eff_size, skew)
+                    )
+                    if build_runs:
+                        runs_append(
+                            TextRun(text="".join(texts[seg_start:]), x=me,
+                                    y=mf, size=size, skewed=skew,
+                                    fontname=fontname,
+                                    invisible=render_mode == 3)
+                        )
+            tm = (tm_a, tm_b, tm_c, tm_d, tm_e, tm_f)
+            return m3.end()
 
         pos2 = astart + 1
         nn = len(content)

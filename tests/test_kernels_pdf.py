@@ -827,3 +827,64 @@ class TestObjHeaderScanner:
             assert got == expect, (data, got, expect)
 
         check()
+
+
+class TestBatchTjEquivalence:
+    """The validated batch TJ path (_TJ_ARR_VALID + _TJ_BATCH findall)
+    must produce byte-identical page text to the incremental token walk
+    it short-circuits — pinned by running the same document through both
+    (the walk is forced by neutering the validator)."""
+
+    _build = staticmethod(TestProportionalLayout._build)
+
+    def _both_ways(self, content: bytes, monkeypatch):
+        import re as _re
+        from doctor_spark.kernels import pdf as pdfmod
+
+        batch, err_b, rc_b = pdfmod.extract_pdf_layout_text(
+            self._build(content))
+        never = _re.compile(rb"(?!)")
+        monkeypatch.setattr(pdfmod, "_TJ_ARR_VALID", never)
+        walk, err_w, rc_w = pdfmod.extract_pdf_layout_text(
+            self._build(content))
+        assert (err_b, rc_b) == (err_w, rc_w)
+        return batch, walk
+
+    def test_escape_forms(self, monkeypatch):
+        content = (
+            b"BT /F1 12 Tf 72 700 Td "
+            rb"[(pre) -20 (a\(b\)c\\d) -15 (tab\there) (oct\101al) "
+            rb"(cont\
+inue) <4869> -30 <4 86f20> () 250 (end)] TJ ET"
+        )
+        batch, walk = self._both_ways(content, monkeypatch)
+        assert batch == walk
+        assert "a(b)c\\d" in batch and "octAal" in batch
+        assert "Hi" in batch and "Ho " in batch
+
+    def test_non_tj_array_rolls_back_identically(self, monkeypatch):
+        content = (
+            b"[2 1] 0 d BT /F1 12 Tf 72 700 Td "
+            b"[(kept) -40 (text)] TJ ET"
+        )
+        batch, walk = self._both_ways(content, monkeypatch)
+        assert batch == walk and "kept" in batch
+
+    def test_fuzz_differential(self, monkeypatch):
+        import random
+
+        rng = random.Random(20260818)
+        frags = [b"(abc)", b"(A B)", rb"(e\)s\(c)", rb"(\\)", b"()",
+                 b"<48 65>", b"<6c6C>", b"<7>", rb"(oct\043x)",
+                 rb"(nl\ncr\rtab\t)", b"(sp ace)"]
+        for trial in range(40):
+            toks = []
+            for _ in range(rng.randrange(1, 12)):
+                if rng.random() < 0.5:
+                    toks.append(str(rng.randrange(-900, 900)).encode())
+                else:
+                    toks.append(rng.choice(frags))
+            arr = b"[" + b" ".join(toks) + b"]"
+            content = b"BT /F1 12 Tf 72 700 Td " + arr + b" TJ ET"
+            batch, walk = self._both_ways(content, monkeypatch)
+            assert batch == walk, (trial, arr)
