@@ -1338,6 +1338,38 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): deterministic coarse-quantizer
+    clusters + within-cluster keep-first cosine dedup.  The assignment
+    mirrors the IVF oracle (normalize, round-12 dot, first-max
+    tie-break); pair cosine mirrors the neardup oracle (raw-vector
+    cosine, round 4)."""
+    from doctor_spark.operators.similarity import semdedup
+
+    out = semdedup(_emb(spark, sf_dir), n_clusters=16, threshold=0.35,
+                   dim=64)
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("kept").alias("kept"),
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency heavy hitters: count-min-sketch candidate
+    prefilter + exact rescore — output provably identical to the naive
+    full groupBy (CMS never underestimates), which is exactly what the
+    oracle runs.  The sketch exists to shrink the token exchange at
+    crawl scale, not to approximate the answer."""
+    from doctor_spark.operators.sketches import heavy_hitters
+
+    hh = heavy_hitters(_docs(spark, sf_dir), threshold=200, width=2048)
+    return hh.select(
+        F.col("token"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
 def q_media_features_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal gate: decoded feature values must equal the generator's
     goldens.  Expected: EMPTY."""
@@ -1746,6 +1778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_corpus_topk": q_lsh_ann_corpus_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_neardup": q_embedding_neardup,
+        "semdedup": q_semdedup,
+        "heavy_hitters": q_heavy_hitters,
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
@@ -2149,6 +2183,53 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, neighbor_id ASC) AS rnk
       FROM scored)
 WHERE rnk <= {k}
+"""
+
+
+def _semdedup_sql(
+    n_clusters: int = 16, threshold: float = 0.35, dim: int = 64,
+) -> str:
+    """SemDeDup mirror: assignment replays the IVF oracle's normalize +
+    round-12 dot + (sim DESC, cid ASC) tie-break; pair cosine replays
+    the neardup oracle's raw-vector round-4 formula."""
+    ndot = (
+        f"round(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> s.nv[i] * ct.cv[i])), 12)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), norms AS (
+  SELECT id, v,
+         list_transform(v, x -> x / sqrt(list_sum(
+             list_transform(v, y -> y * y)))) AS nv
+  FROM e
+), cents AS (
+  SELECT id AS cid, nv AS cv FROM norms WHERE id < {n_clusters}
+), sims AS (
+  SELECT s.id, ct.cid, {ndot} AS sim
+  FROM norms s CROSS JOIN cents ct
+), assign AS (
+  SELECT id, cid AS cluster FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id
+                                       ORDER BY sim DESC, cid ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT b.id AS id_b,
+         round(list_sum(list_transform(range(1, {dim + 1}),
+                                       i -> ea.v[i] * eb.v[i]))
+               / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(eb.v, x -> x * x)))), 4)
+           AS cos_sim
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.id < b.id
+  JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id
+), removed AS (
+  SELECT DISTINCT id_b AS id FROM pairs WHERE cos_sim >= {threshold}
+)
+SELECT a.id::BIGINT AS id, a.cluster::INT AS cluster,
+       (r.id IS NULL) AS kept
+FROM assign a LEFT JOIN removed r ON r.id = a.id
 """
 
 
@@ -3116,6 +3197,15 @@ SELECT * FROM ranked WHERE rank <= 3
         "lsh_ann_corpus_topk": _lsh_ann_corpus_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "embedding_neardup": _neardup_sql(),
+        "semdedup": _semdedup_sql(),
+        "heavy_hitters": f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+)
+SELECT token, count(*)::BIGINT AS cnt
+FROM toks WHERE token <> ''
+GROUP BY token HAVING count(*) >= 200
+""",
         "media_features_mismatch": (
             "SELECT CAST(NULL AS BIGINT) AS media_id,"
             " CAST(NULL AS DOUBLE) AS mean_value WHERE 1 = 0"

@@ -232,6 +232,9 @@ def main() -> None:
         "tfidf_top_terms",
         "ngram_novelty",
         "token_deciles",
+        # fourth wave: CMS heavy hitters, SemDeDup
+        "heavy_hitters",
+        "semdedup",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -248,7 +251,7 @@ def main() -> None:
         "stratified_sample", "pack_sequences", "snapshot_diff",
         "corpus_health", "ccnet_perplexity", "mix_weights",
         "mix_resample", "tfidf_top_terms", "ngram_novelty",
-        "token_deciles",
+        "token_deciles", "heavy_hitters", "semdedup",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -515,3 +515,78 @@ def lsh_ann_corpus_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.35,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space with a deterministic coarse quantizer,
+    then inside each cluster drop every item that has a smaller-id
+    neighbor with cosine ≥ ``threshold`` (keep-first, the greedy the
+    paper uses with random tie order — made deterministic here by id).
+
+    Columns: id, cluster, kept.
+
+    Scale shape: the centroid matrix is KBs (broadcast in the Arrow
+    assignment kernel, same contract as IVF), assignment is map-only,
+    and the only exchange hashes on the cluster id — both join sides
+    derive from the same assigned frame, so the second side is a
+    ReusedExchange.  Within-cluster pairing is quadratic in cluster
+    size by construction (that IS SemDeDup); at crawl scale you grow
+    ``n_clusters`` proportionally to hold the per-cluster population
+    constant — the paper runs 50k clusters for LAION-scale — and a
+    skewed hot cluster is bounded by the same frequency-cap discipline
+    the MinHash band join uses."""
+    cents = _ivf_centroids(df, n_clusters, id_col, vec_col)
+    assign = _ivf_assign_udf(cents)
+    # ONE assignment pass, hash-partitioned on the cluster id and
+    # materialized with an eager localCheckpoint (the ExactSubstr/LM
+    # convention for a frame consumed by several branches).  Without it
+    # Catalyst re-evaluates the Arrow kernel once per consumer and per
+    # pushed null-key filter (6 evaluations observed), and exchange
+    # reuse never fires because PythonUDF subtrees don't canonicalize
+    # equal.  After the checkpoint the partitioning survives in the
+    # plan, so the within-cluster self-join needs NO further exchange
+    # and the small-looking side can't be broadcast (plan-pinned in
+    # test_plans.py with the broadcast threshold disabled).  Contract:
+    # a vector the quantizer can't place (null/ragged/zero-norm) has no
+    # row in the decision table — absent means "kept, never compared".
+    clustered = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            assign(F.col(vec_col)).alias("cluster"),
+        )
+        .where(F.col("cluster").isNotNull())
+        .repartition(F.col("cluster"))
+        .localCheckpoint()
+    )
+    a = clustered.select(
+        "cluster", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = clustered.select(
+        "cluster", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    cos_udf = _cosine_pairs_udf(dim)
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(cos_udf(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    removed = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        clustered.join(
+            removed.withColumn("rm", F.lit(True)), "id", "left"
+        )
+        .select("id", "cluster", F.col("rm").isNull().alias("kept"))
+    )

@@ -9,6 +9,7 @@ from doctor_spark.operators.dedup import exact_duplicate_groups
 from doctor_spark.plans.checks import (
     assert_jvm_only,
     count_exchanges,
+    physical_plan,
     pushed_filters,
     read_schema_columns,
 )
@@ -1065,3 +1066,50 @@ def test_grouped_deciles_hand_computed(spark):
     # group c: singleton -> rank ceil(q/10) = 1 always
     assert all(got[("c", q)] == 99 for q in range(1, 10))
     assert len(out) == 27
+
+
+def test_heavy_hitters_probe_is_broadcast_and_jvm_only(spark, docs):
+    """The CMS probe side must stay map-side: four BroadcastHashJoins
+    against the literal cell tables, no shuffle before the final
+    candidate groupBy, and zero Python in the plan (md5/conv/least are
+    codegen)."""
+    from doctor_spark.operators.sketches import heavy_hitters
+
+    q = heavy_hitters(docs, threshold=200, width=256)
+    plan = physical_plan(q, "simple")
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert_jvm_only(q)
+    # candidate groupBy = 1 exchange (+1 inside each tiny broadcast build)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_semdedup_reuses_cluster_exchange_no_broadcast_of_corpus(spark):
+    """Both sides of the within-cluster self-join must come from ONE
+    assignment pass (ReusedExchange), and the corpus side must never be
+    broadcast (a broadcast corpus OOMs at crawl scale) — pinned with the
+    broadcast threshold disabled, the 100-TB statistics rehearsal."""
+    from doctor_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = semdedup(emb, n_clusters=16, threshold=0.35, dim=64)
+        # the Arrow assignment kernel runs ONCE, inside the eager
+        # localCheckpoint — the downstream plan must contain ZERO
+        # re-evaluations (Catalyst duplicated it 6× before the
+        # checkpoint pattern was applied)
+        static = q._jdf.queryExecution().executedPlan().toString()
+        assert static.count("ArrowEvalPython [assign") == 0, static
+        assert "BroadcastExchange" not in static, static
+        assert "CartesianProduct" not in static
+        # exchange reuse for the self-join twin is an AQE runtime
+        # decision — assert on the final adaptive plan
+        q.collect()
+        final = q._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "ReusedExchange" in final, final
+        assert "BroadcastExchange" not in final, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
