@@ -1370,6 +1370,24 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, first 8 merges: ONE
+    corpus-scale exchange builds the word-count table, then each merge
+    is a map-side Arrow pair kernel + a tiny keyed agg + a single-row
+    argmax collect.  The oracle unrolls the identical loop in SQL
+    (list_reduce == the trainer's LTR fold), so the iterative operator
+    is hash-exact, not rows-only."""
+    from doctor_spark.operators.bpe import bpe_merge_table
+
+    t = bpe_merge_table(_docs(spark, sf_dir), n_merges=8)
+    return t.select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("left"),
+        F.col("right"),
+        F.col("freq").cast("bigint").alias("freq"),
+    )
+
+
 def q_media_features_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal gate: decoded feature values must equal the generator's
     goldens.  Expected: EMPTY."""
@@ -1780,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,
         "heavy_hitters": q_heavy_hitters,
+        "bpe_merges": q_bpe_merges,
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
@@ -2231,6 +2250,59 @@ SELECT a.id::BIGINT AS id, a.cluster::INT AS cluster,
        (r.id IS NULL) AS kept
 FROM assign a LEFT JOIN removed r ON r.id = a.id
 """
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    """EXACT oracle for the distributed BPE trainer: the merge loop is
+    UNROLLED into one CTE chain per rank (pair totals → argmax with the
+    concat-key tie-break → list_reduce LTR merge).  DuckDB's
+    list_reduce fold replays operators/bpe.merge_syms bit-for-bit, so
+    an iterative trainer still gets a hash-exact SQL oracle."""
+    sep = "chr(31)"
+    cte = [f"""w0 AS (
+  SELECT regexp_replace(word, '(.)', '\\1' || {sep}, 'g') || '</w>' AS syms,
+         cnt
+  FROM (SELECT token AS word, count(*) AS cnt
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        WHERE token <> '' AND strpos(token, {sep}) = 0
+        GROUP BY token)
+)"""]
+    for i in range(1, n_merges + 1):
+        cte.append(f"""p{i} AS (
+  SELECT u.pair, sum(w.cnt) AS total
+  FROM w{i - 1} w,
+       unnest(list_transform(range(1, len(string_split(w.syms, {sep}))),
+              j -> string_split(w.syms, {sep})[j] || {sep}
+                   || string_split(w.syms, {sep})[j + 1])) AS u(pair)
+  GROUP BY u.pair
+)""")
+        cte.append(f"""m{i} AS (
+  SELECT {i} AS rnk,
+         string_split(pair, {sep})[1] AS l,
+         string_split(pair, {sep})[2] AS r,
+         total
+  FROM p{i} ORDER BY total DESC, pair ASC LIMIT 1
+)""")
+        cte.append(f"""w{i} AS (
+  SELECT CASE WHEN len(string_split(w.syms, {sep})) = 1 THEN w.syms
+         ELSE list_reduce(string_split(w.syms, {sep}),
+           (acc, x) -> CASE
+             WHEN x = m.r AND (acc = m.l
+                               OR right(acc, length(m.l) + 1) = {sep} || m.l)
+             THEN left(acc, length(acc) - length(m.l)) || m.l || m.r
+             ELSE acc || {sep} || x END) END AS syms,
+         w.cnt
+  FROM w{i - 1} w CROSS JOIN m{i} m
+)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM m{i}"
+                                 for i in range(1, n_merges + 1))
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+SELECT rnk::INT AS rank, l AS "left", r AS "right", total::BIGINT AS freq
+FROM ({union})
+"""
+    )
 
 
 def _quality_sql() -> str:
@@ -3198,6 +3270,7 @@ SELECT * FROM ranked WHERE rank <= 3
         "ivf_ann_topk": _ivf_ann_sql(),
         "embedding_neardup": _neardup_sql(),
         "semdedup": _semdedup_sql(),
+        "bpe_merges": _bpe_sql(),
         "heavy_hitters": f"""
 WITH toks AS (
   SELECT unnest({_TOKS}) AS token FROM documents

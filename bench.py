@@ -232,9 +232,10 @@ def main() -> None:
         "tfidf_top_terms",
         "ngram_novelty",
         "token_deciles",
-        # fourth wave: CMS heavy hitters, SemDeDup
+        # fourth wave: CMS heavy hitters, SemDeDup, BPE trainer
         "heavy_hitters",
         "semdedup",
+        "bpe_merges",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -251,7 +252,7 @@ def main() -> None:
         "stratified_sample", "pack_sequences", "snapshot_diff",
         "corpus_health", "ccnet_perplexity", "mix_weights",
         "mix_resample", "tfidf_top_terms", "ngram_novelty",
-        "token_deciles", "heavy_hitters", "semdedup",
+        "token_deciles", "heavy_hitters", "semdedup", "bpe_merges",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

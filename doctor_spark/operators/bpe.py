@@ -1,0 +1,203 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+missing stage between cleaning/dedup and "count the training tokens".
+
+Scaling shape (the one real tokenizer trainers use, e.g. HuggingFace
+tokenizers): the CORPUS-scale work is exactly one exchange — aggregate
+the corpus to a (word, count) table.  Training then iterates on that
+compacted table, whose size is the distinct-word vocabulary, not the
+corpus: pair counting is a map-side Arrow kernel + one tiny keyed agg
+per merge, the argmax is a single-row driver action (bounded by
+contract, like the IVF centroids), and the merge application is again
+map-only.  A 100-TB crawl and a 1-GB sample train at the same
+per-iteration cost once the word table is built.  Lineage across
+iterations is bounded with periodic localCheckpoints (the
+connected-components discipline).
+
+Exact semantics, engine-portable (this is what the unrolled SQL oracle
+in __spark_entry__ replays level by level):
+
+- words: trim+lower, Java-\\s+ split, empty tokens dropped; words
+  containing U+001F excluded (it is the symbol separator in the
+  encoded representation both engines share);
+- symbols: the word's characters plus a final '</w>' end marker;
+- pair counts: every ADJACENT symbol position (overlapping — 'aaa'
+  contributes ('a','a') twice), weighted by the word count;
+- winner: max total count, ties broken by the BINARY ascending order
+  of 'left + U+001F + right' (one comparison key both engines sort
+  identically — a (left, right) tuple order would disagree with it
+  when a symbol contains a code point below U+001F, so the key IS the
+  contract);
+- merge application: single left-to-right greedy pass (after a merge
+  the scan continues AFTER the merged pair).  Expressed as a fold —
+  ``acc[-1] == left and x == right → replace top with left+right`` —
+  which is exactly LTR-greedy (the merged symbol can never re-match
+  ``left`` unless right were empty) and is what DuckDB's list_reduce
+  replays.
+
+Applying the learned table (``bpe_apply_udf``) runs the merges in rank
+order over each word, which reproduces the trainer's own final
+segmentation of the training corpus (rank-order equivalence: a pair
+involving a merged symbol always ranks after the merge that created
+it) — pinned by test.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+SEP = "\x1f"
+END = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt): the single corpus-scale exchange.  Words containing
+    the U+001F separator are excluded by contract."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .where((F.col("word") != "") & ~F.col("word").contains(SEP))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def encode_word(word: str) -> str:
+    """Initial symbol string: chars + end marker, U+001F-joined."""
+    return SEP.join(list(word) + [END])
+
+
+def merge_syms(s: str, left: str, right: str) -> str:
+    """One LTR-greedy merge pass over an encoded symbol string (the
+    fold form — bit-identical to the oracle's list_reduce)."""
+    syms = s.split(SEP)
+    acc = [syms[0]]
+    target = left + right
+    for x in syms[1:]:
+        if x == right and acc[-1] == left:
+            acc[-1] = target
+        else:
+            acc.append(x)
+    return SEP.join(acc)
+
+
+def _pairs_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(syms, cnt) rows → (pair, cnt) rows, one output row per adjacent
+    position occurrence (overlapping), pair = left+SEP+right."""
+    for pdf in batches:
+        pairs: list[str] = []
+        cnts: list[int] = []
+        for s, c in zip(pdf["syms"], pdf["cnt"]):
+            syms = s.split(SEP)
+            for i in range(len(syms) - 1):
+                pairs.append(syms[i] + SEP + syms[i + 1])
+                cnts.append(c)
+        yield pd.DataFrame({"pair": pairs, "cnt": cnts})
+
+
+def _merge_udf(left: str, right: str):
+    @F.pandas_udf("string")
+    def apply_merge(syms: pd.Series) -> pd.Series:
+        return syms.map(lambda s: merge_syms(s, left, right))
+
+    return apply_merge
+
+
+def bpe_train(
+    wc: DataFrame,
+    n_merges: int,
+    min_count: int = 1,
+    checkpoint_every: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` merges from a (word, cnt) table.
+
+    Returns [(rank, left, right, freq)] — freq is the pair's total
+    count at merge time.  One pair-count job + one single-row collect
+    per merge; the word table is localCheckpointed every
+    ``checkpoint_every`` merges to bound lineage (and eagerly at entry,
+    so the corpus-scale word count runs once)."""
+    words = wc.where(F.col("cnt") >= min_count).select(
+        F.concat_ws(
+            SEP,
+            F.concat(
+                F.array_remove(F.split(F.col("word"), ""), ""),
+                F.array(F.lit(END)),
+            ),
+        ).alias("syms"),
+        "cnt",
+    ).localCheckpoint()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            words.mapInPandas(_pairs_kernel, "pair string, cnt long")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.col("total").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, freq = best[0]["pair"], int(best[0]["total"])
+        left, right = pair.split(SEP)
+        merges.append((rank, left, right, freq))
+        words = words.select(
+            _merge_udf(left, right)(F.col("syms")).alias("syms"), "cnt"
+        )
+        if rank % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return merges
+
+
+def bpe_merge_table(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """End-to-end: corpus → word counts → learned merge table as a
+    DataFrame (rank, left, right, freq)."""
+    spark = df.sparkSession
+    merges = bpe_train(word_counts(df, text_col), n_merges, min_count)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, freq long"
+    )
+
+
+def bpe_apply_udf(merges: list[tuple[int, str, str, int]]):
+    """Arrow kernel: text → BPE token array, applying the learned
+    merges in rank order per word (reproduces the trainer's own
+    segmentation of the training corpus)."""
+    ordered = [(m[1], m[2]) for m in sorted(merges)]
+
+    @F.pandas_udf("array<string>")
+    def tokenize(texts: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        cache: dict[str, list[str]] = {}
+
+        def word_toks(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                s = encode_word(w)
+                for left, right in ordered:
+                    if left in s and right in s:
+                        s = merge_syms(s, left, right)
+                got = s.split(SEP)
+                cache[w] = got
+            return got
+
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in ws.split((t or "").strip(" ").lower()):
+                if w and SEP not in w:
+                    toks.extend(word_toks(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return tokenize
