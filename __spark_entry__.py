@@ -1388,6 +1388,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token histogram after applying the 8 learned merges — closes the
+    train→apply loop: the oracle reads its own final CTE level, so any
+    drift between the trainer's evolution and the apply kernel
+    hash-mismatches."""
+    from doctor_spark.operators.bpe import bpe_token_counts
+
+    t = bpe_token_counts(_docs(spark, sf_dir), n_merges=8)
+    return t.select(F.col("token"), F.col("cnt").cast("bigint").alias("cnt"))
+
+
 def q_media_features_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal gate: decoded feature values must equal the generator's
     goldens.  Expected: EMPTY."""
@@ -1799,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "heavy_hitters": q_heavy_hitters,
         "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
@@ -2252,7 +2264,7 @@ FROM assign a LEFT JOIN removed r ON r.id = a.id
 """
 
 
-def _bpe_sql(n_merges: int = 8) -> str:
+def _bpe_sql(n_merges: int = 8, final: str = "merges") -> str:
     """EXACT oracle for the distributed BPE trainer: the merge loop is
     UNROLLED into one CTE chain per rank (pair totals → argmax with the
     concat-key tie-break → list_reduce LTR merge).  DuckDB's
@@ -2296,6 +2308,18 @@ def _bpe_sql(n_merges: int = 8) -> str:
 )""")
     union = "\nUNION ALL\n".join(f"SELECT * FROM m{i}"
                                  for i in range(1, n_merges + 1))
+    if final == "tokens":
+        # the trainer's FINAL segmentation: token histogram of the last
+        # word-table level (what bpe_token_counts recomputes by replaying
+        # the learned merges through the same fold kernel)
+        return (
+            "WITH " + ",\n".join(cte)
+            + f"""
+SELECT u.token, sum(w.cnt)::BIGINT AS cnt
+FROM w{n_merges} w, unnest(string_split(w.syms, {sep})) AS u(token)
+GROUP BY u.token
+"""
+        )
     return (
         "WITH " + ",\n".join(cte)
         + f"""
@@ -3271,6 +3295,7 @@ SELECT * FROM ranked WHERE rank <= 3
         "embedding_neardup": _neardup_sql(),
         "semdedup": _semdedup_sql(),
         "bpe_merges": _bpe_sql(),
+        "bpe_token_counts": _bpe_sql(final="tokens"),
         "heavy_hitters": f"""
 WITH toks AS (
   SELECT unnest({_TOKS}) AS token FROM documents

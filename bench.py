@@ -236,6 +236,7 @@ def main() -> None:
         "heavy_hitters",
         "semdedup",
         "bpe_merges",
+        "bpe_token_counts",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -253,6 +254,7 @@ def main() -> None:
         "corpus_health", "ccnet_perplexity", "mix_weights",
         "mix_resample", "tfidf_top_terms", "ngram_novelty",
         "token_deciles", "heavy_hitters", "semdedup", "bpe_merges",
+        "bpe_token_counts",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

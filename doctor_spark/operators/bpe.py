@@ -201,3 +201,42 @@ def bpe_apply_udf(merges: list[tuple[int, str, str, int]]):
         return pd.Series(out)
 
     return tokenize
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token table AFTER ``n_merges`` learned merges: train, then
+    explode the final word segmentation weighted by word count.
+
+    Output: (token, cnt) — the vocabulary histogram a tokenizer-aware
+    mix planner consumes.  The word table re-encodes and replays the
+    learned merges through the same fold kernel the trainer used, so
+    this is exactly the trainer's final state (the oracle reads its own
+    final CTE level and must agree)."""
+    wc = word_counts(df, text_col).localCheckpoint()
+    merges = bpe_train(wc, n_merges, min_count)
+    words = wc.where(F.col("cnt") >= min_count).select(
+        F.concat_ws(
+            SEP,
+            F.concat(
+                F.array_remove(F.split(F.col("word"), ""), ""),
+                F.array(F.lit(END)),
+            ),
+        ).alias("syms"),
+        "cnt",
+    )
+    for _rank, left, right, _freq in merges:
+        words = words.select(
+            _merge_udf(left, right)(F.col("syms")).alias("syms"), "cnt"
+        )
+    return (
+        words.select(
+            F.explode(F.split(F.col("syms"), SEP)).alias("token"), "cnt"
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
