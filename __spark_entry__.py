@@ -1399,6 +1399,41 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(F.col("token"), F.col("cnt").cast("bigint").alias("cnt"))
 
 
+# the three affine edge generators for the deterministic link graph
+# (shared between the Spark query and the SQL oracle — one source of
+# truth so the two can never drift)
+_PR_EDGE_GENS = ((37, 11), (101, 7), (193, 3))
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cc-webgraph-style rank for crawl prioritization: integer-exact
+    PageRank (int64 micro-mass, truncating DIV both engines share) over
+    a deterministic affine link graph on doc_ids.  The ITERATIVE
+    distributed operator is hash-checked against a 4-level unrolled CTE
+    oracle."""
+    from doctor_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    ids = docs.select(F.col("doc_id").alias("src"))
+    parts = [
+        ids.select(
+            "src",
+            ((F.col("src") * F.lit(m) + F.lit(c)) % F.lit(n)).alias("dst"),
+        )
+        for m, c in _PR_EDGE_GENS
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.join(docs.select(F.col("doc_id").alias("dst")), "dst")
+    pr = pagerank(edges, n_iter=4)
+    return pr.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("rank_micro").cast("bigint").alias("rank_micro"),
+    )
+
+
 def q_media_features_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal gate: decoded feature values must equal the generator's
     goldens.  Expected: EMPTY."""
@@ -1811,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "link_pagerank": q_link_pagerank,
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
@@ -2325,6 +2361,44 @@ GROUP BY u.token
         + f"""
 SELECT rnk::INT AS rank, l AS "left", r AS "right", total::BIGINT AS freq
 FROM ({union})
+"""
+    )
+
+
+def _pagerank_sql(n_iter: int = 4) -> str:
+    """Unrolled integer PageRank oracle: same edge generators, same
+    int64 micro-mass updates (// == Spark's div on non-negatives)."""
+    gens = " UNION ALL ".join(
+        f"SELECT d.doc_id AS src, (d.doc_id * {m} + {c}) % nn.n AS dst "
+        f"FROM documents d, nn"
+        for m, c in _PR_EDGE_GENS
+    )
+    cte = [f"""nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+e0 AS (
+  SELECT DISTINCT ed.src, ed.dst
+  FROM ({gens}) ed JOIN documents dd ON dd.doc_id = ed.dst
+  WHERE ed.src <> ed.dst
+),
+deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node, 1000000::BIGINT AS rank_micro FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        cte.append(f"""r{i} AS (
+  SELECT nodes.node,
+         (150000 + (85 * coalesce(inf.inflow, 0)) // 100)::BIGINT
+           AS rank_micro
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r{i - 1}.rank_micro // e.deg) AS inflow
+    FROM r{i - 1} JOIN e ON r{i - 1}.node = e.src
+    GROUP BY e.dst
+  ) inf USING (node)
+)""")
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+SELECT node::BIGINT AS doc_id, rank_micro::BIGINT AS rank_micro
+FROM r{n_iter}
 """
     )
 
@@ -3296,6 +3370,7 @@ SELECT * FROM ranked WHERE rank <= 3
         "semdedup": _semdedup_sql(),
         "bpe_merges": _bpe_sql(),
         "bpe_token_counts": _bpe_sql(final="tokens"),
+        "link_pagerank": _pagerank_sql(),
         "heavy_hitters": f"""
 WITH toks AS (
   SELECT unnest({_TOKS}) AS token FROM documents

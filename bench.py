@@ -237,6 +237,7 @@ def main() -> None:
         "semdedup",
         "bpe_merges",
         "bpe_token_counts",
+        "link_pagerank",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -254,7 +255,8 @@ def main() -> None:
         "corpus_health", "ccnet_perplexity", "mix_weights",
         "mix_resample", "tfidf_top_terms", "ngram_novelty",
         "token_deciles", "heavy_hitters", "semdedup", "bpe_merges",
-        "bpe_token_counts",
+        "bpe_token_counts", "link_pagerank",
+        "link_pagerank",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

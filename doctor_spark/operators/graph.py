@@ -1,0 +1,92 @@
+"""Link-graph analytics for crawl prioritization — the cc-webgraph
+stage of a web-corpus pipeline (Common Crawl publishes exactly this:
+page/domain ranks used to order fetch frontiers and weight training
+mixes).
+
+PageRank here is EXACT and engine-portable, not float-iterative: rank
+mass is held in int64 micro-units and every update is integer
+arithmetic —
+
+    r0(v)   = 1_000_000
+    r_{k+1}(v) = teleport + damping_pct * (Σ_{u→v} r_k(u) DIV deg(u)) DIV 100
+
+with DIV the truncating integer division both Spark (``F.expr("a div
+b")``) and DuckDB (``//``) implement identically for non-negative
+operands.  Floor-division mass leakage and vanishing dangling-node
+mass are the standard simplifications (documented, deterministic);
+what matters for the contract is that every engine computes the SAME
+int64, so the unrolled-CTE oracle in __spark_entry__ is hash-exact
+against an ITERATIVE distributed implementation.
+
+Scale shape: one exchange builds the degree-annotated edge table,
+hash-partitioned on ``src`` and materialized (eager localCheckpoint —
+every iteration re-reads it without recomputing or re-shuffling the
+build side); each iteration is then a keyed equi-join ranks⋈edges on
+``src`` plus one ``groupBy(dst)`` agg — the canonical Pregel-as-SQL
+step.  Rank state is checkpointed per iteration to bound lineage
+(connected-components discipline).  A hub-skewed ``dst`` is the same
+hot-key problem every keyed agg here has; AQE skew handling and the
+frequency-cap discipline apply unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+START_MICRO = 1_000_000
+TELEPORT_MICRO = 150_000
+DAMPING_PCT = 85
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """Distinct (src, dst, deg) with self-loops dropped — deg counts
+    DISTINCT out-neighbors."""
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    return e.join(deg, "src")
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 4,
+    start_micro: int = START_MICRO,
+    teleport_micro: int = TELEPORT_MICRO,
+    damping_pct: int = DAMPING_PCT,
+) -> DataFrame:
+    """Integer-exact PageRank over an edge DataFrame (src, dst).
+
+    Returns (node, rank_micro) for every node that appears as a src or
+    dst.  Nodes with no in-links settle at ``teleport_micro``; dangling
+    mass vanishes (simplified variant, deterministic)."""
+    e = out_degrees(edges).repartition(F.col("src")).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = nodes.select("node", F.lit(start_micro).alias("rank_micro"))
+    for _ in range(n_iter):
+        contribs = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport_micro)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inflow, 0)) div 100"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
