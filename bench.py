@@ -256,7 +256,6 @@ def main() -> None:
         "mix_resample", "tfidf_top_terms", "ngram_novelty",
         "token_deciles", "heavy_hitters", "semdedup", "bpe_merges",
         "bpe_token_counts", "link_pagerank",
-        "link_pagerank",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
