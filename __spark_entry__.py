@@ -1434,6 +1434,22 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes language classifier trained distributed on the
+    corpus, self-prediction confusion matrix.  All weights are int64
+    micro-log10 (libm log10 both engines), scores are integer sums —
+    the oracle replays counts, Laplace smoothing, quantization, and
+    the (score DESC, label ASC) argmax exactly."""
+    from doctor_spark.operators.nbayes import nb_confusion
+
+    out = nb_confusion(_docs(spark, sf_dir))
+    return out.select(
+        F.col("lang"),
+        F.col("predicted"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
 def q_media_features_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal gate: decoded feature values must equal the generator's
     goldens.  Expected: EMPTY."""
@@ -1847,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "link_pagerank": q_link_pagerank,
+        "nb_confusion": q_nb_confusion,
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
@@ -3371,6 +3388,57 @@ SELECT * FROM ranked WHERE rank <= 3
         "bpe_merges": _bpe_sql(),
         "bpe_token_counts": _bpe_sql(final="tokens"),
         "link_pagerank": _pagerank_sql(),
+        "nb_confusion": f"""
+WITH toks AS (
+  SELECT doc_id, lang, t.token
+  FROM documents, unnest({_TOKS}) AS t(token)
+  WHERE t.token <> ''
+), cnt AS (
+  SELECT lang AS label, token, count(*) AS c FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT label, sum(c) AS t FROM cnt GROUP BY 1
+), voc AS (
+  SELECT count(DISTINCT token) AS v FROM toks
+), mdl AS (
+  SELECT c.label, c.token,
+         floor(log10((c.c + 1)::DOUBLE / (t.t + voc.v)) * 1e6 + 0.5)::BIGINT
+           AS lp
+  FROM cnt c JOIN tot t USING (label), voc
+), lab AS (
+  SELECT d.lang AS label,
+         floor(log10(count(*)::DOUBLE
+                     / (SELECT count(*) FROM documents)) * 1e6 + 0.5)::BIGINT
+           AS lp_prior
+  FROM documents d GROUP BY 1
+), uns AS (
+  SELECT t.label,
+         floor(log10(1.0 / (t.t + voc.v)) * 1e6 + 0.5)::BIGINT AS lp_unseen
+  FROM tot t, voc
+), ntk AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
+), mt AS (
+  SELECT tk.doc_id, m.label, sum(m.lp) AS s, count(*) AS k
+  FROM toks tk JOIN mdl m ON m.token = tk.token
+  GROUP BY 1, 2
+), sc AS (
+  SELECT d.doc_id, d.lang AS true_label, lab.label,
+         lab.lp_prior + coalesce(mt.s, 0)
+           + (ntk.n - coalesce(mt.k, 0)) * uns.lp_unseen AS score
+  FROM documents d
+  JOIN ntk USING (doc_id)
+  CROSS JOIN lab
+  JOIN uns ON uns.label = lab.label
+  LEFT JOIN mt ON mt.doc_id = d.doc_id AND mt.label = lab.label
+), pred AS (
+  SELECT true_label, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, label ASC) AS rn
+    FROM sc
+  ) WHERE rn = 1
+)
+SELECT true_label AS lang, label AS predicted, count(*)::BIGINT AS n
+FROM pred GROUP BY 1, 2
+""",
         "heavy_hitters": f"""
 WITH toks AS (
   SELECT unnest({_TOKS}) AS token FROM documents

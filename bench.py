@@ -238,6 +238,7 @@ def main() -> None:
         "bpe_merges",
         "bpe_token_counts",
         "link_pagerank",
+        "nb_confusion",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -255,7 +256,7 @@ def main() -> None:
         "corpus_health", "ccnet_perplexity", "mix_weights",
         "mix_resample", "tfidf_top_terms", "ngram_novelty",
         "token_deciles", "heavy_hitters", "semdedup", "bpe_merges",
-        "bpe_token_counts", "link_pagerank",
+        "bpe_token_counts", "link_pagerank", "nb_confusion",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
