@@ -182,6 +182,11 @@ ADVERSARIAL_QUERIES = [
     "bloom_dedup", "snapshot_diff",
     # round-5 third wave: memorization audit (doc_id + text only)
     "ngram_novelty",
+    # round-5 fourth wave: CMS prefilter (must equal the naive HAVING on
+    # any corpus regardless of collisions), BPE training + final token
+    # histogram (whitespace classes, unicode, tie-bait all hit the merge
+    # loop), integer PageRank over the affine doc_id graph
+    "heavy_hitters", "bpe_merges", "bpe_token_counts", "link_pagerank",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
@@ -265,7 +270,8 @@ def test_text_oracles_on_adversarial_corpus(spark, tmp_path, qname):
 
     pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)
 
-@pytest.mark.parametrize("qname", ["ccnet_perplexity", "token_deciles"])
+@pytest.mark.parametrize("qname", ["ccnet_perplexity", "token_deciles",
+                                   "nb_confusion"])
 def test_lang_oracles_on_adversarial_corpus(spark, tmp_path, qname):
     r"""Lang-column queries vs their DuckDB oracles on hostile strings —
     separate from the main matrix because they need a ``lang`` column.
@@ -320,8 +326,10 @@ def test_lang_oracles_on_adversarial_corpus(spark, tmp_path, qname):
     assert len(spark_pdf) == len(oracle_pdf)
     if qname == "ccnet_perplexity":  # per-doc output: one row per doc
         assert len(spark_pdf) == len(nasty)
-    else:  # token_deciles: 9 deciles per language
+    elif qname == "token_deciles":  # 9 deciles per language
         assert len(spark_pdf) == 9 * 3
+    else:  # nb_confusion: at most |langs|^2 cells, never empty
+        assert 1 <= len(spark_pdf) <= 9
     pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)
 
 @pytest.mark.parametrize("qname", ["mix_weights", "mix_resample"])
