@@ -1450,6 +1450,26 @@ def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markdown_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→Markdown kernel vs HAND-AUTHORED goldens (the
+    reference_fixtures pattern): the oracle carries literal md5s of
+    expected markdown written by hand from the dialect spec — never
+    generated by the kernel — so the driver hash-gates the converter
+    itself (headings, nested lists, GFM tables, fences, escaping, tag
+    soup)."""
+    from doctor_spark.kernels.markdown import markdown_udf
+    from doctor_spark.kernels.markdown_goldens import GOLDENS
+
+    df = spark.createDataFrame(
+        [(n, h) for n, h, _want in GOLDENS], "golden string, html string"
+    )
+    md = markdown_udf()
+    return df.select(
+        "golden",
+        F.md5(F.encode(md(F.col("html")), "UTF-8")).alias("md_hash"),
+    )
+
+
 def q_media_features_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal gate: decoded feature values must equal the generator's
     goldens.  Expected: EMPTY."""
@@ -1864,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "link_pagerank": q_link_pagerank,
         "nb_confusion": q_nb_confusion,
+        "markdown_goldens": q_markdown_goldens,
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
@@ -2380,6 +2401,24 @@ SELECT rnk::INT AS rank, l AS "left", r AS "right", total::BIGINT AS freq
 FROM ({union})
 """
     )
+
+
+def _markdown_sql() -> str:
+    """Literal golden hashes — md5 of the HAND-WRITTEN expected
+    markdown strings (markdown_goldens.py), computed here at SQL-build
+    time so the oracle can never be satisfied by a drifted kernel."""
+    import hashlib
+
+    from doctor_spark.kernels.markdown_goldens import GOLDENS
+
+    rows = "\nUNION ALL\n".join(
+        "SELECT '{}' AS golden, '{}' AS md_hash".format(
+            name.replace("'", "''"),
+            hashlib.md5(want.encode("utf-8")).hexdigest(),
+        )
+        for name, _html, want in GOLDENS
+    )
+    return rows
 
 
 def _pagerank_sql(n_iter: int = 4) -> str:
@@ -3388,6 +3427,7 @@ SELECT * FROM ranked WHERE rank <= 3
         "bpe_merges": _bpe_sql(),
         "bpe_token_counts": _bpe_sql(final="tokens"),
         "link_pagerank": _pagerank_sql(),
+        "markdown_goldens": _markdown_sql(),
         "nb_confusion": f"""
 WITH toks AS (
   SELECT doc_id, lang, t.token
