@@ -209,6 +209,11 @@ def test_text_oracles_on_adversarial_corpus(spark, tmp_path, qname):
         ("spam ham " * 30).strip(),
         "tab\tand\nnewline\x0bvt\x0cff\rcr mix",
         "ünïcode wörds ünïcode wörds ünïcode wörds",
+        # astral-plane code points: Java's empty-pattern split must not
+        # cut surrogate pairs where RE2/Python iterate code points (the
+        # BPE char-split divergence class); 👍🏽 = base + skin modifier,
+        # two code points on BOTH engines
+        "emoji 😀😀x😀 pair 👍🏽👍🏽 mix a😀b",
         " leading trailing ", "a  b   c    d",
         # PII edge forms (advisor r3 item 9): SSN-vs-phone shape overlap
         # at string boundaries, IPv4 octets > 255, quoted-local emails
