@@ -1470,6 +1470,47 @@ def q_markdown_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Static wrapper for the boilerplate corpus query: nav (pure links ->
+# link_milli 1000 -> bad) + the document text as the single content block +
+# a copyright footer (-> bad).  Both engines agree on the wrapper by
+# construction; only the content block's classification varies per doc.
+_BP_PRE = ('<html><body><nav><a href="/">Home</a> '
+           '<a href="/about">About</a></nav><p>')
+_BP_POST = "</p><footer>© 2024 Example Corp</footer></body></html>"
+
+
+def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-dialect block classification over the hand-authored fixture
+    pages (kernels/boilerplate_fixtures.py).  The oracle carries the block
+    catalog as literals and recomputes every feature, the context-free
+    CASE, and the context-sensitive stage as window functions — so the
+    HTML-parsing path and the classification logic are pinned
+    independently.  Reference anchor: doctor/lib/html.py boilerplate
+    strip; algorithm: Pomikalek 2011 (jusText), dialect documented in
+    kernels/boilerplate.py."""
+    from doctor_spark.kernels.boilerplate_fixtures import PAGES
+    from doctor_spark.operators.boilerplate import justext_blocks
+
+    df = spark.createDataFrame(sorted(PAGES.items()), "url string, html string")
+    return justext_blocks(df)
+
+
+def q_boilerplate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only main-content pass over the documents table wrapped in the
+    static nav/content/footer template: per-doc block counts plus the md5
+    of the kept main content.  The scale-bearing form of the boilerplate
+    operator — one mapInPandas stage, zero shuffles."""
+    from doctor_spark.operators.boilerplate import justext_doc_summary
+
+    docs = _docs(spark, sf_dir)
+    esc = F.expr("replace(replace(replace(coalesce(text, ''),"
+                 " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+    pages = docs.select(
+        "doc_id", F.concat(F.lit(_BP_PRE), esc, F.lit(_BP_POST)).alias("html")
+    )
+    return justext_doc_summary(pages, key_col="doc_id", html_col="html")
+
+
 def q_media_features_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal gate: decoded feature values must equal the generator's
     goldens.  Expected: EMPTY."""
@@ -1885,6 +1926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
+        "boilerplate_blocks": q_boilerplate_blocks,
+        "boilerplate_corpus": q_boilerplate_corpus,
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
@@ -2401,6 +2444,108 @@ SELECT rnk::INT AS rank, l AS "left", r AS "right", total::BIGINT AS freq
 FROM ({union})
 """
     )
+
+
+def _boilerplate_blocks_sql() -> str:
+    """The block catalog (kernels/boilerplate_fixtures.BLOCKS — text and
+    link-char literals authored by hand) with every feature, the
+    context-free CASE, and the context-sensitive stage recomputed in SQL:
+    the window functions below are an independent implementation of the
+    pure two-pass jusText context resolution the kernel runs in Python."""
+    from doctor_spark.kernels.boilerplate_fixtures import BLOCKS
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n    ".join(
+        f"({lit(u)}, {i}, {lit(t)}, {lc})" for u, i, t, lc in BLOCKS
+    )
+    toks = "regexp_split_to_array(lower(btext), ' ')"
+    return f"""
+WITH lit(url, block_id, btext, link_chars) AS (VALUES
+    {vals}),
+f AS (SELECT url, block_id, btext, link_chars,
+        length(btext) AS nc,
+        len({toks}) AS nw,
+        len(list_filter({toks}, tk -> tk IN {_STOPS['en']})) AS hits
+      FROM lit),
+c AS (SELECT *, (1000 * link_chars) // nc AS link_milli,
+        (1000 * hits) // nw AS stop_milli FROM f),
+k AS (SELECT *, CASE
+        WHEN link_milli > 200 THEN 'bad'
+        WHEN position('©' IN btext) > 0 THEN 'bad'
+        WHEN nc < 70 THEN
+          CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+        WHEN stop_milli > 320 THEN
+          CASE WHEN nc > 200 THEN 'good' ELSE 'neargood' END
+        WHEN stop_milli > 300 THEN 'neargood'
+        ELSE 'bad' END AS cf_class FROM c),
+w AS (SELECT *,
+   coalesce(last_value(CASE WHEN cf_class IN ('good','bad') THEN cf_class
+       END IGNORE NULLS) OVER (PARTITION BY url ORDER BY block_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_gb,
+   coalesce(first_value(CASE WHEN cf_class IN ('good','bad') THEN cf_class
+       END IGNORE NULLS) OVER (PARTITION BY url ORDER BY block_id
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_gb,
+   coalesce(last_value(CASE WHEN cf_class <> 'short' THEN cf_class
+       END IGNORE NULLS) OVER (PARTITION BY url ORDER BY block_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_any,
+   coalesce(first_value(CASE WHEN cf_class <> 'short' THEN cf_class
+       END IGNORE NULLS) OVER (PARTITION BY url ORDER BY block_id
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_any
+   FROM k)
+SELECT url, block_id::BIGINT AS block_id, btext,
+  nc::BIGINT AS n_chars, nw::BIGINT AS n_words,
+  link_chars::BIGINT AS link_chars, link_milli::BIGINT AS link_milli,
+  stop_milli::BIGINT AS stop_milli, cf_class,
+  CASE WHEN cf_class IN ('good', 'bad') THEN cf_class
+       WHEN cf_class = 'neargood' THEN
+         CASE WHEN prev_gb = 'bad' AND next_gb = 'bad'
+              THEN 'bad' ELSE 'good' END
+       WHEN prev_gb = 'good' AND next_gb = 'good' THEN 'good'
+       WHEN prev_gb = 'bad' AND next_gb = 'bad' THEN 'bad'
+       WHEN (prev_gb = 'bad' AND prev_any = 'neargood')
+         OR (next_gb = 'bad' AND next_any = 'neargood') THEN 'good'
+       ELSE 'bad' END AS final_class
+FROM w
+"""
+
+
+def _boilerplate_corpus_sql() -> str:
+    """Mirror of q_boilerplate_corpus: the static wrapper contributes a
+    link-only nav (bad) and a copyright footer (bad), so only the content
+    block's class varies; the SQL recomputes its normalization, features,
+    classification, and the kept-content md5 straight from ``text``."""
+    toks = "regexp_split_to_array(lower(norm), ' ')"
+    return f"""
+WITH n AS (SELECT doc_id,
+        trim(regexp_replace(coalesce(text, ''), '{_JAVA_WS_CLASS}+', ' ',
+             'g'), ' ') AS norm
+      FROM documents),
+f AS (SELECT doc_id, norm, length(norm) AS nc,
+        CASE WHEN norm = '' THEN 0 ELSE len({toks}) END AS nw,
+        CASE WHEN norm = '' THEN 0
+             ELSE len(list_filter({toks}, tk -> tk IN {_STOPS['en']}))
+        END AS hits
+      FROM n),
+c AS (SELECT doc_id, norm, nc,
+        CASE WHEN nc = 0 THEN 'none'
+             WHEN position('©' IN norm) > 0 THEN 'bad'
+             WHEN nc < 70 THEN 'short'
+             WHEN (1000 * hits) // nw > 320 THEN
+                CASE WHEN nc > 200 THEN 'good' ELSE 'neargood' END
+             WHEN (1000 * hits) // nw > 300 THEN 'neargood'
+             ELSE 'bad' END AS cf
+      FROM f)
+SELECT doc_id::BIGINT AS doc_id,
+  (CASE WHEN nc = 0 THEN 2 ELSE 3 END)::BIGINT AS n_blocks,
+  (CASE WHEN cf = 'good' THEN 1 ELSE 0 END)::BIGINT AS n_good,
+  (CASE WHEN cf = 'short' THEN 1 ELSE 0 END)::BIGINT AS n_short_cf,
+  (CASE WHEN cf = 'neargood' THEN 1 ELSE 0 END)::BIGINT AS n_neargood_cf,
+  (CASE WHEN cf = 'good' THEN nc ELSE 0 END)::BIGINT AS good_chars,
+  md5(CASE WHEN cf = 'good' THEN norm ELSE '' END) AS main_md5
+FROM c
+"""
 
 
 def _markdown_sql() -> str:
@@ -3428,6 +3573,8 @@ SELECT * FROM ranked WHERE rank <= 3
         "bpe_token_counts": _bpe_sql(final="tokens"),
         "link_pagerank": _pagerank_sql(),
         "markdown_goldens": _markdown_sql(),
+        "boilerplate_blocks": _boilerplate_blocks_sql(),
+        "boilerplate_corpus": _boilerplate_corpus_sql(),
         "nb_confusion": f"""
 WITH toks AS (
   SELECT doc_id, lang, t.token

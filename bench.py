@@ -239,6 +239,8 @@ def main() -> None:
         "bpe_token_counts",
         "link_pagerank",
         "nb_confusion",
+        # fifth wave: jusText main-content gate
+        "boilerplate_corpus",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -257,6 +259,7 @@ def main() -> None:
         "mix_resample", "tfidf_top_terms", "ngram_novelty",
         "token_deciles", "heavy_hitters", "semdedup", "bpe_merges",
         "bpe_token_counts", "link_pagerank", "nb_confusion",
+        "boilerplate_corpus",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -1,0 +1,259 @@
+"""jusText-dialect boilerplate / main-content block classifier (from scratch).
+
+Implements the block-level main-content extraction algorithm Common-Crawl
+pipelines run on raw HTML (Pomikalek 2011, "Removing boilerplate and
+duplicate content from web corpora" — the published jusText algorithm),
+re-expressed as a pure, order-independent function so the context stage is
+replayable by SQL window functions on any engine.
+
+Reference semantics anchor: the doctor reference strips boilerplate with a
+fixed tag blacklist (doctor/lib/html.py via lxml Cleaner); this module is
+the *statistical* stage a web-corpus pipeline adds on top — classify each
+block-level text run as ``good`` (main content) or ``bad`` (boilerplate)
+from link density, stopword density, and length, then resolve ``short`` /
+``neargood`` blocks from their neighbours.
+
+Dialect notes (deliberate divergences from the jusText reference
+implementation, chosen for cross-engine exactness — each is a contract,
+not an accident):
+
+- Densities are integer-quantized to milli units (``(1000*x)//n``) so the
+  classification thresholds compare int64s on both engines; thresholds are
+  jusText's defaults (max_link_density 0.2 -> 200, length_low 70,
+  length_high 200, stopwords_low 0.30 -> 300, stopwords_high 0.32 -> 320),
+  all strict ``>`` / ``<`` exactly as written below.
+- The context-sensitive stage reads ONLY context-free classes (a pure
+  two-pass algorithm).  jusText mutates classes in document order while
+  revising, so later blocks can see earlier *revised* classes; the pure
+  form is order-independent, hence expressible as window functions
+  (``last_value IGNORE NULLS`` over preceding rows) and identical under
+  any partitioning.
+- Stopwords are the repo's 24-word English inventory
+  (functions/text.py:LANG_STOPWORDS['en']), not jusText's per-language
+  lists; tokens are the Java-``\\s``-class split of ``lower(text)`` used
+  by every other oracle in this repo.
+- Paragraph boundaries: a fixed block-level tag set (below); ``<br>`` does
+  not split; ``script/style/head/template/noscript/svg/select/option``
+  subtrees contribute no text.  Blocks whose normalized text is empty are
+  dropped (they get no row and no vote in the context stage).
+
+Everything is stdlib-only and a pure function of the HTML string.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from ..functions.text import LANG_STOPWORDS
+
+# jusText default thresholds, integer-quantized (milli densities).
+MAX_LINK_MILLI = 200      # link_density 0.2
+LENGTH_LOW = 70
+LENGTH_HIGH = 200
+STOP_LOW_MILLI = 300      # stopword_density 0.30
+STOP_HIGH_MILLI = 320     # stopword_density 0.32
+
+EN_STOPWORDS = frozenset(LANG_STOPWORDS["en"])
+
+# Tags that terminate the current text block (HTML block-level elements).
+BLOCK_TAGS = frozenset(
+    "address article aside blockquote body caption center dd div dl dt "
+    "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr "
+    "html legend li main menu nav ol p pre section table tbody td tfoot "
+    "th thead tr ul".split()
+)
+
+# Subtrees that contribute no text at all.
+SKIP_TAGS = frozenset(
+    "head iframe noscript option script select style svg template title".split()
+)
+
+# Void elements never get pushed on the skip stack (no closing tag).
+_VOID = frozenset("area base br col embed hr img input link meta source "
+                  "track wbr".split())
+
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _norm(raw: str) -> str:
+    """Whitespace-normalize with the Java-\\s class (not str.split, which
+    also splits on Unicode spaces the JVM/DuckDB oracles do not)."""
+    return " ".join(p for p in _WS_RE.split(raw) if p)
+
+
+@dataclass
+class Block:
+    """One block-level text run with its classification features."""
+    text: str
+    n_chars: int
+    n_words: int
+    link_chars: int
+    link_milli: int
+    stop_milli: int
+    cf_class: str          # context-free: good | bad | short | neargood
+    final_class: str = ""  # context-sensitive: good | bad
+
+
+class _Segmenter(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._parts: list[str] = []          # raw text pieces, current block
+        self._link_parts: list[str] = []     # pieces inside <a>
+        self._a_depth = 0
+        self._skip_depth = 0
+        self.blocks: list[tuple[str, int]] = []  # (normalized text, link_chars)
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        text = _norm("".join(self._parts))
+        link = _norm("".join(self._link_parts))
+        self._parts.clear()
+        self._link_parts.clear()
+        if text:
+            self.blocks.append((text, len(link)))
+
+    # -- parser callbacks ------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS and tag not in _VOID:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        elif tag == "br":  # line break renders as whitespace, not a glue
+            self._parts.append(" ")
+            self._link_parts.append(" ")
+        if tag == "a":
+            self._a_depth += 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if self._skip_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        elif tag == "br":
+            self._parts.append(" ")
+            self._link_parts.append(" ")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SKIP_TAGS and tag not in _VOID:
+            if self._skip_depth:
+                self._skip_depth -= 1
+            return
+        if self._skip_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag == "a" and self._a_depth:
+            self._a_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data:
+            return
+        self._parts.append(data)
+        if self._a_depth:
+            self._link_parts.append(data)
+        else:
+            # keep link/non-link runs separated so _norm never merges a
+            # link fragment with adjacent plain text
+            self._link_parts.append(" ")
+
+    def close(self) -> None:  # final implicit block
+        super().close()
+        self._flush()
+
+
+def _classify_cf(n_chars: int, link_chars: int, link_milli: int,
+                 stop_milli: int, has_copyright: bool) -> str:
+    """Context-free jusText classification on integer milli densities."""
+    if link_milli > MAX_LINK_MILLI:
+        return "bad"
+    if has_copyright:
+        return "bad"
+    if n_chars < LENGTH_LOW:
+        return "bad" if link_chars > 0 else "short"
+    if stop_milli > STOP_HIGH_MILLI:
+        return "good" if n_chars > LENGTH_HIGH else "neargood"
+    if stop_milli > STOP_LOW_MILLI:
+        return "neargood"
+    return "bad"
+
+
+def _neighbour(classes: list[str], i: int, step: int, with_neargood: bool) -> str:
+    """Nearest context-free class in {good,bad} (+neargood when asked),
+    walking from block i in direction step; 'bad' past either edge."""
+    want = ("good", "bad", "neargood") if with_neargood else ("good", "bad")
+    j = i + step
+    while 0 <= j < len(classes):
+        if classes[j] in want:
+            return classes[j]
+        j += step
+    return "bad"
+
+
+def _resolve_context(classes: list[str]) -> list[str]:
+    """Pure two-pass context resolution over context-free classes."""
+    out = []
+    for i, c in enumerate(classes):
+        if c in ("good", "bad"):
+            out.append(c)
+            continue
+        prev_gb = _neighbour(classes, i, -1, False)
+        next_gb = _neighbour(classes, i, +1, False)
+        if c == "neargood":
+            out.append("bad" if (prev_gb == "bad" and next_gb == "bad")
+                       else "good")
+            continue
+        # short
+        if prev_gb == "good" and next_gb == "good":
+            out.append("good")
+        elif prev_gb == "bad" and next_gb == "bad":
+            out.append("bad")
+        elif (prev_gb == "bad"
+              and _neighbour(classes, i, -1, True) == "neargood") or \
+             (next_gb == "bad"
+              and _neighbour(classes, i, +1, True) == "neargood"):
+            out.append("good")
+        else:
+            out.append("bad")
+    return out
+
+
+def classify_blocks(html: str) -> list[Block]:
+    """Segment ``html`` into block-level text runs and classify each as
+    main content (``good``) or boilerplate (``bad``).
+
+    Never raises on tag soup: HTMLParser is non-validating, and every
+    downstream step is pure arithmetic on the recovered text runs.
+    """
+    seg = _Segmenter()
+    seg.feed(html)
+    seg.close()
+
+    blocks: list[Block] = []
+    for text, link_chars in seg.blocks:
+        n_chars = len(text)
+        toks = text.lower().split(" ")
+        n_words = len(toks)
+        stop_hits = sum(t in EN_STOPWORDS for t in toks)
+        link_milli = (1000 * link_chars) // n_chars if n_chars else 0
+        stop_milli = (1000 * stop_hits) // n_words if n_words else 0
+        cf = _classify_cf(n_chars, link_chars, link_milli, stop_milli,
+                          "©" in text)
+        blocks.append(Block(text=text, n_chars=n_chars, n_words=n_words,
+                            link_chars=link_chars, link_milli=link_milli,
+                            stop_milli=stop_milli, cf_class=cf))
+
+    finals = _resolve_context([b.cf_class for b in blocks])
+    for b, f in zip(blocks, finals):
+        b.final_class = f
+    return blocks
+
+
+def main_content(html: str) -> str:
+    """The kept main content: good blocks joined by newlines."""
+    return "\n".join(b.text for b in classify_blocks(html)
+                     if b.final_class == "good")

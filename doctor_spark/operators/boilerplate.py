@@ -1,0 +1,88 @@
+"""Spark operators for the jusText-dialect boilerplate classifier.
+
+Both operators are ``mapInPandas`` over Arrow batches and strictly
+map-only: every block of a document is classified inside the task that
+holds the document's row, so there is no shuffle anywhere — the plan a
+100-TB boilerplate pass needs (the context-resolution stage is per-
+document by construction, unlike cross-document dedup).
+
+Kernel: kernels/boilerplate.py (Pomikalek 2011 dialect, see its module
+docstring for the exact contract).  Reference anchor: the doctor
+reference's HTML path strips a fixed tag blacklist (doctor/lib/html.py);
+this is the statistical stage web-corpus pipelines add on top.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+from ..kernels.boilerplate import classify_blocks
+
+_BLOCK_COLS = ["block_id", "btext", "n_chars", "n_words", "link_chars",
+               "link_milli", "stop_milli", "cf_class", "final_class"]
+_SUMMARY_COLS = ["n_blocks", "n_good", "n_short_cf", "n_neargood_cf",
+                 "good_chars", "main_md5"]
+
+
+def justext_blocks(df: DataFrame, key_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """Explode each HTML document into classified block rows.
+
+    Output: ``(key_col, block_id, btext, n_chars, n_words, link_chars,
+    link_milli, stop_milli, cf_class, final_class)`` — one row per
+    non-empty block, ``block_id`` is the 0-based document order.
+    """
+    import pandas as pd
+
+    key_type = dict(df.dtypes)[key_col]
+    schema = (f"{key_col} {key_type}, block_id long, btext string, "
+              "n_chars long, n_words long, link_chars long, "
+              "link_milli long, stop_milli long, "
+              "cf_class string, final_class string")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for key, html in zip(pdf[key_col], pdf[html_col]):
+                for i, b in enumerate(classify_blocks(html or "")):
+                    rows.append((key, i, b.text, b.n_chars, b.n_words,
+                                 b.link_chars, b.link_milli, b.stop_milli,
+                                 b.cf_class, b.final_class))
+            yield pd.DataFrame(rows, columns=[key_col, *_BLOCK_COLS])
+
+    return df.select(key_col, html_col).mapInPandas(run, schema)
+
+
+def justext_doc_summary(df: DataFrame, key_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """One row per document: block counts (final good plus the
+    context-free short/neargood census, so corpora whose text never
+    clears the good band still produce a discriminative profile) and an
+    md5 over the kept main content (good blocks joined by ``\\n``) so
+    downstream byte-identity gates can join on the digest instead of
+    shipping the text."""
+    import pandas as pd
+
+    key_type = dict(df.dtypes)[key_col]
+    schema = (f"{key_col} {key_type}, n_blocks long, n_good long, "
+              "n_short_cf long, n_neargood_cf long, "
+              "good_chars long, main_md5 string")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for key, html in zip(pdf[key_col], pdf[html_col]):
+                blocks = classify_blocks(html or "")
+                good = [b for b in blocks if b.final_class == "good"]
+                main = "\n".join(b.text for b in good)
+                rows.append((key, len(blocks), len(good),
+                             sum(b.cf_class == "short" for b in blocks),
+                             sum(b.cf_class == "neargood" for b in blocks),
+                             sum(b.n_chars for b in good),
+                             hashlib.md5(main.encode("utf-8")).hexdigest()))
+            yield pd.DataFrame(rows, columns=[key_col, *_SUMMARY_COLS])
+
+    return df.select(key_col, html_col).mapInPandas(run, schema)

@@ -187,6 +187,10 @@ ADVERSARIAL_QUERIES = [
     # histogram (whitespace classes, unicode, tie-bait all hit the merge
     # loop), integer PageRank over the affine doc_id graph
     "heavy_hitters", "bpe_merges", "bpe_token_counts", "link_pagerank",
+    # round-5 fifth wave: jusText main-content gate (doc_id + text only;
+    # the nasty corpus stresses its normalization, ws classes, and the
+    # short/neargood band arithmetic on degenerate docs)
+    "boilerplate_corpus",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]

@@ -1113,3 +1113,14 @@ def test_semdedup_reuses_cluster_exchange_no_broadcast_of_corpus(spark):
         assert "BroadcastExchange" not in final, final
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_boilerplate_corpus_map_only(spark):
+    """The jusText corpus pass must stay a single map stage: zero
+    exchanges (context resolution is per-document by construction), and
+    the scan must prune to the two columns the operator reads."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["boilerplate_corpus"](spark, SF)
+    assert count_exchanges(q) == 0, physical_plan(q)
+    assert read_schema_columns(q) == {"doc_id", "text"}
