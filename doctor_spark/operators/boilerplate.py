@@ -23,6 +23,18 @@ from ..kernels.boilerplate import classify_blocks
 
 _BLOCK_COLS = ["block_id", "btext", "n_chars", "n_words", "link_chars",
                "link_milli", "stop_milli", "cf_class", "final_class"]
+
+
+def _as_str(html) -> str:
+    """Accept string OR binary html columns (the input-table contract has
+    ``html: binary``): bytes decode as utf-8-with-replacement, anything
+    else (NULL, NaN) is an empty document — a poison payload must yield
+    zero blocks, never a task death."""
+    if isinstance(html, (bytes, bytearray)):
+        return html.decode("utf-8", "replace")
+    return html if isinstance(html, str) else ""
+
+
 _SUMMARY_COLS = ["n_blocks", "n_good", "n_short_cf", "n_neargood_cf",
                  "good_chars", "main_md5"]
 
@@ -47,7 +59,7 @@ def justext_blocks(df: DataFrame, key_col: str = "url",
         for pdf in batches:
             rows = []
             for key, html in zip(pdf[key_col], pdf[html_col]):
-                for i, b in enumerate(classify_blocks(html or "")):
+                for i, b in enumerate(classify_blocks(_as_str(html))):
                     rows.append((key, i, b.text, b.n_chars, b.n_words,
                                  b.link_chars, b.link_milli, b.stop_milli,
                                  b.cf_class, b.final_class))
@@ -75,7 +87,7 @@ def justext_doc_summary(df: DataFrame, key_col: str = "url",
         for pdf in batches:
             rows = []
             for key, html in zip(pdf[key_col], pdf[html_col]):
-                blocks = classify_blocks(html or "")
+                blocks = classify_blocks(_as_str(html))
                 good = [b for b in blocks if b.final_class == "good"]
                 main = "\n".join(b.text for b in good)
                 rows.append((key, len(blocks), len(good),

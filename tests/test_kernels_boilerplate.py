@@ -197,3 +197,33 @@ def test_fixture_branch_coverage():
     assert cf["good"] >= 3 and cf["bad"] >= 5
     assert cf["short"] >= 4 and cf["neargood"] >= 3
     assert sum(cf.values()) == len(BLOCKS) == 17
+
+
+def test_operator_accepts_binary_html(spark):
+    """The input-table contract carries ``html: binary`` — both operators
+    must classify a bytes payload identically to its string form, and
+    poison payloads (NULL, invalid utf-8) must yield rows, not deaths."""
+    from doctor_spark.kernels.boilerplate_fixtures import PAGES
+    from doctor_spark.operators.boilerplate import (
+        justext_blocks,
+        justext_doc_summary,
+    )
+
+    url, html = sorted(PAGES.items())[0]
+    rows = [
+        ("b", html.encode("utf-8")),
+        ("junk", b"\xff\xfe<p>still \xff parsed</p>"),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    sdf = spark.createDataFrame([("s", html)], "url string, html string")
+    got = {r["url"]: r for r in justext_doc_summary(df).collect()}
+    got.update({r["url"]: r for r in justext_doc_summary(sdf).collect()})
+    assert got["s"].asDict() == {**got["b"].asDict(), "url": "s"}
+    assert got["junk"]["n_blocks"] >= 1 and got["null"]["n_blocks"] == 0
+
+    counts = {r["url"]: r["count"]
+              for r in justext_blocks(df.where("url = 'b'"))
+              .unionByName(justext_blocks(sdf))
+              .groupBy("url").count().collect()}
+    assert counts["s"] == counts["b"] == 4
