@@ -1511,6 +1511,25 @@ def q_boilerplate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return justext_doc_summary(pages, key_col="doc_id", html_col="html")
 
 
+def q_boilerplate_corpus_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilingual form of q_boilerplate_corpus: the stopword
+    inventory is selected PER ROW from the document's ``lang`` column
+    (jusText's per-language lists; unknown langs fall back to English,
+    failing closed).  Same map-only plan; the oracle mirrors the
+    inventory dispatch as a CASE of list literals."""
+    from doctor_spark.operators.boilerplate import justext_doc_summary
+
+    docs = _docs(spark, sf_dir)
+    esc = F.expr("replace(replace(replace(coalesce(text, ''),"
+                 " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+    pages = docs.select(
+        "doc_id", "lang",
+        F.concat(F.lit(_BP_PRE), esc, F.lit(_BP_POST)).alias("html"),
+    )
+    return justext_doc_summary(pages, key_col="doc_id", html_col="html",
+                               lang_col="lang")
+
+
 def q_media_features_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal gate: decoded feature values must equal the generator's
     goldens.  Expected: EMPTY."""
@@ -1928,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
         "boilerplate_corpus": q_boilerplate_corpus,
+        "boilerplate_corpus_lang": q_boilerplate_corpus_lang,
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
@@ -2511,21 +2531,40 @@ FROM w
 """
 
 
-def _boilerplate_corpus_sql() -> str:
+def _boilerplate_corpus_sql(per_lang: bool = False) -> str:
     """Mirror of q_boilerplate_corpus: the static wrapper contributes a
     link-only nav (bad) and a copyright footer (bad), so only the content
     block's class varies; the SQL recomputes its normalization, features,
-    classification, and the kept-content md5 straight from ``text``."""
+    classification, and the kept-content md5 straight from ``text``.
+    With ``per_lang``, the stopword membership check dispatches on the
+    ``lang`` column through a CASE of list literals — the SQL form of
+    the operator's per-row inventory selection (unknown langs → en)."""
     toks = "regexp_split_to_array(lower(norm), ' ')"
+    if per_lang:
+        def lst(lg: str) -> str:
+            return "[" + ",".join(
+                "'" + w.replace("'", "''") + "'"
+                for w in _LANG_STOPWORDS[lg]) + "]"
+
+        whens = "\n             ".join(
+            f"WHEN lang = '{lg}' THEN {lst(lg)}"
+            for lg in _LANG_STOPWORDS if lg != "en"
+        )
+        hits = (f"len(list_filter({toks}, tk -> list_contains("
+                f"CASE {whens} ELSE {lst('en')} END, tk)))")
+        lang_sel = ", lang"
+    else:
+        hits = f"len(list_filter({toks}, tk -> tk IN {_STOPS['en']}))"
+        lang_sel = ""
     return f"""
-WITH n AS (SELECT doc_id,
+WITH n AS (SELECT doc_id{lang_sel},
         trim(regexp_replace(coalesce(text, ''), '{_JAVA_WS_CLASS}+', ' ',
              'g'), ' ') AS norm
       FROM documents),
 f AS (SELECT doc_id, norm, length(norm) AS nc,
         CASE WHEN norm = '' THEN 0 ELSE len({toks}) END AS nw,
         CASE WHEN norm = '' THEN 0
-             ELSE len(list_filter({toks}, tk -> tk IN {_STOPS['en']}))
+             ELSE {hits}
         END AS hits
       FROM n),
 c AS (SELECT doc_id, norm, nc,
@@ -3575,6 +3614,7 @@ SELECT * FROM ranked WHERE rank <= 3
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),
+        "boilerplate_corpus_lang": _boilerplate_corpus_sql(per_lang=True),
         "nb_confusion": f"""
 WITH toks AS (
   SELECT doc_id, lang, t.token

@@ -241,6 +241,7 @@ def main() -> None:
         "nb_confusion",
         # fifth wave: jusText main-content gate
         "boilerplate_corpus",
+        "boilerplate_corpus_lang",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -259,7 +260,7 @@ def main() -> None:
         "mix_resample", "tfidf_top_terms", "ngram_novelty",
         "token_deciles", "heavy_hitters", "semdedup", "bpe_merges",
         "bpe_token_counts", "link_pagerank", "nb_confusion",
-        "boilerplate_corpus",
+        "boilerplate_corpus", "boilerplate_corpus_lang",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -222,7 +222,18 @@ def _resolve_context(classes: list[str]) -> list[str]:
     return out
 
 
-def classify_blocks(html: str) -> list[Block]:
+def stopwords_for(lang: str | None) -> frozenset:
+    """Per-language stopword inventory (jusText ships one per language);
+    unknown / script-routed languages fall back to English — documented:
+    the CJK/Arabic/etc. gate needs a different signal than stopword
+    density, and a wrong-language inventory fails CLOSED (low density →
+    bad), never keeps boilerplate."""
+    ws = LANG_STOPWORDS.get(lang or "en")
+    return frozenset(ws) if ws is not None else EN_STOPWORDS
+
+
+def classify_blocks(html: str, stopwords: frozenset = EN_STOPWORDS,
+                    ) -> list[Block]:
     """Segment ``html`` into block-level text runs and classify each as
     main content (``good``) or boilerplate (``bad``).
 
@@ -238,7 +249,7 @@ def classify_blocks(html: str) -> list[Block]:
         n_chars = len(text)
         toks = text.lower().split(" ")
         n_words = len(toks)
-        stop_hits = sum(t in EN_STOPWORDS for t in toks)
+        stop_hits = sum(t in stopwords for t in toks)
         link_milli = (1000 * link_chars) // n_chars if n_chars else 0
         stop_milli = (1000 * stop_hits) // n_words if n_words else 0
         cf = _classify_cf(n_chars, link_chars, link_milli, stop_milli,

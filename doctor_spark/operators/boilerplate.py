@@ -19,7 +19,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-from ..kernels.boilerplate import classify_blocks
+from ..kernels.boilerplate import classify_blocks, stopwords_for
 
 _BLOCK_COLS = ["block_id", "btext", "n_chars", "n_words", "link_chars",
                "link_milli", "stop_milli", "cf_class", "final_class"]
@@ -69,25 +69,33 @@ def justext_blocks(df: DataFrame, key_col: str = "url",
 
 
 def justext_doc_summary(df: DataFrame, key_col: str = "url",
-                        html_col: str = "html") -> DataFrame:
+                        html_col: str = "html",
+                        lang_col: str | None = None) -> DataFrame:
     """One row per document: block counts (final good plus the
     context-free short/neargood census, so corpora whose text never
     clears the good band still produce a discriminative profile) and an
     md5 over the kept main content (good blocks joined by ``\\n``) so
     downstream byte-identity gates can join on the digest instead of
-    shipping the text."""
+    shipping the text.
+
+    With ``lang_col``, the stopword inventory is chosen per row from the
+    repo's per-language lists (jusText ships one per language); unknown
+    languages fall back to English, which fails closed (see
+    ``stopwords_for``)."""
     import pandas as pd
 
     key_type = dict(df.dtypes)[key_col]
     schema = (f"{key_col} {key_type}, n_blocks long, n_good long, "
               "n_short_cf long, n_neargood_cf long, "
               "good_chars long, main_md5 string")
+    in_cols = [key_col, html_col] + ([lang_col] if lang_col else [])
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            langs = pdf[lang_col] if lang_col else [None] * len(pdf)
             rows = []
-            for key, html in zip(pdf[key_col], pdf[html_col]):
-                blocks = classify_blocks(_as_str(html))
+            for key, html, lang in zip(pdf[key_col], pdf[html_col], langs):
+                blocks = classify_blocks(_as_str(html), stopwords_for(lang))
                 good = [b for b in blocks if b.final_class == "good"]
                 main = "\n".join(b.text for b in good)
                 rows.append((key, len(blocks), len(good),
@@ -97,4 +105,4 @@ def justext_doc_summary(df: DataFrame, key_col: str = "url",
                              hashlib.md5(main.encode("utf-8")).hexdigest()))
             yield pd.DataFrame(rows, columns=[key_col, *_SUMMARY_COLS])
 
-    return df.select(key_col, html_col).mapInPandas(run, schema)
+    return df.select(*in_cols).mapInPandas(run, schema)

@@ -280,7 +280,8 @@ def test_text_oracles_on_adversarial_corpus(spark, tmp_path, qname):
     pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)
 
 @pytest.mark.parametrize("qname", ["ccnet_perplexity", "token_deciles",
-                                   "nb_confusion"])
+                                   "nb_confusion",
+                                   "boilerplate_corpus_lang"])
 def test_lang_oracles_on_adversarial_corpus(spark, tmp_path, qname):
     r"""Lang-column queries vs their DuckDB oracles on hostile strings —
     separate from the main matrix because they need a ``lang`` column.
@@ -337,6 +338,8 @@ def test_lang_oracles_on_adversarial_corpus(spark, tmp_path, qname):
         assert len(spark_pdf) == len(nasty)
     elif qname == "token_deciles":  # 9 deciles per language
         assert len(spark_pdf) == 9 * 3
+    elif qname == "boilerplate_corpus_lang":  # one row per doc
+        assert len(spark_pdf) == len(nasty)
     else:  # nb_confusion: at most |langs|^2 cells, never empty
         assert 1 <= len(spark_pdf) <= 9
     pdt.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)
