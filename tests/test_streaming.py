@@ -252,3 +252,28 @@ def test_streaming_extract_kill_midbatch_exactly_once(spark, tmp_path):
             got.select("url", "content", "extracted_by_ocr")))
     )
     assert diff.count() == 0
+
+
+def test_streaming_boilerplate_summary_matches_batch(spark, tmp_path):
+    """The jusText summary operator is stateless mapInPandas, so it must
+    run unchanged under Structured Streaming and produce exactly the
+    batch result on the same files."""
+    from doctor_spark.kernels.boilerplate_fixtures import PAGES
+    from doctor_spark.operators.boilerplate import justext_doc_summary
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        sorted(PAGES.items()), "url string, html string"
+    ).write.parquet(src)
+
+    batch = {r["url"]: r.asDict()
+             for r in justext_doc_summary(spark.read.parquet(src)).collect()}
+
+    stream_in = spark.readStream.schema("url string, html string").parquet(src)
+    q = (justext_doc_summary(stream_in)
+         .writeStream.format("memory").queryName("bp_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["url"]: r.asDict()
+           for r in spark.sql("SELECT * FROM bp_stream").collect()}
+    assert got == batch and len(got) == len(PAGES)
