@@ -1530,6 +1530,27 @@ def q_boilerplate_corpus_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                                lang_col="lang")
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish gate (RefinedWeb/Dolma-class signal:
+    base64 blobs, aaaa-runs, binary spill all score low).  Spark side is
+    one map-only Arrow kernel (the per-doc counter never leaves the
+    task); the oracle pays an explode+groupBy to recompute the same
+    int64 micro-log10 arithmetic from scratch."""
+    from doctor_spark.functions.text import (
+        LOW_ENTROPY_MICRO,
+        char_entropy_udf,
+    )
+
+    ent = char_entropy_udf()(F.col("text")).alias("entropy_micro")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ent,
+    ).select(
+        "doc_id", "entropy_micro",
+        (F.col("entropy_micro") < LOW_ENTROPY_MICRO).alias("low_entropy"),
+    )
+
+
 def q_media_features_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal gate: decoded feature values must equal the generator's
     goldens.  Expected: EMPTY."""
@@ -1948,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_blocks": q_boilerplate_blocks,
         "boilerplate_corpus": q_boilerplate_corpus,
         "boilerplate_corpus_lang": q_boilerplate_corpus_lang,
+        "char_entropy": q_char_entropy,
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
@@ -2584,6 +2606,40 @@ SELECT doc_id::BIGINT AS doc_id,
   (CASE WHEN cf = 'good' THEN nc ELSE 0 END)::BIGINT AS good_chars,
   md5(CASE WHEN cf = 'good' THEN norm ELSE '' END) AS main_md5
 FROM c
+"""
+
+
+def _char_entropy_sql() -> str:
+    """Mirror of functions/text.py:char_entropy_micro_row, recomputed the
+    slow honest way: explode the normalized text into code points
+    (regexp_extract_all '.', RE2 — norm is newline-free by construction),
+    groupBy, then the identical int64 micro-log10 fold.  NULL text →
+    NULL row; empty/ws-only → 0."""
+    mic = "CAST(floor(log10({x}) * 1000000 + 0.5) AS BIGINT)"
+    ent = ("(s.ntot * " + mic.format(x="s.ntot")
+           + " - s.tot) // s.ntot")
+    return f"""
+WITH n AS (SELECT doc_id,
+        CASE WHEN text IS NULL THEN NULL
+             ELSE trim(regexp_replace(text, '{_JAVA_WS_CLASS}+', ' ', 'g'),
+                       ' ') END AS norm
+      FROM documents),
+c AS (SELECT doc_id, ch, count(*)::BIGINT AS cnt
+      FROM n, unnest(regexp_extract_all(norm, '.')) AS t(ch)
+      WHERE norm IS NOT NULL AND norm <> ''
+      GROUP BY doc_id, ch),
+s AS (SELECT doc_id, sum(cnt) AS ntot,
+        sum(cnt * {mic.format(x="cnt")}) AS tot
+      FROM c GROUP BY doc_id),
+e AS (SELECT n.doc_id, n.norm,
+        CASE WHEN n.norm IS NULL THEN NULL
+             WHEN s.ntot IS NULL THEN 0
+             ELSE {ent} END AS em
+      FROM n LEFT JOIN s USING (doc_id))
+SELECT doc_id::BIGINT AS doc_id,
+  em::BIGINT AS entropy_micro,
+  (em < 300000) AS low_entropy
+FROM e
 """
 
 
@@ -3615,6 +3671,7 @@ SELECT * FROM ranked WHERE rank <= 3
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),
         "boilerplate_corpus_lang": _boilerplate_corpus_sql(per_lang=True),
+        "char_entropy": _char_entropy_sql(),
         "nb_confusion": f"""
 WITH toks AS (
   SELECT doc_id, lang, t.token

@@ -242,6 +242,7 @@ def main() -> None:
         # fifth wave: jusText main-content gate
         "boilerplate_corpus",
         "boilerplate_corpus_lang",
+        "char_entropy",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -261,6 +262,7 @@ def main() -> None:
         "token_deciles", "heavy_hitters", "semdedup", "bpe_merges",
         "bpe_token_counts", "link_pagerank", "nb_confusion",
         "boilerplate_corpus", "boilerplate_corpus_lang",
+        "char_entropy",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -9,6 +9,8 @@ Every function has an exact ANSI-SQL mirror used as the DuckDB oracle in
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
 
 # stopword inventories for the language-ID heuristic: top function words
@@ -281,6 +283,55 @@ def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized
     lower-cased text (the exact-dedup key)."""
     return F.md5(normalized_text(col).cast("binary"))
+
+
+# --------------------------------------------------------------------------
+# Character-entropy gibberish gate (RefinedWeb/Dolma-class signal: kills
+# base64 blobs, aaaa-runs, binary spill).  Integer-exact cross-engine via
+# the micro-log10 quantization the LM module established: per-count terms
+# floor(log10(c)*1e6 + 0.5) are int64, sums are associative, and the final
+# division is integer — libm log10 agrees between CPython and DuckDB.
+# --------------------------------------------------------------------------
+
+ENTROPY_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+LOW_ENTROPY_MICRO = 300_000  # < 0.3 log10-units/char (~1 bit) = gibberish
+
+
+def _log10_micro(x: int) -> int:
+    import math
+
+    return math.floor(math.log10(x) * 1_000_000 + 0.5)
+
+
+def char_entropy_micro_row(s: str | None) -> int | None:
+    """Shannon entropy (log10 units × 1e6, floor-div) of the Java-\\s
+    whitespace-normalized text's code points; empty/whitespace-only → 0,
+    NULL → NULL.  H·1e6 = (n·m(n) − Σ cᵢ·m(cᵢ)) // n with m = micro-log10."""
+    if s is None:
+        return None
+    from collections import Counter
+
+    norm = " ".join(p for p in ENTROPY_WS_RE.split(s) if p)
+    n = len(norm)
+    if n == 0:
+        return 0
+    tot = sum(c * _log10_micro(c) for c in Counter(norm).values())
+    return (n * _log10_micro(n) - tot) // n
+
+
+def char_entropy_udf():
+    """Arrow kernel for ``char_entropy_micro_row`` — one pass per row,
+    map-only (the per-doc counter never leaves the task; only the SQL
+    oracle pays an explode-and-groupBy)."""
+    import pandas as pd
+
+    def kernel(texts):
+        return pd.Series(
+            [char_entropy_micro_row(t) for t in texts], dtype="object"
+        )
+
+    kernel.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(kernel, "long")
 
 
 # --------------------------------------------------------------------------

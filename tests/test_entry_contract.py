@@ -191,6 +191,9 @@ ADVERSARIAL_QUERIES = [
     # the nasty corpus stresses its normalization, ws classes, and the
     # short/neargood band arithmetic on degenerate docs)
     "boilerplate_corpus",
+    # round-5 fifth wave: char-entropy gibberish gate (NULL text -> NULL
+    # row; astral code points iterate identically on both engines)
+    "char_entropy",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]

@@ -242,3 +242,29 @@ class TestLangGuess:
         ]
         # Han majority → zh; any kana alongside han → ja; short Arabic → ar
         assert got == ["zh", "ja", "ar"], got
+
+
+def test_char_entropy_micro_row():
+    """Hand-computed goldens for the entropy gate (micro-log10 units)."""
+    import math
+
+    from doctor_spark.functions.text import (
+        LOW_ENTROPY_MICRO,
+        char_entropy_micro_row as e,
+    )
+
+    assert e(None) is None
+    assert e("") == 0 and e(" \t\n ") == 0
+    assert e("aaaa") == 0                      # one symbol: zero entropy
+    assert e("ab") == math.floor(math.log10(2) * 1e6 + 0.5)  # 1 bit
+    # uniform 4-symbol alphabet = log10(4)
+    assert e("abcd") == math.floor(math.log10(4) * 1e6 + 0.5)
+    # whitespace-normalization: runs collapse before counting
+    assert e("a  b") == e("a b")
+    # english prose sits far above the gibberish gate, runs far below
+    assert e("the court held that the motion was filed") > LOW_ENTROPY_MICRO
+    assert e("aaaaaaaaaaaaaaab") < LOW_ENTROPY_MICRO
+    # exact integer fold: H*1e6 = (n*m(n) - sum c*m(c)) // n
+    s = "aab"
+    m = lambda x: math.floor(math.log10(x) * 1e6 + 0.5)
+    assert e(s) == (3 * m(3) - 2 * m(2)) // 3
