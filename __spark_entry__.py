@@ -1551,6 +1551,18 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means TRAINING (operators/kmeans.py): 3
+    integer-exact iterations over the embeddings table, per-cluster
+    member counts + the final centroid pinned by value (c0 + md5 of the
+    full int64 vector).  The oracle unrolls all three assign/update
+    rounds plus the final assignment as CTEs — the PageRank/BPE pattern
+    for iterative trainers."""
+    from doctor_spark.operators.kmeans import kmeans_clusters
+
+    return kmeans_clusters(_emb(spark, sf_dir))
+
+
 def q_media_features_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal gate: decoded feature values must equal the generator's
     goldens.  Expected: EMPTY."""
@@ -1970,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_corpus": q_boilerplate_corpus,
         "boilerplate_corpus_lang": q_boilerplate_corpus_lang,
         "char_entropy": q_char_entropy,
+        "kmeans_clusters": q_kmeans_clusters,
         "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
         "images_to_pdf": q_images_to_pdf,
@@ -2606,6 +2619,54 @@ SELECT doc_id::BIGINT AS doc_id,
   (CASE WHEN cf = 'good' THEN nc ELSE 0 END)::BIGINT AS good_chars,
   md5(CASE WHEN cf = 'good' THEN norm ELSE '' END) AS main_md5
 FROM c
+"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled mirror of operators/kmeans.py: quantize → (assign →
+    update) × iters → final assign → per-cluster summary.  Update uses
+    floor(sum::DOUBLE / count) — Python's // floors while DuckDB's //
+    truncates on negatives; the double division is exact at these
+    magnitudes (see the operator docstring's bound argument)."""
+    def assign(src: str, cents: str) -> str:
+        return f"""(SELECT id, cid AS cluster FROM (
+    SELECT s.id, ct.cid, row_number() OVER (PARTITION BY s.id ORDER BY
+      list_sum(list_transform(range(1, {dim + 1}),
+        i -> (s.qv[i] - ct.cv[i]) * (s.qv[i] - ct.cv[i]))) ASC,
+      ct.cid ASC) AS rn
+    FROM {src} s CROSS JOIN {cents} ct) WHERE rn = 1)"""
+
+    def update(a: str, prev: str) -> str:
+        return f"""(SELECT p.cid, CASE WHEN u.cv IS NULL THEN p.cv
+                       ELSE u.cv END AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(val ORDER BY pos) AS cv FROM (
+      SELECT a.cluster AS cid, d.i AS pos,
+             CAST(floor(sum(s.qv[d.i])::DOUBLE / count(*)) AS BIGINT) AS val
+      FROM {a} a JOIN e s ON s.id = a.id
+      CROSS JOIN unnest(range(1, {dim + 1})) AS d(i)
+      GROUP BY a.cluster, d.i) GROUP BY cid) u USING (cid))"""
+
+    ctes = [f"""e AS (SELECT vec_id AS id,
+    list_transform(embedding::DOUBLE[],
+        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings)""",
+            f"c0 AS (SELECT id::BIGINT AS cid, qv AS cv FROM e WHERE id < {k})"]
+    for r in range(1, iters + 1):
+        ctes.append(f"a{r} AS {assign('e', f'c{r - 1}')}")
+        ctes.append(f"c{r} AS {update(f'a{r}', f'c{r - 1}')}")
+    ctes.append(f"af AS {assign('e', f'c{iters}')}")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT af.cluster::BIGINT AS cluster,
+  count(*)::BIGINT AS n_members,
+  sum(af.id)::BIGINT AS sum_ids,
+  c.cv[1]::BIGINT AS c0,
+  md5(array_to_string(list_transform(c.cv, x -> x::VARCHAR), ','))
+    AS centroid_md5
+FROM af JOIN c{iters} c ON c.cid = af.cluster
+GROUP BY af.cluster, c.cv
 """
 
 
@@ -3672,6 +3733,7 @@ SELECT * FROM ranked WHERE rank <= 3
         "boilerplate_corpus": _boilerplate_corpus_sql(),
         "boilerplate_corpus_lang": _boilerplate_corpus_sql(per_lang=True),
         "char_entropy": _char_entropy_sql(),
+        "kmeans_clusters": _kmeans_sql(),
         "nb_confusion": f"""
 WITH toks AS (
   SELECT doc_id, lang, t.token

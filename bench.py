@@ -243,6 +243,7 @@ def main() -> None:
         "boilerplate_corpus",
         "boilerplate_corpus_lang",
         "char_entropy",
+        "kmeans_clusters",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -262,7 +263,7 @@ def main() -> None:
         "token_deciles", "heavy_hitters", "semdedup", "bpe_merges",
         "bpe_token_counts", "link_pagerank", "nb_confusion",
         "boilerplate_corpus", "boilerplate_corpus_lang",
-        "char_entropy",
+        "char_entropy", "kmeans_clusters",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
