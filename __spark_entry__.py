@@ -1434,6 +1434,60 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic page-markup synthesis for the link-graph query: one SQL
+# snippet parsed by Spark's F.expr AND spliced verbatim into the DuckDB
+# oracle (the _URL_SYNTH_SQL discipline).  Exercises the href kernel's
+# rules: entity refs (&amp;), uppercase tag/attr/scheme/host, whitespace
+# inside the quotes, single-quoted attrs, and the dropped link classes
+# (relative, javascript:, mailto:, anchors without href).
+_LINK_HOST_MOD = 997
+_LINK_SRC_HOST_SQL = (
+    f"'h' || CAST(doc_id % {_LINK_HOST_MOD} AS VARCHAR(8)) || '.example'"
+)
+_LINK_HTML_SYNTH_SQL = f"""
+'<html><head><title>d' || CAST(doc_id AS VARCHAR(20)) ||
+'</title></head><body><p>' || substr(text, 1, 48) || '</p>' ||
+'<a href="http://h' || CAST((doc_id * 7 + 3) % {_LINK_HOST_MOD} AS VARCHAR(8)) ||
+'.example/p/' || CAST(doc_id AS VARCHAR(20)) || '?a=1&amp;b=2">one</a>' ||
+CASE WHEN doc_id % 2 = 0
+     THEN '<A HREF=" HTTP://H' ||
+          CAST((doc_id * 11 + 5) % {_LINK_HOST_MOD} AS VARCHAR(8)) ||
+          '.Example/q ">two</A>'
+     ELSE '<a href="/relative/path">rel</a>' END ||
+CASE WHEN doc_id % 3 = 0 THEN '<a href="javascript:void(0)">js</a>'
+     WHEN doc_id % 3 = 1 THEN '<a href="mailto:x@example.com">m</a>'
+     ELSE '<a name="anchor">plain</a>' END ||
+'<a href=''https://h' ||
+CAST((doc_id * 13 + 9) % {_LINK_HOST_MOD} AS VARCHAR(8)) ||
+'.example/r''>three</a></body></html>'
+"""
+
+
+def q_link_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cc-webgraph loop on actual markup: synthesize
+    deterministic tag-soup pages (BINARY html, per the input contract),
+    extract absolute ``<a href>`` targets with the tag-soup
+    ``HTMLParser`` kernel, roll them up to lowercased hosts, and run the
+    integer-exact PageRank over the host graph.  The oracle replays the
+    extraction with regexes (exact on this synthesis; the kernel's
+    generality beyond it is pytest-gated) and an unrolled 4-level CTE.
+
+    Plan: ONE Arrow batch for extraction (map-only), one distinct
+    exchange for the edge table, then the pagerank joins."""
+    from doctor_spark.operators.graph import host_link_edges, pagerank
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.expr(_LINK_SRC_HOST_SQL).alias("src_host"),
+        F.encode(F.expr(_LINK_HTML_SYNTH_SQL), "utf-8").alias("html"),
+    )
+    pr = pagerank(host_link_edges(pages), n_iter=4)
+    return pr.select(
+        F.col("node").alias("host"),
+        F.col("rank_micro").cast("bigint").alias("rank_micro"),
+    )
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -1976,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "link_pagerank": q_link_pagerank,
+        "link_host_rank": q_link_host_rank,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -2755,6 +2810,62 @@ r0 AS (SELECT node, 1000000::BIGINT AS rank_micro FROM nodes)"""]
         "WITH " + ",\n".join(cte)
         + f"""
 SELECT node::BIGINT AS doc_id, rank_micro::BIGINT AS rank_micro
+FROM r{n_iter}
+"""
+    )
+
+
+def _link_host_rank_sql(n_iter: int = 4) -> str:
+    """Oracle for the host-graph query: regex replay of the href kernel
+    on the shared markup synthesis (double- and single-quoted attrs,
+    case-insensitive, entity decode, WHATWG whitespace strip, http(s)
+    scheme gate), url_host mirror, then the unrolled integer PageRank
+    over VARCHAR host nodes."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    cte = [f"""pages AS (
+  SELECT {_LINK_SRC_HOST_SQL} AS src, {_LINK_HTML_SYNTH_SQL} AS html
+  FROM documents WHERE text IS NOT NULL
+),
+raw AS (
+  SELECT src, unnest(regexp_extract_all(html, '(?i)href="([^"]*)"', 1)) AS href
+  FROM pages
+  UNION ALL
+  SELECT src, unnest(regexp_extract_all(html, '(?i)href=''([^'']*)''', 1)) AS href
+  FROM pages
+),
+cand AS (
+  SELECT src, trim(replace(href, '&amp;', '&'), {ws}) AS href FROM raw
+),
+links AS (
+  SELECT src,
+         nullif(lower(split_part(regexp_extract(split_part(href, '#', 1),
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1), ':', 1)), '') AS dst
+  FROM cand
+  WHERE regexp_matches(href, '(?i)^https?://')
+),
+e0 AS (
+  SELECT DISTINCT src, dst FROM links
+  WHERE dst IS NOT NULL AND src <> dst
+),
+deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node, 1000000::BIGINT AS rank_micro FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        cte.append(f"""r{i} AS (
+  SELECT nodes.node,
+         (150000 + (85 * coalesce(inf.inflow, 0)) // 100)::BIGINT
+           AS rank_micro
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r{i - 1}.rank_micro // e.deg) AS inflow
+    FROM r{i - 1} JOIN e ON r{i - 1}.node = e.src
+    GROUP BY e.dst
+  ) inf USING (node)
+)""")
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+SELECT node AS host, rank_micro::BIGINT AS rank_micro
 FROM r{n_iter}
 """
     )
@@ -3728,6 +3839,7 @@ SELECT * FROM ranked WHERE rank <= 3
         "bpe_merges": _bpe_sql(),
         "bpe_token_counts": _bpe_sql(final="tokens"),
         "link_pagerank": _pagerank_sql(),
+        "link_host_rank": _link_host_rank_sql(),
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),

@@ -1,0 +1,72 @@
+"""Anchor-link extraction — the web-graph ingest stage of a crawl
+pipeline (cc-webgraph's shape: WARC/HTML → outlink edges → host graph →
+rank, which then orders fetch frontiers and weights training mixes).
+
+The reference service has no link-graph stage (doctor extracts document
+TEXT; its HTML path strips ``<a>`` tags outright, doctor/tasks.py:361-370);
+this module is part of the training-data-pipeline surface of the engine,
+feeding :mod:`..operators.graph`.
+
+Extraction uses the same stdlib ``HTMLParser`` discipline as the
+boilerplate and cleaner kernels: non-validating, never raises on tag
+soup, entity references in attribute values resolved by the parser
+(``convert_charrefs=True`` — ``&amp;`` in an href arrives as ``&``).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from .textfile import decode_html_ladder
+
+# WHATWG URL pre-parse strips leading/trailing C0 controls and space;
+# stripping the ASCII whitespace subset covers every form markup emits.
+_HREF_STRIP = " \t\n\r\f\x0b"
+
+
+class _LinkParser(HTMLParser):
+    """Collects raw ``<a href>`` attribute values in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag != "a":
+            return
+        for name, value in attrs:
+            if name == "href" and value is not None:
+                self.hrefs.append(value)
+                break  # first href wins, like browsers
+
+
+def extract_hrefs(html: str | bytes | None) -> list[str]:
+    """All absolute http(s) ``<a href>`` targets of a page, in document
+    order (duplicates kept — edge dedup is the graph operator's job).
+
+    - bytes decode via the cleaner's encoding ladder (utf-8 → ISO8859 →
+      cp1252 → latin-1), matching the HTML extract path's input contract;
+    - hrefs are whitespace-stripped, then kept only when the scheme is
+      http/https case-insensitively (relative, ``javascript:``,
+      ``mailto:`` and other-scheme links carry no host edge);
+    - tag soup never raises: ``HTMLParser`` is non-validating and
+      recovers from unclosed/overlapping tags, stray ``<`` and broken
+      attributes.
+    """
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        decoded = decode_html_ladder(bytes(html))
+        if decoded is None:
+            return []
+        html = decoded[0]
+    parser = _LinkParser()
+    parser.feed(html)
+    parser.close()
+    out: list[str] = []
+    for href in parser.hrefs:
+        href = href.strip(_HREF_STRIP)
+        scheme = href[: href.find(":") + 1].lower() if ":" in href else ""
+        if scheme in ("http:", "https:") and href[len(scheme):].startswith("//"):
+            out.append(href)
+    return out

@@ -31,11 +31,51 @@ frequency-cap discipline apply unchanged.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 START_MICRO = 1_000_000
 TELEPORT_MICRO = 150_000
 DAMPING_PCT = 85
+
+
+def _hrefs_udf():
+    @F.pandas_udf("array<string>")
+    def hrefs(html: pd.Series) -> pd.Series:
+        from ..kernels.links import extract_hrefs
+
+        return html.map(extract_hrefs)
+
+    return hrefs
+
+
+def host_link_edges(
+    pages: DataFrame,
+    html_col: str = "html",
+    src_host_col: str = "src_host",
+) -> DataFrame:
+    """HTML pages → host-level outlink edge table ``(src, dst)`` — the
+    cc-webgraph ingest: every absolute http(s) ``<a href>`` on a page
+    contributes one edge from the page's own host to the link target's
+    host (lowercased, port/credentials stripped by
+    :func:`..functions.urls.url_host`).
+
+    Anchor extraction is the tag-soup-safe ``HTMLParser`` kernel
+    (:mod:`..kernels.links`) run as ONE Arrow batch column — map-only,
+    accepts str or binary html per the input contract.  Duplicate edges
+    and self-loops survive here on purpose: :func:`out_degrees`
+    deduplicates once, so callers composing several page sets don't pay
+    a distinct per source.
+    """
+    edges = pages.select(
+        F.col(src_host_col).alias("src"),
+        F.explode(_hrefs_udf()(F.col(html_col))).alias("href"),
+    )
+    from ..functions.urls import url_host
+
+    return edges.select(
+        "src", url_host(F.col("href")).alias("dst")
+    ).where(F.col("dst").isNotNull())
 
 
 def out_degrees(edges: DataFrame) -> DataFrame:
