@@ -244,6 +244,7 @@ def main() -> None:
         "boilerplate_corpus_lang",
         "char_entropy",
         "kmeans_clusters",
+        "link_host_rank",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -263,7 +264,7 @@ def main() -> None:
         "token_deciles", "heavy_hitters", "semdedup", "bpe_merges",
         "bpe_token_counts", "link_pagerank", "nb_confusion",
         "boilerplate_corpus", "boilerplate_corpus_lang",
-        "char_entropy", "kmeans_clusters",
+        "char_entropy", "kmeans_clusters", "link_host_rank",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
