@@ -888,6 +888,38 @@ def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): fit hashed uni+bigram
+    bag-of-ngrams models for a target band (md5 salt 'dsir-t', rate
+    0.25 — the "Wikipedia" stand-in) and the raw corpus in ONE keyed
+    exchange, score every doc's importance log-weight as a zero-shuffle
+    JVM aggregate over the embedded 1024-int llr table, Gumbel-top-k
+    (k=100) resample with md5-derived deterministic noise.  All
+    log-probs int64 micro-log10 (libm both engines); selection is
+    TakeOrdered, never a global sort."""
+    from doctor_spark.operators.dsir import (
+        dsir_llr_table,
+        dsir_resample,
+        dsir_scores,
+    )
+    from doctor_spark.operators.sampling import sample_bucket
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull()
+        & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    is_t = sample_bucket(F.col("doc_id"), "dsir-t") < F.lit("4000")
+    llr = dsir_llr_table(d, is_t)
+    scored = dsir_scores(d, llr)
+    return dsir_resample(scored, k=100, salt="dsir").select(
+        "rank",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tok",
+        "lw_micro",
+        "key_micro",
+    )
+
+
 def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain mixing weights (GPT-3/Llama recipe
     stage): w_d ∝ p_d^0.5 over the source column, plus the per-doc
@@ -1999,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_topk": q_domain_topk,
         "quality_classifier": q_quality_classifier,
         "ccnet_perplexity": q_ccnet_perplexity,
+        "dsir_select": q_dsir_select,
         "mix_weights": q_mix_weights,
         "mix_resample": q_mix_resample,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3505,6 +3538,66 @@ SELECT doc_id::BIGINT AS doc_id, lang, n_tok, sum_lp_micro,
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
        END AS bucket
 FROM agg
+""",
+        "dsir_select": f"""
+-- DSIR oracle: replay the hashed uni+bigram model fit (Laplace lp in
+-- int64 micro-log10, same IEEE division + libm log10 as the driver-side
+-- math.log10), the per-doc llr sum, the md5-grid Gumbel draw
+-- (-log10(-log10 u) — constant-shifted Gumbel, order-exact), and the
+-- (key DESC, doc_id) top-100.
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS tk
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+), g AS (
+  SELECT doc_id, unnest(tk) AS g FROM d
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM d WHERE len(tk) >= 2
+), b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+  FROM g
+), tgt AS (
+  SELECT doc_id FROM d
+  WHERE substring(md5('dsir-t' || doc_id::VARCHAR), 1, 4) < '4000'
+), cnt AS (
+  SELECT b.b,
+         count(*)::BIGINT AS c_r,
+         sum(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS c_t
+  FROM b LEFT JOIN tgt t USING (doc_id)
+  GROUP BY b.b
+), tot AS (
+  SELECT sum(c_r)::BIGINT AS cr, sum(c_t)::BIGINT AS ct FROM cnt
+), llr AS (
+  SELECT r.range AS b,
+         CAST(floor(log10((coalesce(c.c_t, 0) + 1)::DOUBLE
+                          / (tot.ct + 1024)) * 1e6 + 0.5) AS BIGINT)
+         - CAST(floor(log10((coalesce(c.c_r, 0) + 1)::DOUBLE
+                            / (tot.cr + 1024)) * 1e6 + 0.5) AS BIGINT)
+           AS llr
+  FROM range(0, 1024) r LEFT JOIN cnt c ON c.b = r.range, tot
+), lw AS (
+  SELECT b.doc_id, sum(l.llr)::BIGINT AS lw_micro
+  FROM b JOIN llr l ON l.b = b.b
+  GROUP BY b.doc_id
+), keyed AS (
+  SELECT d.doc_id, len(d.tk)::BIGINT AS n_tok, w.lw_micro,
+         (w.lw_micro + CAST(floor(-log10(-log10(
+             ((('0x' || substr(md5('dsir' || d.doc_id::VARCHAR), 1, 15))
+               ::BIGINT % 2147483648)::DOUBLE + 0.5) / 2.147483648e9
+           )) * 1e6 + 0.5) AS BIGINT))::BIGINT AS key_micro
+  FROM d JOIN lw w USING (doc_id)
+)
+SELECT row_number() OVER (ORDER BY key_micro DESC, doc_id)::BIGINT
+         AS rank,
+       doc_id::BIGINT AS doc_id, n_tok, lw_micro, key_micro
+FROM keyed
+ORDER BY key_micro DESC, doc_id
+LIMIT 100
 """,
         "mix_weights": """
 WITH c AS (

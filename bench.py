@@ -245,6 +245,7 @@ def main() -> None:
         "char_entropy",
         "kmeans_clusters",
         "link_host_rank",
+        "dsir_select",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -265,6 +266,7 @@ def main() -> None:
         "bpe_token_counts", "link_pagerank", "nb_confusion",
         "boilerplate_corpus", "boilerplate_corpus_lang",
         "char_entropy", "kmeans_clusters", "link_host_rank",
+        "dsir_select",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

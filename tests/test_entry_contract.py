@@ -194,6 +194,10 @@ ADVERSARIAL_QUERIES = [
     # round-5 fifth wave: char-entropy gibberish gate (NULL text -> NULL
     # row; astral code points iterate identically on both engines)
     "char_entropy",
+    # round-5 sixth wave: DSIR importance resampling (doc_id + text only;
+    # hostile ws classes hit the gram/bucket path, planted dups get
+    # identical weights and the md5 Gumbel key breaks the tie)
+    "dsir_select",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]

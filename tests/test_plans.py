@@ -1124,3 +1124,25 @@ def test_boilerplate_corpus_map_only(spark):
     q = entry.queries()["boilerplate_corpus"](spark, SF)
     assert count_exchanges(q) == 0, physical_plan(q)
     assert read_schema_columns(q) == {"doc_id", "text"}
+
+
+def test_dsir_score_map_only_and_takeordered(spark):
+    """DSIR scoring must be quality_classifier's plan with the learned
+    table embedded as a literal: zero exchanges, 2-column pruned scan —
+    and the resample must select via TakeOrderedAndProject (never a
+    global sort exchange); the fit table is passed as a literal here so
+    the test doesn't pay the training action."""
+    from pyspark.sql import functions as F
+
+    from doctor_spark.operators.dsir import dsir_resample, dsir_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+        F.col("text").isNotNull()
+        & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    scored = dsir_scores(docs, [0] * 1024)
+    assert count_exchanges(scored) == 0, physical_plan(scored)
+    assert read_schema_columns(scored) == {"doc_id", "text"}
+    plan = physical_plan(dsir_resample(scored, k=100))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert count_exchanges(dsir_resample(scored, k=100)) == 0, plan
