@@ -210,6 +210,9 @@ def main() -> None:
         "pdf_thumbnails",
         "audio_transcode",
         "fetch_images_to_pdf",
+        # round-5 sixth wave: DSIR (two corpus-wide gram passes, ~25 s
+        # at sf0.1 — single rep like the codec stages)
+        "dsir_select",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect(), reps=1)
     for name in (
@@ -245,7 +248,6 @@ def main() -> None:
         "char_entropy",
         "kmeans_clusters",
         "link_host_rank",
-        "dsir_select",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
