@@ -103,3 +103,81 @@ def test_host_link_edges_rollup(spark):
         ("src1.example", "dst1.example", 2),
         ("src1.example", "dst2.example", 2),
     ]
+
+
+def test_warc_to_host_edges_end_to_end(spark, tmp_path):
+    """The full crawl-ingest composition: WARC file → read_warc_pages →
+    url_host(src) → host_link_edges.  This is the cc-webgraph shape
+    (crawl archive in, host edge table out) with no glue code beyond
+    column selection."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from doctor_spark.functions.urls import url_host
+    from doctor_spark.operators.graph import host_link_edges
+    from doctor_spark.sources.warc import build_warc
+
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    records = [
+        {"url": "https://a.test/p1", "warc_ts": ts,
+         "html": b'<html><a href="http://b.test/x">b</a>'
+                 b'<a href="/rel">r</a>'
+                 b'<a href="HTTPS://C.TEST:8443/y">c</a></html>'},
+        {"url": "https://b.test/p2", "warc_ts": ts,
+         "html": b'<a href="http://a.test/z">back</a>'},
+        {"url": "https://c.test/bin", "warc_ts": ts,
+         "html": bytes(range(256))},  # undecodable binary: no edges
+    ]
+    p = tmp_path / "crawl.warc"
+    p.write_bytes(build_warc(records))
+
+    from doctor_spark.sources.warc import read_warc_pages
+
+    pages = read_warc_pages(spark, str(p)).select(
+        url_host(F.col("url")).alias("src_host"), "html"
+    )
+    got = sorted((r.src, r.dst) for r in host_link_edges(pages).collect())
+    assert got == [
+        ("a.test", "b.test"),
+        ("a.test", "c.test"),
+        ("b.test", "a.test"),
+    ]
+
+
+def test_streaming_host_edges_match_batch(spark, tmp_path):
+    """host_link_edges is a stateless Arrow map + explode, so it must run
+    unchanged under Structured Streaming and produce exactly the batch
+    edge set on the same files."""
+    src = str(tmp_path / "pages")
+    rows = [
+        (f"h{i}.example",
+         f'<a href="http://t{i % 3}.example/p">x</a>'
+         f'<a href="https://t{(i + 1) % 3}.example/q">y</a>'.encode())
+        for i in range(20)
+    ]
+    from doctor_spark.operators.graph import host_link_edges
+
+    spark.createDataFrame(
+        rows, "src_host string, html binary"
+    ).write.parquet(src)
+
+    batch = sorted(
+        (r.src, r.dst)
+        for r in host_link_edges(spark.read.parquet(src)).collect()
+    )
+
+    stream_in = spark.readStream.schema(
+        "src_host string, html binary"
+    ).parquet(src)
+    q = (
+        host_link_edges(stream_in)
+        .writeStream.format("memory").queryName("edge_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.src, r.dst)
+        for r in spark.sql("SELECT * FROM edge_stream").collect()
+    )
+    assert got == batch and len(got) == 40
