@@ -727,6 +727,32 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_para_dedup_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document paragraph dedup: the zero-shuffle first rung of the
+    dedup ladder — repeated in-page boilerplate (here a share-bar stamped
+    at the top AND bottom of every synthesized page, mirrored exactly in
+    the oracle) is dropped per-document before any corpus-wide stage
+    pays an exchange for it.  Plan: pure map (split → prefix-exists
+    filter → array_join), no explode, no window, no shuffle."""
+    from doctor_spark.operators.dedup import dedup_paragraphs_within
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    bar = "Connect with us on social media."
+    body = F.regexp_replace(F.col("text"), r"\. ", ".\n\n")
+    aug = d.select(
+        "doc_id",
+        F.concat_ws("\n\n", F.lit(bar), body, F.lit(bar)).alias("text"),
+    )
+    out = dedup_paragraphs_within(aug)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_paras").cast("bigint").alias("n_paras"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+    )
+
+
 # deterministic messy-URL synthesis for the URL-stage queries: one SQL
 # snippet, parsed by Spark via F.expr AND spliced verbatim into the DuckDB
 # oracle — the two engines can never drift on the input side.  Exercises
@@ -2027,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_exact_substring": q_dedup_exact_substring,
         "paragraph_dedup": q_paragraph_dedup,
+        "para_dedup_intra": q_para_dedup_intra,
         "url_canonicalize": q_url_canonicalize,
         "domain_topk": q_domain_topk,
         "quality_classifier": q_quality_classifier,
@@ -3828,6 +3855,35 @@ WITH aug AS (
   SELECT doc_id, pos, p,
          (trim(p) = '' OR
           row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) = 1) AS keep
+  FROM paras
+)
+SELECT doc_id::BIGINT AS doc_id,
+       count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       (count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))::BIGINT AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN keep THEN p END,
+                               chr(10) || chr(10) ORDER BY pos), '')) AS text_hash
+FROM marked GROUP BY doc_id
+""",
+        "para_dedup_intra": """
+WITH aug AS (
+  SELECT doc_id,
+         'Connect with us on social media.' || chr(10) || chr(10) ||
+         regexp_replace(text, '\\. ', '.' || chr(10) || chr(10), 'g') ||
+         chr(10) || chr(10) || 'Connect with us on social media.' AS text
+  FROM documents WHERE text IS NOT NULL
+), d AS (
+  SELECT doc_id, str_split(text, chr(10) || chr(10)) AS ps FROM aug
+), paras AS (
+  SELECT doc_id, e.pos AS pos, e.p AS p, md5(trim(e.p)) AS fp
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ps) + 1),
+                      i -> {'pos': i, 'p': ps[i]})) AS e
+        FROM d)
+), marked AS (
+  SELECT doc_id, pos, p,
+         (trim(p) = '' OR
+          row_number() OVER (PARTITION BY doc_id, fp ORDER BY pos) = 1) AS keep
   FROM paras
 )
 SELECT doc_id::BIGINT AS doc_id,

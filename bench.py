@@ -248,6 +248,8 @@ def main() -> None:
         "char_entropy",
         "kmeans_clusters",
         "link_host_rank",
+        # seventh wave: zero-shuffle intra-doc paragraph dedup
+        "para_dedup_intra",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -268,7 +270,7 @@ def main() -> None:
         "bpe_token_counts", "link_pagerank", "nb_confusion",
         "boilerplate_corpus", "boilerplate_corpus_lang",
         "char_entropy", "kmeans_clusters", "link_host_rank",
-        "dsir_select",
+        "dsir_select", "para_dedup_intra",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -198,6 +198,10 @@ ADVERSARIAL_QUERIES = [
     # hostile ws classes hit the gram/bucket path, planted dups get
     # identical weights and the md5 Gumbel key breaks the tie)
     "dsir_select",
+    # round-5 seventh wave: intra-doc paragraph dedup (doc_id + text
+    # only; hostile ws classes hit the trim/empty-paragraph rules, the
+    # planted dups make every doc carry intra-page repeats)
+    "para_dedup_intra",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]

@@ -698,6 +698,36 @@ def test_dedup_paragraphs_behavior_and_plan(spark):
     assert n_exchange == 2, final_plan
 
 
+def test_dedup_paragraphs_within_behavior_and_plan(spark):
+    """Intra-doc paragraph dedup: per-document first occurrence wins,
+    cross-document repeats are NOT touched (that's the corpus stage's
+    job), whitespace-only paragraphs are structural; and the plan is a
+    pure map — ZERO exchanges, no explode, no window."""
+    from doctor_spark.operators.dedup import dedup_paragraphs_within
+
+    bar = "Share on Facebook"
+    rows = [
+        # bar stamped top+bottom -> bottom copy drops; empty para kept
+        (0, f"{bar}\n\nalpha body\n\n\n\n{bar}"),
+        # same bar in ANOTHER doc is untouched (no cross-doc dedup here)
+        (1, f"{bar}\n\nbeta body\n\nbeta body\n\ntail"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_paragraphs_within(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {0, 1}  # NULL text dropped
+    assert got[0]["n_paras"] == 4 and got[0]["n_dropped"] == 1
+    assert got[0]["text"] == f"{bar}\n\nalpha body\n\n"
+    assert got[1]["n_dropped"] == 1
+    assert got[1]["text"] == f"{bar}\n\nbeta body\n\ntail"
+
+    plan = physical_plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert "Window" not in plan, plan
+
+
 def test_bloom_join_and_dense_forms_agree(spark):
     """The Bloom JOIN form (the oracle-checkable semantics) and the dense
     broadcast-bitmap form (the 100 TB deployment shape) must flag the
