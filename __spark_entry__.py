@@ -1546,6 +1546,74 @@ def q_link_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic URL synthesis for the robots gate: one SQL snippet parsed
+# by Spark's F.expr AND spliced verbatim into the DuckDB oracle (the
+# _URL_SYNTH_SQL discipline).  101 hosts x 7 path shapes exercise every
+# rule form the RFC 9309 kernel implements: plain prefixes, longest-match
+# Allow-under-Disallow, specific-agent groups that EXCLUDE the '*' group,
+# '*' wildcards, '$' end anchors, the ''->'/' path normalization, query
+# stripping, and hosts with no robots.txt at all.
+_ROBOTS_HOST_MOD = 101
+_ROBOTS_URL_SQL = f"""
+'https://h' || CAST(doc_id % {_ROBOTS_HOST_MOD} AS VARCHAR(8)) || '.example' ||
+CASE CAST(doc_id % 7 AS INT)
+  WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR(20))
+  WHEN 1 THEN '/private/public/x' || CAST(doc_id AS VARCHAR(20))
+  WHEN 2 THEN '/no-train/x' || CAST(doc_id AS VARCHAR(20))
+  WHEN 3 THEN ''
+  WHEN 4 THEN '/docs/a' || CAST(doc_id AS VARCHAR(20)) || '.pdf'
+  WHEN 5 THEN '/tmp' || CAST(doc_id AS VARCHAR(20)) || '/logs/y'
+  ELSE '/ok?q=1'
+END
+"""
+
+# per-host robots.txt templates (host_idx % 4 selects; tpl 3 hosts have NO
+# robots row).  The oracle never parses these bodies — it replays the RFC
+# verdict per template straight from the spec, so the kernel's parser,
+# group selection, and precedence sort are verified independently.
+_ROBOTS_TPL = (
+    "User-agent: *\nDisallow: /private/\nAllow: /private/public/\n",
+    "User-agent: trainingbot\nDisallow: /no-train/\n\n"
+    "User-agent: *\nDisallow: /\n",
+    "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*/logs/\n",
+)
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness gate (RFC 9309) over synthesized page URLs: per-host
+    robots.txt bodies are compiled ONCE on the dimension side (the only
+    Python stage), the 10^12-row page side gets its verdict from a JVM
+    first-match fold (F.aggregate + RLIKE) after a keyed host join.  The
+    oracle re-derives host/path from doc_id and replays each template's
+    RFC verdict with hand-written spec SQL — parser, URL split, group
+    selection, and longest-match precedence are all independently pinned.
+
+    No reference counterpart (doctor receives documents over HTTP); this
+    is the web-corpus politeness stage next to functions/urls.py."""
+    from doctor_spark.operators.robots import robots_gate
+
+    pages = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(F.expr(_ROBOTS_URL_SQL).alias("url"))
+    )
+    hosts = spark.range(_ROBOTS_HOST_MOD).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        (F.col("id") % 4).alias("tpl"),
+    )
+    robots = hosts.where(F.col("tpl") < 3).select(
+        "host",
+        F.when(F.col("tpl") == 0, F.lit(_ROBOTS_TPL[0]))
+        .when(F.col("tpl") == 1, F.lit(_ROBOTS_TPL[1]))
+        .otherwise(F.lit(_ROBOTS_TPL[2]))
+        .alias("robots_body"),
+    )
+    out = robots_gate(pages, robots, agent="trainingbot/1.0")
+    return out.select("url", "host", "path", "allowed")
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2091,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "link_pagerank": q_link_pagerank,
         "link_host_rank": q_link_host_rank,
+        "robots_gate": q_robots_gate,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -2929,6 +2998,43 @@ SELECT node AS host, rank_micro::BIGINT AS rank_micro
 FROM r{n_iter}
 """
     )
+
+
+def _robots_gate_sql() -> str:
+    """Oracle for the robots gate: host/path re-derived from doc_id (so
+    Spark's URL split is verified against the synthesis, not replayed) and
+    the RFC 9309 verdict hand-written per template from the spec —
+    longest-match Allow-under-Disallow (tpl 0), specific-agent group
+    excluding the '*' group (tpl 1), wildcard + '$' anchor (tpl 2),
+    missing robots.txt ⇒ allowed (tpl 3)."""
+    return f"""
+WITH p AS (
+  SELECT 'h' || CAST(doc_id % {_ROBOTS_HOST_MOD} AS VARCHAR(8)) || '.example'
+           AS host,
+         CAST((doc_id % {_ROBOTS_HOST_MOD}) % 4 AS INT) AS tpl,
+         CASE CAST(doc_id % 7 AS INT)
+           WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR(20))
+           WHEN 1 THEN '/private/public/x' || CAST(doc_id AS VARCHAR(20))
+           WHEN 2 THEN '/no-train/x' || CAST(doc_id AS VARCHAR(20))
+           WHEN 3 THEN '/'
+           WHEN 4 THEN '/docs/a' || CAST(doc_id AS VARCHAR(20)) || '.pdf'
+           WHEN 5 THEN '/tmp' || CAST(doc_id AS VARCHAR(20)) || '/logs/y'
+           ELSE '/ok' END AS path,
+         ({_ROBOTS_URL_SQL}) AS url
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT url, host, path,
+  CASE
+    WHEN tpl = 3 THEN TRUE
+    WHEN tpl = 0 THEN CASE WHEN path LIKE '/private/public/%' THEN TRUE
+                           WHEN path LIKE '/private/%' THEN FALSE
+                           ELSE TRUE END
+    WHEN tpl = 1 THEN NOT path LIKE '/no-train/%'
+    ELSE NOT (regexp_matches(path, '^/.*\\.pdf$')
+              OR regexp_matches(path, '^/tmp.*/logs/'))
+  END AS allowed
+FROM p
+"""
 
 
 def _quality_sql() -> str:
@@ -3989,6 +4095,7 @@ SELECT * FROM ranked WHERE rank <= 3
         "bpe_token_counts": _bpe_sql(final="tokens"),
         "link_pagerank": _pagerank_sql(),
         "link_host_rank": _link_host_rank_sql(),
+        "robots_gate": _robots_gate_sql(),
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),

@@ -250,6 +250,8 @@ def main() -> None:
         "link_host_rank",
         # seventh wave: zero-shuffle intra-doc paragraph dedup
         "para_dedup_intra",
+        # eighth wave: RFC 9309 crawl-politeness gate
+        "robots_gate",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -270,7 +272,7 @@ def main() -> None:
         "bpe_token_counts", "link_pagerank", "nb_confusion",
         "boilerplate_corpus", "boilerplate_corpus_lang",
         "char_entropy", "kmeans_clusters", "link_host_rank",
-        "dsir_select", "para_dedup_intra",
+        "dsir_select", "para_dedup_intra", "robots_gate",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
