@@ -1614,6 +1614,58 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "host", "path", "allowed")
 
 
+# deterministic URL synthesis for the blocklist gate (shared F.expr/DuckDB
+# snippet): 4 subdomain shapes x 101 apex domains; the blocklist carries a
+# parent-domain family (j%5), a deeper more-specific family (bad.*, j%7)
+# and non-matching noise, so suffix matching, label-exactness, and
+# most-specific-match precedence are all exercised.
+_BL_URL_SQL = f"""
+'https://' ||
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN ''
+  WHEN 1 THEN 'www.'
+  WHEN 2 THEN 'bad.'
+  ELSE 'x.y.' END
+|| 'h' || CAST(doc_id % {_ROBOTS_HOST_MOD} AS VARCHAR(8)) || '.example/p'
+|| CAST(doc_id AS VARCHAR(20))
+"""
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/RefinedWeb-style domain blocklist gate: label-suffix match of
+    each page host against a blocked-domains dimension, most specific
+    entry wins.  Zero shuffles on the page side — the suffix chain is
+    unrolled into depth-indexed broadcast probes (operators/blocklist.py).
+    The oracle re-derives host and verdict from doc_id arithmetic, so the
+    URL split, suffix logic, and precedence are pinned independently."""
+    from doctor_spark.operators.blocklist import domain_blocklist_mark
+
+    pages = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(F.expr(_BL_URL_SQL).alias("url"))
+    )
+    r = spark.range(_ROBOTS_HOST_MOD)
+    apex = F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example"))
+    blocklist = (
+        r.where(F.col("id") % 5 == 0).select(apex.alias("domain"))
+        .unionByName(
+            r.where(F.col("id") % 7 == 0).select(
+                F.concat(F.lit("bad."), apex).alias("domain")
+            )
+        )
+        .unionByName(
+            r.select(
+                F.concat(F.lit("zz"), F.col("id").cast("string"),
+                         F.lit(".example")).alias("domain")
+            )
+        )
+    )
+    return domain_blocklist_mark(pages, blocklist).select(
+        "url", "host", "blocked_domain", "blocked"
+    )
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2160,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "link_host_rank": q_link_host_rank,
         "robots_gate": q_robots_gate,
+        "domain_blocklist": q_domain_blocklist,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -3033,6 +3086,35 @@ SELECT url, host, path,
     ELSE NOT (regexp_matches(path, '^/.*\\.pdf$')
               OR regexp_matches(path, '^/tmp.*/logs/'))
   END AS allowed
+FROM p
+"""
+
+
+def _domain_blocklist_sql() -> str:
+    """Oracle for the blocklist gate: re-derive host + verdict from
+    doc_id arithmetic.  Precedence hand-written: the deeper bad.* entry
+    (3 labels) beats the apex entry (2 labels) when both match."""
+    return f"""
+WITH p AS (
+  SELECT CAST(doc_id % 4 AS INT) AS v,
+         CAST(doc_id % {_ROBOTS_HOST_MOD} AS BIGINT) AS k,
+         ({_BL_URL_SQL}) AS url,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN ''
+           WHEN 1 THEN 'www.'
+           WHEN 2 THEN 'bad.'
+           ELSE 'x.y.' END
+         || 'h' || CAST(doc_id % {_ROBOTS_HOST_MOD} AS VARCHAR(8))
+         || '.example' AS host
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT url, host,
+  CASE WHEN v = 2 AND k % 7 = 0
+         THEN 'bad.h' || CAST(k AS VARCHAR(8)) || '.example'
+       WHEN k % 5 = 0
+         THEN 'h' || CAST(k AS VARCHAR(8)) || '.example'
+       ELSE NULL END AS blocked_domain,
+  (k % 5 = 0 OR (v = 2 AND k % 7 = 0)) AS blocked
 FROM p
 """
 
@@ -4096,6 +4178,7 @@ SELECT * FROM ranked WHERE rank <= 3
         "link_pagerank": _pagerank_sql(),
         "link_host_rank": _link_host_rank_sql(),
         "robots_gate": _robots_gate_sql(),
+        "domain_blocklist": _domain_blocklist_sql(),
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),

@@ -250,8 +250,9 @@ def main() -> None:
         "link_host_rank",
         # seventh wave: zero-shuffle intra-doc paragraph dedup
         "para_dedup_intra",
-        # eighth wave: RFC 9309 crawl-politeness gate
+        # eighth wave: RFC 9309 crawl-politeness gate + UT1 blocklist
         "robots_gate",
+        "domain_blocklist",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
@@ -273,6 +274,7 @@ def main() -> None:
         "boilerplate_corpus", "boilerplate_corpus_lang",
         "char_entropy", "kmeans_clusters", "link_host_rank",
         "dsir_select", "para_dedup_intra", "robots_gate",
+        "domain_blocklist",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
