@@ -1666,6 +1666,70 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic PNG synthesis for the perceptual image dedup query.
+# 50 base patterns; each document renders its pattern (doc_id % 50) as a
+# REAL PNG (the from-scratch encoder) with a per-document ±1 pixel noise
+# field whose per-cell ones-count is EXACTLY 32 (13 odd ⇒ parity
+# alternates along each row ⇒ 4 ones per 8 pixels), so every dHash cell
+# mean is bit-identical across copies: hash(pattern, any doc) ==
+# hash(pattern).  Pattern grids are 8-level pseudo-random per cell;
+# all 50 hashes are pairwise distinct (pinned in tests/test_imagedup.py),
+# so perceptual clusters == doc_id % 50 classes by construction and the
+# oracle reduces to doc_id arithmetic.
+_IMG_PATTERNS = 50
+
+
+def _synth_pattern_png(doc_id: int) -> bytes:
+    import numpy as np
+
+    from doctor_spark.kernels.png import encode_png
+
+    p = doc_id % _IMG_PATTERNS
+    # integer hash with avalanche (xorshift-multiply): a plain
+    # linear-mix-mod-8 has period 8 in p and collides patterns
+    v = (np.uint64(p) * np.uint64(1000003)) + np.arange(72, dtype=np.uint64)
+    v ^= v >> np.uint64(7)
+    v *= np.uint64(2654435761)
+    v ^= v >> np.uint64(13)
+    grid = (8 + 32 * (v % np.uint64(8))).astype(np.uint8).reshape(8, 9)
+    img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)  # 64 x 72
+    x = np.arange(72, dtype=np.int64)[None, :]
+    y = np.arange(64, dtype=np.int64)[:, None]
+    noise = ((doc_id + 13 * x + 7 * y) % 2).astype(np.uint8)
+    return encode_png(img + noise)
+
+
+def _synth_png_udf():
+    import pandas as pd  # noqa: F401 — annotation namespace below
+
+    def udf(doc_id):
+        return doc_id.map(lambda i: _synth_pattern_png(int(i)))
+
+    return F.pandas_udf(udf, "binary")
+
+
+def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (dHash over the from-scratch PNG codec):
+    decode + hash in one Arrow map stage, exact clusters via ONE keyed
+    groupBy on the 64-bit hash (map-side partial agg collapses each
+    cluster before the exchange).  The synthesis guarantees clusters ==
+    doc_id % 50 classes (noise-exact cell means, distinct pattern
+    hashes), so the oracle is pure doc_id arithmetic while the Spark
+    side exercises the full encode→decode→hash→group path."""
+    from doctor_spark.operators.imagedup import image_dup_clusters
+
+    imgs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", _synth_png_udf()(F.col("doc_id")).alias("payload"))
+    )
+    out = image_dup_clusters(imgs, payload_col="payload", id_col="doc_id")
+    return out.select(
+        F.col("rep_id").cast("bigint").alias("rep_doc"),
+        F.col("n_images").cast("bigint").alias("n_images"),
+    )
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2213,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_host_rank": q_link_host_rank,
         "robots_gate": q_robots_gate,
         "domain_blocklist": q_domain_blocklist,
+        "image_dup_clusters": q_image_dup_clusters,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -4179,6 +4244,11 @@ SELECT * FROM ranked WHERE rank <= 3
         "link_host_rank": _link_host_rank_sql(),
         "robots_gate": _robots_gate_sql(),
         "domain_blocklist": _domain_blocklist_sql(),
+        "image_dup_clusters": f"""
+SELECT MIN(doc_id)::BIGINT AS rep_doc, COUNT(*)::BIGINT AS n_images
+FROM documents WHERE text IS NOT NULL
+GROUP BY doc_id % {_IMG_PATTERNS}
+""",
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),

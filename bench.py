@@ -255,6 +255,12 @@ def main() -> None:
         "domain_blocklist",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
+    for name in (
+        # eighth wave, single rep: perceptual image dedup — a ~25 s
+        # PNG encode+decode+hash map stage at sf0.1, like the codec slots
+        "image_dup_clusters",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).collect(), reps=1)
 
     # total spans the FIXED round-1..4 query set so "value" stays
     # comparable across rounds/machines (extract_real_docs only runs
@@ -274,7 +280,7 @@ def main() -> None:
         "boilerplate_corpus", "boilerplate_corpus_lang",
         "char_entropy", "kmeans_clusters", "link_host_rank",
         "dsir_select", "para_dedup_intra", "robots_gate",
-        "domain_blocklist",
+        "domain_blocklist", "image_dup_clusters",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
