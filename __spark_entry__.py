@@ -1730,6 +1730,64 @@ def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic WAV synthesis for the perceptual audio dedup query — the
+# image construction transposed to time: 40 envelope patterns, 65 frames
+# of 64 samples; every sample is positive (A + {0,1} noise with exactly
+# 32 ones per frame, so each frame's integer mean energy is EXACTLY its
+# pattern level) ⇒ fingerprint(pattern, any doc) == fingerprint(pattern),
+# and clusters == doc_id % 40 classes.  Distinctness of the 40
+# fingerprints is pinned in tests/test_audiodup.py.
+_AUD_PATTERNS = 40
+
+
+def _synth_pattern_wav(doc_id: int) -> bytes:
+    import numpy as np
+
+    from doctor_spark.kernels.audio import write_wav
+
+    p = doc_id % _AUD_PATTERNS
+    v = (np.uint64(p) * np.uint64(9176) + np.uint64(77)) + np.arange(
+        65, dtype=np.uint64
+    )
+    v ^= v >> np.uint64(7)
+    v *= np.uint64(2654435761)
+    v ^= v >> np.uint64(13)
+    levels = (64 * (1 + (v % np.uint64(8)))).astype(np.int64)  # 64..512
+    samples = np.repeat(levels, 64)  # 65 frames x 64 samples
+    j = np.arange(samples.shape[0], dtype=np.int64)
+    samples = (samples + (doc_id + j) % 2).astype(np.int16)
+    return write_wav(8000, samples)
+
+
+def _synth_wav_udf():
+    import pandas as pd  # noqa: F401
+
+    def udf(doc_id):
+        return doc_id.map(lambda i: _synth_pattern_wav(int(i)))
+
+    return F.pandas_udf(udf, "binary")
+
+
+def q_audio_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup (energy-envelope fingerprint over the
+    from-scratch RIFF/WAV parser): decode + hash in one Arrow map stage,
+    exact clusters via ONE keyed groupBy.  Synthesis guarantees clusters
+    == doc_id % 40 classes, so the oracle is doc_id arithmetic while the
+    Spark side exercises the full WAV-encode→parse→hash→group path."""
+    from doctor_spark.operators.audiodup import audio_dup_clusters
+
+    clips = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", _synth_wav_udf()(F.col("doc_id")).alias("payload"))
+    )
+    out = audio_dup_clusters(clips, payload_col="payload", id_col="doc_id")
+    return out.select(
+        F.col("rep_id").cast("bigint").alias("rep_doc"),
+        F.col("n_clips").cast("bigint").alias("n_clips"),
+    )
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2278,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "domain_blocklist": q_domain_blocklist,
         "image_dup_clusters": q_image_dup_clusters,
+        "audio_dup_clusters": q_audio_dup_clusters,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -4248,6 +4307,11 @@ SELECT * FROM ranked WHERE rank <= 3
 SELECT MIN(doc_id)::BIGINT AS rep_doc, COUNT(*)::BIGINT AS n_images
 FROM documents WHERE text IS NOT NULL
 GROUP BY doc_id % {_IMG_PATTERNS}
+""",
+        "audio_dup_clusters": f"""
+SELECT MIN(doc_id)::BIGINT AS rep_doc, COUNT(*)::BIGINT AS n_clips
+FROM documents WHERE text IS NOT NULL
+GROUP BY doc_id % {_AUD_PATTERNS}
 """,
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),

@@ -256,9 +256,10 @@ def main() -> None:
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
-        # eighth wave, single rep: perceptual image dedup — a ~25 s
-        # PNG encode+decode+hash map stage at sf0.1, like the codec slots
+        # eighth wave, single rep: perceptual image/audio dedup — codec
+        # encode+decode+hash map stages at sf0.1, like the codec slots
         "image_dup_clusters",
+        "audio_dup_clusters",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect(), reps=1)
 
@@ -280,7 +281,7 @@ def main() -> None:
         "boilerplate_corpus", "boilerplate_corpus_lang",
         "char_entropy", "kmeans_clusters", "link_host_rank",
         "dsir_select", "para_dedup_intra", "robots_gate",
-        "domain_blocklist", "image_dup_clusters",
+        "domain_blocklist", "image_dup_clusters", "audio_dup_clusters",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -88,50 +88,16 @@ def image_near_pairs(
     n_bands: int = 4,
 ) -> DataFrame:
     """Near-duplicate image pairs by dHash Hamming distance ≤
-    ``max_hamming`` — band-bucketed and COMPLETE (pigeonhole: signatures
-    differing in < ``n_bands`` bits share at least one of ``n_bands``
-    equal slices), JVM ``bit_count`` rescore.  Columns: id_a, id_b,
-    hamming."""
-    if max_hamming >= n_bands:
-        raise ValueError("completeness needs max_hamming < n_bands")
-    if 64 % n_bands:
-        raise ValueError("n_bands must divide 64")
-    band_width = 64 // n_bands
-    mask = (1 << band_width) - 1
-    # no isNotNull filter: a NULL signature yields NULL band keys, which
-    # the inner equi-join drops for free — filtering the UDF column here
-    # would make Catalyst decode every image twice
+    ``max_hamming`` — the shared banded self-join
+    (:func:`..operators.hamming.banded_hamming_pairs`): pigeonhole-
+    complete, JVM ``bit_count`` rescore.  Columns: id_a, id_b, hamming.
+
+    No isNotNull filter on the hash: a NULL signature yields NULL band
+    keys, which the inner equi-join drops for free — filtering the UDF
+    column here would make Catalyst decode every image twice."""
+    from .hamming import banded_hamming_pairs
+
     sigs = image_dhash(df, payload_col, id_col).withColumnRenamed(
         "dhash", "sig"
     )
-    stacked = sigs.select(
-        "id", "sig",
-        F.posexplode(
-            F.array(*[
-                F.shiftright(F.col("sig"), b * band_width).bitwiseAND(
-                    F.lit(mask)
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("band_no", "band_val"),
-    ).repartition(F.col("band_no"), F.col("band_val"))
-    left = stacked.select(
-        "band_no", "band_val",
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
-    )
-    right = stacked.select(
-        "band_no", "band_val",
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
-    )
-    return (
-        left.join(right, ["band_no", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.bit_count(
-                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-            ).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    return banded_hamming_pairs(sigs, max_hamming, n_bands)
