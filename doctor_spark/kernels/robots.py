@@ -27,16 +27,25 @@ Semantics implemented (RFC 9309 §2):
 - patterns: ``*`` matches any character run, a trailing ``$`` anchors the
   end; otherwise a pattern is a path prefix.
 
+``Crawl-delay`` (a de-facto extension, not in RFC 9309) is parsed by
+:func:`crawl_delay_ms` with the same group-selection rule — the fetch
+scheduler's per-host politeness interval.
+
 Out of scope (documented): percent-encoding normalization of pattern vs
-path octets, ``Crawl-delay``/``Sitemap`` directives (non-rule lines are
-ignored), and the 500 KiB size cap (callers truncate).
+path octets, ``Sitemap`` directives (non-rule lines are ignored), and
+the 500 KiB size cap (callers truncate).
 """
 
 from __future__ import annotations
 
 import re
 
-__all__ = ["compile_robots", "pattern_to_regex", "robots_allowed"]
+__all__ = [
+    "compile_robots",
+    "crawl_delay_ms",
+    "pattern_to_regex",
+    "robots_allowed",
+]
 
 _LINE_RE = re.compile(r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$")
 
@@ -54,24 +63,15 @@ def pattern_to_regex(pattern: str) -> str:
     return "^" + ".*".join(parts) + ("$" if anchored else "")
 
 
-def compile_robots(body, agent: str) -> list[tuple[bool, int, str]]:
-    """Parse a robots.txt body and compile the rule list that applies to
-    ``agent``, ready for first-match evaluation.
-
-    Returns ``[(allow, pattern_len, regex), ...]`` sorted by
-    ``(pattern_len DESC, allow DESC)`` so the FIRST rule whose regex
-    matches the path is the RFC 9309 verdict (longest match, Allow wins
-    ties).  An empty list means everything is allowed.
-    """
+def _parse_groups(body) -> list[tuple[list[str], list[tuple[bool, str]], list[str]]]:
+    """robots.txt body → ``[(ua_tokens, rules, crawl_delays), ...]``."""
     if body is None:
         return []
     if isinstance(body, (bytes, bytearray)):
         body = bytes(body).decode("utf-8", errors="replace")
     body = body.lstrip("﻿")
-    agent_l = agent.lower()
 
-    # group parse: list of (ua_tokens, rules)
-    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    groups: list[tuple[list[str], list[tuple[bool, str]], list[str]]] = []
     cur_uas: list[str] = []
     in_ua_run = False
     for raw in body.splitlines():
@@ -89,40 +89,82 @@ def compile_robots(body, agent: str) -> list[tuple[bool, int, str]]:
                 cur_uas.append(ua)
             else:
                 cur_uas = [ua]
-                groups.append((cur_uas, []))
+                groups.append((cur_uas, [], []))
             in_ua_run = True
         elif key in ("allow", "disallow"):
             in_ua_run = False
             if groups and val:  # empty pattern = no-op rule
                 groups[-1][1].append((key == "allow", val))
-        else:
-            # Sitemap/Crawl-delay/unknown: ends a UA run, contributes no rule
+        elif key == "crawl-delay":
             in_ua_run = False
+            if groups and val:
+                groups[-1][2].append(val)
+        else:
+            # Sitemap/unknown: ends a UA run, contributes no rule
+            in_ua_run = False
+    return groups
 
-    # group selection: longest specific prefix token, else the '*' groups
+
+def _select_groups(groups, agent: str):
+    """The group(s) whose agent token is the longest case-insensitive
+    prefix of ``agent``; the '*' groups only when no specific token
+    matches."""
+    agent_l = agent.lower()
     best_len = -1
-    for uas, _rules in groups:
+    for uas, _r, _d in groups:
         for ua in uas:
             if ua != "*" and agent_l.startswith(ua) and len(ua) > best_len:
                 best_len = len(ua)
-    rules: list[tuple[bool, str]] = []
     if best_len >= 0:
-        for uas, grules in groups:
+        return [
+            g
+            for g in groups
             if any(
                 ua != "*" and len(ua) == best_len and agent_l.startswith(ua)
-                for ua in uas
-            ):
-                rules.extend(grules)
-    else:
-        for uas, grules in groups:
-            if "*" in uas:
-                rules.extend(grules)
+                for ua in g[0]
+            )
+        ]
+    return [g for g in groups if "*" in g[0]]
 
+
+def compile_robots(body, agent: str) -> list[tuple[bool, int, str]]:
+    """Parse a robots.txt body and compile the rule list that applies to
+    ``agent``, ready for first-match evaluation.
+
+    Returns ``[(allow, pattern_len, regex), ...]`` sorted by
+    ``(pattern_len DESC, allow DESC)`` so the FIRST rule whose regex
+    matches the path is the RFC 9309 verdict (longest match, Allow wins
+    ties).  An empty list means everything is allowed.
+    """
+    rules: list[tuple[bool, str]] = []
+    for _uas, grules, _delays in _select_groups(_parse_groups(body), agent):
+        rules.extend(grules)
     compiled = [
         (allow, len(pat), pattern_to_regex(pat)) for allow, pat in rules
     ]
     compiled.sort(key=lambda r: (-r[1], not r[0]))
     return compiled
+
+
+def crawl_delay_ms(body, agent: str) -> int | None:
+    """``Crawl-delay`` (seconds, possibly fractional) for ``agent`` in
+    integer MILLISECONDS, or None when the selected group carries no
+    parseable delay.  Group selection is the RFC rule (a specific match
+    excludes '*'); when merged groups disagree the MAXIMUM wins — the
+    conservative politeness choice.  Negative and non-numeric values are
+    ignored."""
+    best: int | None = None
+    for _uas, _rules, delays in _select_groups(_parse_groups(body), agent):
+        for raw in delays:
+            try:
+                ms = round(float(raw) * 1000)
+            except ValueError:
+                continue
+            if ms < 0:
+                continue
+            if best is None or ms > best:
+                best = ms
+    return best
 
 
 def robots_allowed(body, agent: str, path: str) -> bool:

@@ -54,6 +54,32 @@ def robots_verdict(rules: Column, path: Column) -> Column:
     )
 
 
+def robots_crawl_delays(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    body_col: str = "robots_body",
+) -> DataFrame:
+    """Per-host politeness interval for the fetch scheduler:
+    ``(host, crawl_delay_ms)`` — NULL when the host's robots.txt names no
+    parseable ``Crawl-delay`` for ``agent``.  One Arrow pass over the
+    dimension table (the same ~1-row-per-host side the gate compiles)."""
+
+    @F.pandas_udf("bigint")
+    def delay_udf(body: pd.Series) -> pd.Series:
+        from ..kernels.robots import crawl_delay_ms
+
+        # nullable Int64: NULLs in a plain series coerce int64 → float64
+        return pd.Series(
+            (crawl_delay_ms(b, agent) for b in body), dtype="Int64"
+        )
+
+    return robots.select(
+        F.col(host_col).alias("host"),
+        delay_udf(F.col(body_col)).alias("crawl_delay_ms"),
+    )
+
+
 _ROBOTS_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+/robots\.txt(?:[?#].*)?$"
 
 

@@ -150,6 +150,48 @@ def test_robots_gate_matches_kernel_and_keeps_pages_jvm_only(spark):
     assert final.count("EvalPython") == 1, final
 
 
+def test_crawl_delay_group_selection_and_parsing():
+    from doctor_spark.kernels.robots import crawl_delay_ms
+
+    body = (
+        "User-agent: trainingbot\n"
+        "Crawl-delay: 2.5\n"
+        "Disallow: /x/\n"
+        "User-agent: *\n"
+        "Crawl-delay: 10\n"
+    )
+    # specific group excludes the '*' delay too
+    assert crawl_delay_ms(body, AGENT) == 2500
+    assert crawl_delay_ms(body, "otherbot") == 10000
+    assert crawl_delay_ms("User-agent: *\nDisallow: /\n", AGENT) is None
+    assert crawl_delay_ms(None, AGENT) is None
+    # junk / negative values ignored; merged same-token groups take max
+    assert crawl_delay_ms(
+        "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -4\n", AGENT
+    ) is None
+    assert crawl_delay_ms(
+        "User-agent: a\nCrawl-delay: 1\nUser-agent: a\nCrawl-delay: 3\n",
+        "a-bot",
+    ) == 3000
+
+
+def test_robots_crawl_delays_operator(spark):
+    from doctor_spark.operators.robots import robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("a.test", "User-agent: *\nCrawl-delay: 1.5\n"),
+            ("b.test", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, robots_body string",
+    )
+    got = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in robots_crawl_delays(robots, AGENT).collect()
+    }
+    assert got == {"a.test": 1500, "b.test": None}
+
+
 def test_robots_from_warc_pages_end_to_end(spark, tmp_path):
     """Common-Crawl shape: /robots.txt fetches ride in the same WARC as
     the pages they govern.  The dimension builder must pick the LATEST
