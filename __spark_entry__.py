@@ -1788,6 +1788,65 @@ def q_audio_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic frame-stack synthesis for the video dedup query: 30
+# patterns; each doc renders its pattern as 8 frames whose per-pixel
+# noise has EXACTLY 4 ones across the frame axis ((doc+x+y+t) % 2 with 8
+# frames ⇒ 4), so the integer temporal-mean frame is bit-identical to
+# the base pattern and vhash(pattern, any doc) == vhash(pattern).
+# Distinctness of the 30 fingerprints is pinned in tests/test_videodup.py.
+_VID_PATTERNS = 30
+
+
+def _synth_pattern_video(doc_id: int) -> bytes:
+    import numpy as np
+
+    from doctor_spark.operators.multimodal import encode_video
+
+    p = doc_id % _VID_PATTERNS
+    v = (np.uint64(p) * np.uint64(524287) + np.uint64(11)) + np.arange(
+        72, dtype=np.uint64
+    )
+    v ^= v >> np.uint64(7)
+    v *= np.uint64(2654435761)
+    v ^= v >> np.uint64(13)
+    grid = (8 + 32 * (v % np.uint64(8))).astype(np.uint8).reshape(8, 9)
+    base = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)  # 64 x 72
+    x = np.arange(72, dtype=np.int64)[None, None, :]
+    y = np.arange(64, dtype=np.int64)[None, :, None]
+    t = np.arange(8, dtype=np.int64)[:, None, None]
+    noise = ((doc_id + x + y + t) % 2).astype(np.uint8)
+    return encode_video(base[None, :, :] + noise)
+
+
+def _synth_video_udf():
+    import pandas as pd  # noqa: F401
+
+    def udf(doc_id):
+        return doc_id.map(lambda i: _synth_pattern_video(int(i)))
+
+    return F.pandas_udf(udf, "binary")
+
+
+def q_video_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video dedup (temporal-mean-frame dHash): decode + hash
+    in one Arrow map stage, exact clusters via ONE keyed groupBy.  The
+    synthesis guarantees clusters == doc_id % 30 classes, so the oracle
+    is doc_id arithmetic while the Spark side exercises the full
+    frame-stack encode→decode→mean→hash→group path."""
+    from doctor_spark.operators.videodup import video_dup_clusters
+
+    clips = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", _synth_video_udf()(F.col("doc_id")).alias("payload"))
+    )
+    out = video_dup_clusters(clips, payload_col="payload", id_col="doc_id")
+    return out.select(
+        F.col("rep_id").cast("bigint").alias("rep_doc"),
+        F.col("n_clips").cast("bigint").alias("n_clips"),
+    )
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2337,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "image_dup_clusters": q_image_dup_clusters,
         "audio_dup_clusters": q_audio_dup_clusters,
+        "video_dup_clusters": q_video_dup_clusters,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -4312,6 +4372,11 @@ GROUP BY doc_id % {_IMG_PATTERNS}
 SELECT MIN(doc_id)::BIGINT AS rep_doc, COUNT(*)::BIGINT AS n_clips
 FROM documents WHERE text IS NOT NULL
 GROUP BY doc_id % {_AUD_PATTERNS}
+""",
+        "video_dup_clusters": f"""
+SELECT MIN(doc_id)::BIGINT AS rep_doc, COUNT(*)::BIGINT AS n_clips
+FROM documents WHERE text IS NOT NULL
+GROUP BY doc_id % {_VID_PATTERNS}
 """,
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),

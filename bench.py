@@ -260,6 +260,7 @@ def main() -> None:
         # encode+decode+hash map stages at sf0.1, like the codec slots
         "image_dup_clusters",
         "audio_dup_clusters",
+        "video_dup_clusters",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect(), reps=1)
 
@@ -282,6 +283,7 @@ def main() -> None:
         "char_entropy", "kmeans_clusters", "link_host_rank",
         "dsir_select", "para_dedup_intra", "robots_gate",
         "domain_blocklist", "image_dup_clusters", "audio_dup_clusters",
+        "video_dup_clusters",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

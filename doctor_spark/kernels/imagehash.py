@@ -80,3 +80,17 @@ def dhash64(pixels: np.ndarray) -> int:
 def hamming64(a: int, b: int) -> int:
     """Hamming distance between two signed-int64 hashes."""
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def vhash64(frames: np.ndarray) -> int:
+    """uint8 frame stack (n, h, w) → 64-bit video fingerprint: the dHash
+    of the integer temporal-mean frame.  Frame-order permutations,
+    uniform re-timing, and per-frame noise that cancels in the mean all
+    leave the hash unchanged — the cheap-and-robust video analog of the
+    image hash (per-frame dHashing + the Hamming join handles harder
+    edits)."""
+    f = np.asarray(frames)
+    if f.ndim != 3 or f.shape[0] < 1:
+        raise ValueError("expected a (n_frames, h, w) stack")
+    mean = f.astype(np.int64).sum(axis=0) // f.shape[0]
+    return dhash64(mean)
