@@ -1847,6 +1847,56 @@ def q_video_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused page-admission recipe (the first stage a FineWeb/
+    RefinedWeb-style crawl pipeline runs): domain blocklist THEN robots
+    verdict, composed in ONE plan where both dimensions broadcast — the
+    10^12-row page side never shuffles.  ``reason`` reports the first
+    failing gate (blocklist outranks robots, matching the order a real
+    pipeline applies them — a blocked domain is never even fetched).
+    Reuses the robots synthesis (101 hosts × 7 paths × 4 templates) plus
+    an apex blocklist on k%9==0 hosts, so the oracle is the two spec
+    replays composed."""
+    from doctor_spark.operators.blocklist import domain_blocklist_mark
+    from doctor_spark.operators.robots import robots_gate
+
+    pages = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(F.expr(_ROBOTS_URL_SQL).alias("url"))
+    )
+    r = spark.range(_ROBOTS_HOST_MOD)
+    blocklist = r.where(F.col("id") % 9 == 0).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("domain")
+    )
+    hosts = r.select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("host"),
+        (F.col("id") % 4).alias("tpl"),
+    )
+    robots = hosts.where(F.col("tpl") < 3).select(
+        "host",
+        F.when(F.col("tpl") == 0, F.lit(_ROBOTS_TPL[0]))
+        .when(F.col("tpl") == 1, F.lit(_ROBOTS_TPL[1]))
+        .otherwise(F.lit(_ROBOTS_TPL[2]))
+        .alias("robots_body"),
+    )
+    marked = domain_blocklist_mark(pages, blocklist).drop("host")
+    gated = robots_gate(marked, robots, agent="trainingbot/1.0")
+    reason = (
+        F.when(F.col("blocked"), F.lit("blocklist"))
+        .when(~F.col("allowed"), F.lit("robots"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return gated.select(
+        "url",
+        "host",
+        reason.alias("reason"),
+        (~F.col("blocked") & F.col("allowed")).alias("admitted"),
+    )
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2397,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_clusters": q_image_dup_clusters,
         "audio_dup_clusters": q_audio_dup_clusters,
         "video_dup_clusters": q_video_dup_clusters,
+        "url_admission": q_url_admission,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -3300,6 +3351,47 @@ SELECT url, host,
        ELSE NULL END AS blocked_domain,
   (k % 5 = 0 OR (v = 2 AND k % 7 = 0)) AS blocked
 FROM p
+"""
+
+
+def _url_admission_sql() -> str:
+    """Oracle for the fused admission recipe: the blocklist and robots
+    spec replays composed, blocklist first."""
+    return f"""
+WITH p AS (
+  SELECT 'h' || CAST(doc_id % {_ROBOTS_HOST_MOD} AS VARCHAR(8)) || '.example'
+           AS host,
+         (doc_id % {_ROBOTS_HOST_MOD}) % 9 = 0 AS blocked,
+         CAST((doc_id % {_ROBOTS_HOST_MOD}) % 4 AS INT) AS tpl,
+         CASE CAST(doc_id % 7 AS INT)
+           WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR(20))
+           WHEN 1 THEN '/private/public/x' || CAST(doc_id AS VARCHAR(20))
+           WHEN 2 THEN '/no-train/x' || CAST(doc_id AS VARCHAR(20))
+           WHEN 3 THEN '/'
+           WHEN 4 THEN '/docs/a' || CAST(doc_id AS VARCHAR(20)) || '.pdf'
+           WHEN 5 THEN '/tmp' || CAST(doc_id AS VARCHAR(20)) || '/logs/y'
+           ELSE '/ok' END AS path,
+         ({_ROBOTS_URL_SQL}) AS url
+  FROM documents WHERE text IS NOT NULL
+), v AS (
+  SELECT url, host, blocked,
+    CASE
+      WHEN tpl = 3 THEN TRUE
+      WHEN tpl = 0 THEN CASE WHEN path LIKE '/private/public/%' THEN TRUE
+                             WHEN path LIKE '/private/%' THEN FALSE
+                             ELSE TRUE END
+      WHEN tpl = 1 THEN NOT path LIKE '/no-train/%'
+      ELSE NOT (regexp_matches(path, '^/.*\\.pdf$')
+                OR regexp_matches(path, '^/tmp.*/logs/'))
+    END AS allowed
+  FROM p
+)
+SELECT url, host,
+  CASE WHEN blocked THEN 'blocklist'
+       WHEN NOT allowed THEN 'robots'
+       ELSE NULL END AS reason,
+  (NOT blocked AND allowed) AS admitted
+FROM v
 """
 
 
@@ -4378,6 +4470,7 @@ SELECT MIN(doc_id)::BIGINT AS rep_doc, COUNT(*)::BIGINT AS n_clips
 FROM documents WHERE text IS NOT NULL
 GROUP BY doc_id % {_VID_PATTERNS}
 """,
+        "url_admission": _url_admission_sql(),
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),

@@ -253,6 +253,7 @@ def main() -> None:
         # eighth wave: RFC 9309 crawl-politeness gate + UT1 blocklist
         "robots_gate",
         "domain_blocklist",
+        "url_admission",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -283,6 +284,7 @@ def main() -> None:
         "char_entropy", "kmeans_clusters", "link_host_rank",
         "dsir_select", "para_dedup_intra", "robots_gate",
         "domain_blocklist", "image_dup_clusters", "audio_dup_clusters",
+        "url_admission",
         "video_dup_clusters",
     }
     total = round(

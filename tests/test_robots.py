@@ -192,6 +192,25 @@ def test_robots_crawl_delays_operator(spark):
     assert got == {"a.test": 1500, "b.test": None}
 
 
+def test_url_admission_fused_plan_zero_corpus_shuffle(spark):
+    """The fused admission recipe (blocklist -> robots) must keep the
+    page side shuffle-free: both dimensions broadcast; the only hash
+    exchange allowed is the blocklist's own dedup."""
+    import re
+
+    import __spark_entry__ as entry
+
+    out = entry.queries()["url_admission"](spark, "/root/testdata/sf0.001")
+    assert out.count() == 500
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    keyed = re.findall(r"Exchange hashpartitioning\((\w+)", final)
+    assert all(k.startswith("_bl") for k in keyed), final
+
+
 def test_robots_from_warc_pages_end_to_end(spark, tmp_path):
     """Common-Crawl shape: /robots.txt fetches ride in the same WARC as
     the pages they govern.  The dimension builder must pick the LATEST
