@@ -1897,6 +1897,113 @@ def q_url_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic head-markup synthesis for the page-metadata query (the
+# _URL_SYNTH_SQL discipline: ONE snippet parsed by Spark's F.expr AND
+# spliced verbatim into the DuckDB oracle).  Six arms by doc_id % 6
+# exercise the kernel's rules: lowercase/UPPERCASE tags+attrs, double vs
+# single quotes, entity refs in title text AND attribute values,
+# whitespace collapse, rel token lists, meta-vs-<time> publication
+# precedence, duplicate-field first-wins, comment decoys, valueless
+# meta, and the all-absent arm.  The oracle never parses markup — it
+# replays the EXPECTED six fields per arm, so parser, RCDATA title
+# mode, attr unescaping and precedence are verified independently.
+_META_HTML_SYNTH_SQL = """
+CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN '<html lang="en"><head><title>Doc ' || CAST(doc_id AS VARCHAR(20)) ||
+    ' &amp; more</title><meta name="description" content="desc ' ||
+    CAST(doc_id AS VARCHAR(20)) || '"><link rel="canonical" href="https://ex.com/d/' ||
+    CAST(doc_id AS VARCHAR(20)) || '"><meta property="og:title" content="og ' ||
+    CAST(doc_id AS VARCHAR(20)) ||
+    '"><meta property="article:published_time" content="2024-01-02T03:04:05Z">' ||
+    '</head><body><p>b</p></body></html>'
+  WHEN 1 THEN '<HTML LANG=''fr''><HEAD><TITLE>  T   ' || CAST(doc_id AS VARCHAR(20)) ||
+    '  </TITLE><META NAME=''Description'' CONTENT=''D ' || CAST(doc_id AS VARCHAR(20)) ||
+    '''></HEAD><BODY><TIME DATETIME=''2023-12-31T23:59:59Z''>then</TIME></BODY></HTML>'
+  WHEN 2 THEN '<html><head><link rel="alternate canonical" href="https://c.example/p/' ||
+    CAST(doc_id AS VARCHAR(20)) || '"><meta property="og:title" content="OG ' ||
+    CAST(doc_id AS VARCHAR(20)) || '"></head><body>x</body></html>'
+  WHEN 3 THEN '<p>plain ' || CAST(doc_id AS VARCHAR(20)) || '</p>'
+  WHEN 4 THEN '<html lang="de"><head><meta name="description" content="first ' ||
+    CAST(doc_id AS VARCHAR(20)) ||
+    '"><meta name="description" content="second"><title>A ' ||
+    CAST(doc_id AS VARCHAR(20)) || '</title><title>B</title>' ||
+    '<meta property="article:published_time" content="2020-05-06T07:08:09Z">' ||
+    '</head><body><time datetime="1999-01-01">old</time></body></html>'
+  ELSE '<html lang="pt"><head><!-- <title>not this</title> --><title>R ' ||
+    CAST(doc_id AS VARCHAR(20)) || '</title><meta name="description" content="x &amp; y ' ||
+    CAST(doc_id AS VARCHAR(20)) || '"><link rel="canonical" href="/relative/' ||
+    CAST(doc_id AS VARCHAR(20)) || '"><meta content="no-name"></head></html>'
+END
+"""
+
+
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (trafilatura/htmldate's stage): title,
+    meta description, canonical link, og:title, publication timestamp
+    (meta article:published_time beats <time datetime>), and the <html>
+    lang attribute, pulled from tag-soup BINARY html by the RCDATA-aware
+    HTMLParser kernel.  Map-only — one Arrow batch, zero shuffles; the
+    plan at 10^12 pages is scan → ArrowEvalPython → project.
+
+    No reference counterpart: doctor's HTML path discards <head>
+    entirely (doctor/tasks.py:361-370); this is the metadata stage a
+    web-corpus pipeline runs next to extraction."""
+    from doctor_spark.operators.metadata import page_metadata
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.encode(F.expr(_META_HTML_SYNTH_SQL), "utf-8").alias("html"),
+    )
+    return page_metadata(pages).drop("html")
+
+
+# deterministic anchor-markup synthesis for the link-text query: 13
+# target hosts, three anchor shapes per page (a high-frequency 'home'
+# text vs a per-host 'about k' minority, an entity-ref + whitespace-noise
+# text on an UPPERCASE-scheme href, an image-only empty-text anchor that
+# must be dropped) plus relative/javascript links that carry no edge.
+_ANCHOR_HOST_MOD = 13
+_ANCHOR_HTML_SYNTH_SQL = f"""
+'<html><body><a href="http://t' || CAST(doc_id % {_ANCHOR_HOST_MOD} AS VARCHAR(4)) ||
+'.example/a">' ||
+CASE WHEN doc_id % 4 = 3
+     THEN 'about ' || CAST(doc_id % {_ANCHOR_HOST_MOD} AS VARCHAR(4))
+     ELSE 'home' END ||
+'</a><A HREF=" HTTP://T' || CAST((doc_id * 3 + 1) % {_ANCHOR_HOST_MOD} AS VARCHAR(4)) ||
+'.Example/q ">' ||
+CASE WHEN doc_id % 2 = 0 THEN ' news  &amp; views ' ELSE 'contact' END ||
+'</A><a href="http://t' || CAST(doc_id % {_ANCHOR_HOST_MOD} AS VARCHAR(4)) ||
+'.example/i"><img src="x"></a>' ||
+'<a href="/rel">rel</a><a href="javascript:void(0)">js</a></body></html>'
+"""
+
+
+def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-text table (anchor-text corpora / link relevance signals):
+    per target host, the top-3 anchor strings by count with the
+    deterministic (count DESC, anchor ASC) tie-break.  The single
+    row-volume exchange is the keyed (host, anchor) count — map-side
+    combined; the rank window runs over already-aggregated rows.  The
+    oracle replays the synthesis arms as UNION ALL branches and ranks
+    with the same window — extraction (entity refs, whitespace
+    collapse, empty-text drop, scheme admission, host lowercasing) is
+    verified against the replay, never against the kernel."""
+    from doctor_spark.operators.metadata import anchor_text_topk
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.encode(F.expr(_ANCHOR_HTML_SYNTH_SQL), "utf-8").alias("html")
+    )
+    t = anchor_text_topk(pages, k=3)
+    return t.select(
+        "dst_host",
+        "anchor",
+        F.col("n_links").cast("bigint").alias("n_links"),
+        F.col("rank").cast("int").alias("rnk"),
+    )
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2448,6 +2555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup_clusters": q_audio_dup_clusters,
         "video_dup_clusters": q_video_dup_clusters,
         "url_admission": q_url_admission,
+        "page_metadata": q_page_metadata,
+        "anchor_text_topk": q_anchor_text_topk,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -3286,6 +3395,79 @@ SELECT node AS host, rank_micro::BIGINT AS rank_micro
 FROM r{n_iter}
 """
     )
+
+
+def _page_metadata_sql() -> str:
+    """Oracle for the head-metadata query: the six EXPECTED fields
+    replayed per synthesis arm (the robots-oracle discipline — no
+    markup parsing in SQL, so the kernel's RCDATA title mode, attribute
+    unescaping, rel token-list matching, first-wins duplicates and the
+    meta-beats-<time> precedence are all verified independently)."""
+    return """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 6 AS INT) AS m,
+         CAST(doc_id AS VARCHAR(20)) AS i
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  CASE m WHEN 0 THEN 'Doc ' || i || ' & more'
+         WHEN 1 THEN 'T ' || i
+         WHEN 4 THEN 'A ' || i
+         WHEN 5 THEN 'R ' || i
+         ELSE NULL END AS title,
+  CASE m WHEN 0 THEN 'desc ' || i
+         WHEN 1 THEN 'D ' || i
+         WHEN 4 THEN 'first ' || i
+         WHEN 5 THEN 'x & y ' || i
+         ELSE NULL END AS description,
+  CASE m WHEN 0 THEN 'https://ex.com/d/' || i
+         WHEN 2 THEN 'https://c.example/p/' || i
+         WHEN 5 THEN '/relative/' || i
+         ELSE NULL END AS canonical_url,
+  CASE m WHEN 0 THEN 'og ' || i
+         WHEN 2 THEN 'OG ' || i
+         ELSE NULL END AS og_title,
+  CASE m WHEN 0 THEN '2024-01-02T03:04:05Z'
+         WHEN 1 THEN '2023-12-31T23:59:59Z'
+         WHEN 4 THEN '2020-05-06T07:08:09Z'
+         ELSE NULL END AS published_at,
+  CASE m WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 4 THEN 'de'
+         WHEN 5 THEN 'pt' ELSE NULL END AS lang_attr
+FROM p
+"""
+
+
+def _anchor_text_topk_sql() -> str:
+    """Oracle for the link-text query: the synthesis arms replayed as
+    UNION ALL branches (admitted anchors only — the image-only empty
+    text, relative and javascript links never produce a branch), the
+    same keyed count, and the same (count DESC, anchor ASC) rank
+    window."""
+    return f"""
+WITH e AS (
+  SELECT 't' || CAST(doc_id % {_ANCHOR_HOST_MOD} AS VARCHAR(4)) || '.example'
+           AS dst_host,
+         CASE WHEN doc_id % 4 = 3
+              THEN 'about ' || CAST(doc_id % {_ANCHOR_HOST_MOD} AS VARCHAR(4))
+              ELSE 'home' END AS anchor
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT 't' || CAST((doc_id * 3 + 1) % {_ANCHOR_HOST_MOD} AS VARCHAR(4))
+           || '.example',
+         CASE WHEN doc_id % 2 = 0 THEN 'news & views' ELSE 'contact' END
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n_links
+  FROM e GROUP BY dst_host, anchor
+), r AS (
+  SELECT dst_host, anchor, n_links,
+         CAST(ROW_NUMBER() OVER (PARTITION BY dst_host
+                                 ORDER BY n_links DESC, anchor ASC) AS INT)
+           AS rnk
+  FROM c
+)
+SELECT dst_host, anchor, n_links, rnk FROM r WHERE rnk <= 3
+"""
 
 
 def _robots_gate_sql() -> str:
@@ -4471,6 +4653,8 @@ FROM documents WHERE text IS NOT NULL
 GROUP BY doc_id % {_VID_PATTERNS}
 """,
         "url_admission": _url_admission_sql(),
+        "page_metadata": _page_metadata_sql(),
+        "anchor_text_topk": _anchor_text_topk_sql(),
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),

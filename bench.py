@@ -254,6 +254,9 @@ def main() -> None:
         "robots_gate",
         "domain_blocklist",
         "url_admission",
+        # ninth wave: head-metadata + link-text stages
+        "page_metadata",
+        "anchor_text_topk",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -286,6 +289,7 @@ def main() -> None:
         "domain_blocklist", "image_dup_clusters", "audio_dup_clusters",
         "url_admission",
         "video_dup_clusters",
+        "page_metadata", "anchor_text_topk",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

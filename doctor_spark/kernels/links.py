@@ -15,6 +15,7 @@ soup, entity references in attribute values resolved by the parser
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 from .textfile import decode_html_ladder
@@ -69,4 +70,83 @@ def extract_hrefs(html: str | bytes | None) -> list[str]:
         scheme = href[: href.find(":") + 1].lower() if ":" in href else ""
         if scheme in ("http:", "https:") and href[len(scheme):].startswith("//"):
             out.append(href)
+    return out
+
+
+class _AnchorParser(HTMLParser):
+    """Collects ``(href, text)`` pairs in document order.
+
+    Browser anchor semantics without a DOM: anchors never nest, so a new
+    ``<a>`` start tag implicitly closes an open one; text accumulates
+    from ``handle_data`` between the start tag and the matching ``</a>``
+    (markup inside the anchor — ``<b>``, ``<img>`` — contributes only
+    its text).  An anchor left open at EOF still flushes.
+    """
+
+    _TEXT_CAP = 4096  # tag soup guard: one unclosed <a> must not buffer the page
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.anchors.append((self._href, "".join(self._buf)))
+        self._href = None
+        self._buf = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag != "a":
+            return
+        self._flush()
+        for name, value in attrs:
+            if name == "href" and value is not None:
+                self._href = value
+                break  # first href wins, like browsers
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data):  # noqa: D102
+        if self._href is not None and len(self._buf) < self._TEXT_CAP:
+            self._buf.append(data[: self._TEXT_CAP])
+
+    def close(self):  # noqa: D102 — unclosed trailing anchor flushes at EOF
+        super().close()
+        self._flush()
+
+
+_WS_RUN = re.compile(r"\s+")
+
+
+def extract_anchors(html: str | bytes | None) -> list[tuple[str, str]]:
+    """All absolute http(s) anchors of a page as ``(href, text)`` pairs,
+    in document order — the link-text ingest (anchor-text corpora and
+    link-based relevance signals are built from exactly this table).
+
+    Same admission rules as :func:`extract_hrefs` (whitespace-stripped
+    href, http/https schemes only, tag soup never raises); anchor text
+    is entity-decoded, whitespace-run-collapsed and stripped, and MAY be
+    ``''`` (image-only anchors) — empty text is the aggregation stage's
+    call to drop, not the extractor's.
+    """
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        decoded = decode_html_ladder(bytes(html))
+        if decoded is None:
+            return []
+        html = decoded[0]
+    parser = _AnchorParser()
+    parser.feed(html)
+    parser.close()
+    out: list[tuple[str, str]] = []
+    for href, text in parser.anchors:
+        href = href.strip(_HREF_STRIP)
+        scheme = href[: href.find(":") + 1].lower() if ":" in href else ""
+        if scheme in ("http:", "https:") and href[len(scheme):].startswith("//"):
+            out.append((href, _WS_RUN.sub(" ", text).strip()))
     return out

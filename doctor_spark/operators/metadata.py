@@ -1,0 +1,109 @@
+"""Page-metadata and anchor-text operators — the per-page head-metadata
+and link-text stages of a web-corpus pipeline.
+
+``page_metadata`` is the trafilatura/htmldate analog: one Arrow batch
+per partition pulls (title, description, canonical_url, og_title,
+published_at, lang_attr) out of tag-soup HTML (kernel:
+:mod:`..kernels.html_meta`).  Map-only — no shuffle; at 10^12 pages the
+plan is a scan + one ``ArrowEvalPython`` + project, the same shape as
+the extraction stage.
+
+``anchor_text_topk`` builds the link-text table (anchor-text corpora,
+link relevance signals): explode ``(href, text)`` anchors, roll up to
+the target host, and keep the top-k anchor strings per host by count.
+Scale shape: the per-(host, anchor) pre-aggregation is the map-side
+combine — the ONLY row-volume exchange is keyed on (dst_host, anchor);
+the subsequent window ranks the already-aggregated counts (tiny), so a
+hot host (every page on the web links to example.com/home) costs one
+skewed-but-AQE-splittable agg, never a collect_set blowup.
+
+No reference counterpart: doctor strips ``<a>`` tags outright
+(doctor/tasks.py:361-370) and never reads ``<head>``; these operators
+are part of the training-data-pipeline surface next to
+:mod:`.graph` (host edges) and :mod:`.boilerplate` (main content).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..kernels.html_meta import FIELDS
+
+_META_STRUCT = "struct<" + ", ".join(f"{f}:string" for f in FIELDS) + ">"
+
+
+def _meta_udf():
+    @F.pandas_udf(_META_STRUCT)
+    def meta(html: pd.Series) -> pd.DataFrame:
+        from ..kernels.html_meta import extract_page_metadata
+
+        recs = [extract_page_metadata(h) for h in html]
+        return pd.DataFrame(recs, columns=list(FIELDS))
+
+    return meta
+
+
+def page_metadata(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append the six metadata fields to ``pages`` (str or binary
+    ``html_col`` per the input contract).  One vectorized Arrow batch,
+    zero shuffles; undecodable/None pages get all-null fields."""
+    m = _meta_udf()(F.col(html_col))
+    return pages.select(
+        "*", *[m.getField(f).alias(f) for f in FIELDS]
+    )
+
+
+def _anchors_udf():
+    @F.pandas_udf("array<struct<href:string, anchor:string>>")
+    def anchors(html: pd.Series) -> pd.Series:
+        from ..kernels.links import extract_anchors
+
+        return html.map(
+            lambda h: [
+                {"href": href, "anchor": text}
+                for href, text in extract_anchors(h)
+            ]
+        )
+
+    return anchors
+
+
+def anchor_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Pages → ``(dst_host, anchor)`` link-text rows: every absolute
+    http(s) anchor contributes its lowercased target host and its
+    whitespace-collapsed text.  Empty anchor texts (image-only links)
+    are dropped here — they carry no link-text signal.  Map-only."""
+    from ..functions.urls import url_host
+
+    rows = pages.select(
+        F.explode(_anchors_udf()(F.col(html_col))).alias("a")
+    ).select(
+        url_host(F.col("a.href")).alias("dst_host"),
+        F.col("a.anchor").alias("anchor"),
+    )
+    return rows.where(
+        F.col("dst_host").isNotNull() & (F.length("anchor") > 0)
+    )
+
+
+def anchor_text_topk(
+    pages: DataFrame, k: int = 3, html_col: str = "html"
+) -> DataFrame:
+    """Top-k anchor texts per target host:
+    ``(dst_host, anchor, n_links, rank)`` with rank 1..k by
+    (count desc, anchor asc) — the deterministic tie-break both engines
+    share.  Exactly one row-volume exchange (the (host, anchor) count);
+    the rank window runs over pre-aggregated counts."""
+    counts = (
+        anchor_edges(pages, html_col=html_col)
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
