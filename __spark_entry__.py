@@ -1918,8 +1918,10 @@ CASE CAST(doc_id % 6 AS INT)
     '</head><body><p>b</p></body></html>'
   WHEN 1 THEN '<HTML LANG=''fr''><HEAD><TITLE>  T   ' || CAST(doc_id AS VARCHAR(20)) ||
     '  </TITLE><META NAME=''Description'' CONTENT=''D ' || CAST(doc_id AS VARCHAR(20)) ||
-    '''></HEAD><BODY><TIME DATETIME=''2023-12-31T23:59:59Z''>then</TIME></BODY></HTML>'
-  WHEN 2 THEN '<html><head><link rel="alternate canonical" href="https://c.example/p/' ||
+    '''><META HTTP-EQUIV=''Content-Type'' CONTENT=''text/html; charset=ISO-8859-1''>' ||
+    '</HEAD><BODY><TIME DATETIME=''2023-12-31T23:59:59Z''>then</TIME></BODY></HTML>'
+  WHEN 2 THEN '<html><head><meta charset="UTF-8">' ||
+    '<link rel="alternate canonical" href="https://c.example/p/' ||
     CAST(doc_id AS VARCHAR(20)) || '"><meta property="og:title" content="OG ' ||
     CAST(doc_id AS VARCHAR(20)) || '"></head><body>x</body></html>'
   WHEN 3 THEN '<p>plain ' || CAST(doc_id AS VARCHAR(20)) || '</p>'
@@ -1928,6 +1930,8 @@ CASE CAST(doc_id % 6 AS INT)
     '"><meta name="description" content="second"><title>A ' ||
     CAST(doc_id AS VARCHAR(20)) || '</title><title>B</title>' ||
     '<meta property="article:published_time" content="2020-05-06T07:08:09Z">' ||
+    '<meta http-equiv="refresh" content="0; url=https://m.example/' ||
+    CAST(doc_id AS VARCHAR(20)) || '">' ||
     '</head><body><time datetime="1999-01-01">old</time></body></html>'
   ELSE '<html lang="pt"><head><!-- <title>not this</title> --><title>R ' ||
     CAST(doc_id AS VARCHAR(20)) || '</title><meta name="description" content="x &amp; y ' ||
@@ -3432,7 +3436,10 @@ SELECT doc_id,
          WHEN 4 THEN '2020-05-06T07:08:09Z'
          ELSE NULL END AS published_at,
   CASE m WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 4 THEN 'de'
-         WHEN 5 THEN 'pt' ELSE NULL END AS lang_attr
+         WHEN 5 THEN 'pt' ELSE NULL END AS lang_attr,
+  CASE m WHEN 4 THEN 'https://m.example/' || i ELSE NULL END AS refresh_url,
+  CASE m WHEN 1 THEN 'iso-8859-1' WHEN 2 THEN 'utf-8'
+         ELSE NULL END AS charset
 FROM p
 """
 

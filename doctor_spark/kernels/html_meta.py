@@ -39,7 +39,18 @@ FIELDS = (
     "og_title",
     "published_at",
     "lang_attr",
+    "refresh_url",
+    "charset",
 )
+
+# <meta http-equiv="refresh" content="5; url=/next"> — the delay, an
+# optional url= key (case-insensitive, optional quotes around the
+# target), per the WHATWG shared declarative refresh steps.
+_REFRESH_URL = re.compile(
+    r"^\s*[\d.]*\s*[;,]\s*(?:url\s*=\s*)?['\"]?([^'\"\s]+)", re.IGNORECASE
+)
+# charset=... inside a content-type value
+_CONTENT_CHARSET = re.compile(r"charset\s*=\s*['\"]?([\w.:-]+)", re.IGNORECASE)
 
 
 class _MetaParser(HTMLParser):
@@ -63,6 +74,8 @@ class _MetaParser(HTMLParser):
         self.meta_published: str | None = None
         self.time_published: str | None = None
         self.lang_attr: str | None = None
+        self.refresh_url: str | None = None
+        self.charset: str | None = None
         self._in_title = False
         self._title_buf: list[str] = []
 
@@ -99,11 +112,15 @@ class _MetaParser(HTMLParser):
                 self._title_buf = []
         elif tag == "meta":
             a = self._attrs(attrs)
+            # <meta charset="..."> has no content attribute
+            if self.charset is None and a.get("charset", "").strip():
+                self.charset = a["charset"].strip().lower()
             content = a.get("content")
             if content is None:
                 return
             name = a.get("name", "").strip().lower()
             prop = a.get("property", "").strip().lower()
+            equiv = a.get("http-equiv", "").strip().lower()
             if name == "description" and self.description is None:
                 self.description = content
             elif prop == "og:title" and self.og_title is None:
@@ -113,6 +130,14 @@ class _MetaParser(HTMLParser):
                 and self.meta_published is None
             ):
                 self.meta_published = content
+            elif equiv == "refresh" and self.refresh_url is None:
+                m = _REFRESH_URL.match(content)
+                if m:
+                    self.refresh_url = m.group(1)
+            elif equiv == "content-type" and self.charset is None:
+                m = _CONTENT_CHARSET.search(content)
+                if m:
+                    self.charset = m.group(1).lower()
         elif tag == "link":
             a = self._attrs(attrs)
             # rel is a space-separated token list per the HTML spec
@@ -157,6 +182,15 @@ def extract_page_metadata(html: str | bytes | None) -> dict[str, str | None]:
       ``<time datetime=…>`` anywhere in the page; raw attribute value,
       no date normalization (that is a downstream typed cast).
     - ``lang_attr``: ``lang`` attribute of the first ``<html>`` tag.
+    - ``refresh_url``: redirect target of the first
+      ``<meta http-equiv="refresh">`` whose content carries a URL
+      (WHATWG declarative refresh: ``N; url=target``, quotes and the
+      ``url=`` key optional) — crawlers treat these pages as redirects,
+      not documents.
+    - ``charset``: the page's declared encoding, lowercased —
+      ``<meta charset=…>`` beats a ``charset=`` inside
+      ``<meta http-equiv="content-type">`` only by document order
+      (both are first-wins on the same field).
 
     bytes decode via the reference encoding ladder
     (utf-8 → ISO8859 → cp1252 → latin-1); an undecodable page yields
@@ -185,4 +219,6 @@ def extract_page_metadata(html: str | bytes | None) -> dict[str, str | None]:
         "og_title": parser.og_title,
         "published_at": parser.meta_published or parser.time_published,
         "lang_attr": parser.lang_attr,
+        "refresh_url": parser.refresh_url,
+        "charset": parser.charset,
     }

@@ -29,6 +29,8 @@ def test_meta_full_head():
         "og_title": "og",
         "published_at": "2024-01-01T00:00:00Z",
         "lang_attr": "en",
+        "refresh_url": None,
+        "charset": None,
     }
 
 
@@ -103,7 +105,7 @@ def test_meta_bytes_none_and_garbage():
         k: None
         for k in (
             "title description canonical_url og_title "
-            "published_at lang_attr".split()
+            "published_at lang_attr refresh_url charset".split()
         )
     }
     m = extract_page_metadata(b'<html lang="de"><title>B</title>')
@@ -111,6 +113,38 @@ def test_meta_bytes_none_and_garbage():
     # tag soup never raises
     extract_page_metadata("<<<>>><a <b <title x=<meta")
     extract_page_metadata(b"\xff\xfe\x00\x01 not html")
+
+
+def test_meta_refresh_forms():
+    # WHATWG declarative refresh: delay, ; or , separator, optional
+    # url= key, optional quotes
+    for content, want in [
+        ("0; url=https://t/1", "https://t/1"),
+        ('5;URL="https://t/2"', "https://t/2"),
+        ("3.5 , url='https://t/3'", "https://t/3"),
+        ("0;https://t/4", "https://t/4"),
+        ("30", None),  # pure reload, no redirect target
+    ]:
+        m = extract_page_metadata(
+            f"<meta http-equiv='Refresh' content=\"{content}\">"
+            if '"' not in content
+            else f"<meta http-equiv='Refresh' content='{content}'>"
+        )
+        assert m["refresh_url"] == want, content
+
+
+def test_meta_charset_forms_first_wins_by_order():
+    m = extract_page_metadata('<meta charset="UTF-8">')
+    assert m["charset"] == "utf-8"
+    m = extract_page_metadata(
+        '<meta http-equiv="content-type" content="text/html; charset=Windows-1252">'
+    )
+    assert m["charset"] == "windows-1252"
+    m = extract_page_metadata(
+        '<meta http-equiv="content-type" content="text/html; charset=latin-1">'
+        '<meta charset="utf-8">'
+    )
+    assert m["charset"] == "latin-1"  # document order, not form precedence
 
 
 def test_meta_valueless_attrs_ignored():
