@@ -2008,6 +2008,54 @@ def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic table-markup synthesis: four arms exercise th/td cells
+# with entity refs and whitespace (0), tag soup with implicit row/cell
+# closes and UPPERCASE tags (1), a nested table that must become its own
+# document-order-indexed table without leaking text into the outer cell
+# (2), and a no-table page contributing zero rows (3).
+_TABLE_HTML_SYNTH_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN '<table><tr><th>H1</th><th> H2 </th></tr><tr><td>a' ||
+    CAST(doc_id AS VARCHAR(20)) || '</td><td>b &amp; c</td></tr></table>'
+  WHEN 1 THEN '<TABLE><TR><TD> x ' || CAST(doc_id AS VARCHAR(20)) ||
+    ' <TD>y<TR><TD>z</TABLE>'
+  WHEN 2 THEN '<div><table><tr><td>outer' || CAST(doc_id AS VARCHAR(20)) ||
+    '<table><tr><td>inner</td></tr></table></td></tr></table></div>'
+  ELSE '<p>plain ' || CAST(doc_id AS VARCHAR(20)) || '</p>'
+END
+"""
+
+
+def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table ingest (WebTables/TableBank's stage): every <table> of
+    every page as long-form (tbl, row, col, cell) rows — the input a
+    relation-extraction or table-QA corpus builder consumes.  Map-only
+    with a Generate fan-out: scan → one Arrow batch → explode; zero
+    shuffles at any scale.  The oracle replays each synthesis arm's
+    expected grid as UNION ALL literals (robots discipline), so the
+    browser-lite table model — implicit row/cell closes, nested-table
+    isolation, entity decode, whitespace collapse — is pinned
+    independently of the kernel.
+
+    No reference counterpart: doctor flattens tables into running text
+    (doctor/tasks.py:361-370)."""
+    from doctor_spark.operators.tables import table_cells
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.encode(F.expr(_TABLE_HTML_SYNTH_SQL), "utf-8").alias("html"),
+    )
+    t = table_cells(pages)
+    return t.select(
+        "doc_id",
+        F.col("tbl").cast("int").alias("tbl"),
+        F.col("row").cast("int").alias("rw"),
+        F.col("col").cast("int").alias("cl"),
+        "cell",
+    )
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2561,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_admission": q_url_admission,
         "page_metadata": q_page_metadata,
         "anchor_text_topk": q_anchor_text_topk,
+        "table_cells": q_table_cells,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -3474,6 +3523,29 @@ WITH e AS (
   FROM c
 )
 SELECT dst_host, anchor, n_links, rnk FROM r WHERE rnk <= 3
+"""
+
+
+def _table_cells_sql() -> str:
+    """Oracle for the web-table query: each synthesis arm's expected
+    grid spelled out as UNION ALL literals — no markup parsing in
+    SQL."""
+    return """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 4 AS INT) AS m,
+         CAST(doc_id AS VARCHAR(20)) AS i
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(0 AS INT) AS tbl, CAST(0 AS INT) AS rw,
+       CAST(0 AS INT) AS cl, 'H1' AS cell FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 0, 0, 1, 'H2' FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 0, 1, 0, 'a' || i FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 0, 1, 1, 'b & c' FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 0, 0, 0, 'x ' || i FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 0, 0, 1, 'y' FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 0, 1, 0, 'z' FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 0, 0, 0, 'outer' || i FROM p WHERE m = 2
+UNION ALL SELECT doc_id, 1, 0, 0, 'inner' FROM p WHERE m = 2
 """
 
 
@@ -4662,6 +4734,7 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "url_admission": _url_admission_sql(),
         "page_metadata": _page_metadata_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
+        "table_cells": _table_cells_sql(),
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),

@@ -254,9 +254,10 @@ def main() -> None:
         "robots_gate",
         "domain_blocklist",
         "url_admission",
-        # ninth wave: head-metadata + link-text stages
+        # ninth wave: head-metadata + link-text + web-table stages
         "page_metadata",
         "anchor_text_topk",
+        "table_cells",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -289,7 +290,7 @@ def main() -> None:
         "domain_blocklist", "image_dup_clusters", "audio_dup_clusters",
         "url_admission",
         "video_dup_clusters",
-        "page_metadata", "anchor_text_topk",
+        "page_metadata", "anchor_text_topk", "table_cells",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
