@@ -2056,6 +2056,51 @@ def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic sitemap-document synthesis: urlset with a full entry
+# (entity ref in loc) + a minimal entry + a loc-less entry that must be
+# skipped (0), sitemapindex (1), the plain-text one-URL-per-line form
+# with a comment line (2), and a non-sitemap HTML page contributing
+# zero rows (3).
+_SITEMAP_SYNTH_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN '<?xml version="1.0"?><urlset><url><loc>https://s.example/p/' ||
+    CAST(doc_id AS VARCHAR(20)) ||
+    '?a=1&amp;b=2</loc><lastmod>2026-01-02</lastmod><changefreq>daily</changefreq>' ||
+    '<priority>0.8</priority></url><url><loc> https://s.example/q/' ||
+    CAST(doc_id AS VARCHAR(20)) ||
+    ' </loc></url><url><lastmod>2026-01-01</lastmod></url></urlset>'
+  WHEN 1 THEN '<sitemapindex><sitemap><loc>https://s.example/sm/' ||
+    CAST(doc_id AS VARCHAR(20)) ||
+    '.xml</loc><lastmod>2025-12-31</lastmod></sitemap></sitemapindex>'
+  WHEN 2 THEN 'https://t.example/' || CAST(doc_id AS VARCHAR(20)) ||
+    CHR(10) || '# comment' || CHR(10) || 'https://t.example/' ||
+    CAST(doc_id AS VARCHAR(20)) || '/more'
+  ELSE '<html><body>plain ' || CAST(doc_id AS VARCHAR(20)) || '</body></html>'
+END
+"""
+
+
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier ingest (sitemaps.org protocol): fetched sitemap
+    documents → one row per entry with kind routing (urlset page /
+    sitemapindex child / plain-text line).  Map-only with a Generate
+    fan-out, zero shuffles.  The oracle replays each synthesis arm's
+    expected entries as UNION ALL literals — XML-lite parsing, CDATA/
+    entity decode, loc-less skip, namespace handling are pinned by the
+    kernel pytests, the CONTRACT here.
+
+    No reference counterpart (doctor receives documents over HTTP);
+    sits next to the robots gate on the crawl side."""
+    from doctor_spark.operators.sitemaps import sitemap_entries
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.encode(F.expr(_SITEMAP_SYNTH_SQL), "utf-8").alias("html"),
+    )
+    return sitemap_entries(pages)
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2610,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "anchor_text_topk": q_anchor_text_topk,
         "table_cells": q_table_cells,
+        "sitemap_entries": q_sitemap_entries,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -3546,6 +3592,31 @@ UNION ALL SELECT doc_id, 0, 0, 1, 'y' FROM p WHERE m = 1
 UNION ALL SELECT doc_id, 0, 1, 0, 'z' FROM p WHERE m = 1
 UNION ALL SELECT doc_id, 0, 0, 0, 'outer' || i FROM p WHERE m = 2
 UNION ALL SELECT doc_id, 1, 0, 0, 'inner' FROM p WHERE m = 2
+"""
+
+
+def _sitemap_entries_sql() -> str:
+    """Oracle for the sitemap ingest: each synthesis arm's expected
+    entries as UNION ALL literals (no XML parsing in SQL)."""
+    return """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 4 AS INT) AS m,
+         CAST(doc_id AS VARCHAR(20)) AS i
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, 'urlset' AS kind,
+       'https://s.example/p/' || i || '?a=1&b=2' AS loc,
+       '2026-01-02' AS lastmod, 'daily' AS changefreq, '0.8' AS priority
+FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 'urlset', 'https://s.example/q/' || i,
+       NULL, NULL, NULL FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 'sitemapindex',
+       'https://s.example/sm/' || i || '.xml', '2025-12-31', NULL, NULL
+FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 'text', 'https://t.example/' || i,
+       NULL, NULL, NULL FROM p WHERE m = 2
+UNION ALL SELECT doc_id, 'text', 'https://t.example/' || i || '/more',
+       NULL, NULL, NULL FROM p WHERE m = 2
 """
 
 
@@ -4735,6 +4806,7 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "page_metadata": _page_metadata_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "table_cells": _table_cells_sql(),
+        "sitemap_entries": _sitemap_entries_sql(),
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),

@@ -258,6 +258,7 @@ def main() -> None:
         "page_metadata",
         "anchor_text_topk",
         "table_cells",
+        "sitemap_entries",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -291,6 +292,7 @@ def main() -> None:
         "url_admission",
         "video_dup_clusters",
         "page_metadata", "anchor_text_topk", "table_cells",
+        "sitemap_entries",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
