@@ -2101,6 +2101,55 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_entries(pages)
 
 
+# deterministic feed-document synthesis: RSS with a CDATA title +
+# pubDate + a title-only item (0), Atom where rel=alternate must beat a
+# rel=self link and updated fills published (1), RSS item with entity
+# title and dc:date fallback (2), non-feed HTML contributing zero rows
+# (3).
+_FEED_SYNTH_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN '<rss version="2.0"><channel><title>chan</title>' ||
+    '<item><title><![CDATA[News ' || CAST(doc_id AS VARCHAR(20)) ||
+    ' & more]]></title><link>https://f.example/' || CAST(doc_id AS VARCHAR(20)) ||
+    '</link><pubDate>Tue, 18 Aug 2026 06:00:00 GMT</pubDate></item>' ||
+    '<item><title>only-title ' || CAST(doc_id AS VARCHAR(20)) ||
+    '</title></item></channel></rss>'
+  WHEN 1 THEN '<feed><title>a</title><entry><title>E ' ||
+    CAST(doc_id AS VARCHAR(20)) ||
+    '</title><link rel="self" href="https://a.example/self"/>' ||
+    '<link rel="alternate" href="https://a.example/e/' ||
+    CAST(doc_id AS VARCHAR(20)) ||
+    '"/><updated>2026-08-18T00:00:00Z</updated></entry></feed>'
+  WHEN 2 THEN '<rss><channel><item><title>T &amp; ' ||
+    CAST(doc_id AS VARCHAR(20)) ||
+    '</title><dc:date>2026-08-1' || CAST(doc_id % 10 AS VARCHAR(2)) ||
+    '</dc:date></item></channel></rss>'
+  ELSE '<html><body>page ' || CAST(doc_id AS VARCHAR(20)) || '</body></html>'
+END
+"""
+
+
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed ingest (CC-News' discovery stage): fetched RSS 2.0 / Atom
+    documents → one row per item/entry with (kind, title, link,
+    published).  Map-only with a Generate fan-out, zero shuffles —
+    completing the discovery trio (links → sitemaps → feeds).  The
+    oracle replays each synthesis arm's expected entries as UNION ALL
+    literals; CDATA titles, rel=alternate precedence, the
+    pubDate→published→updated→date fallback and the no-title-no-link
+    skip are pinned by the kernel pytests.
+
+    No reference counterpart (doctor receives documents over HTTP)."""
+    from doctor_spark.operators.feeds import feed_entries
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.encode(F.expr(_FEED_SYNTH_SQL), "utf-8").alias("html"),
+    )
+    return feed_entries(pages)
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2656,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_topk": q_anchor_text_topk,
         "table_cells": q_table_cells,
         "sitemap_entries": q_sitemap_entries,
+        "feed_entries": q_feed_entries,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -3617,6 +3667,29 @@ UNION ALL SELECT doc_id, 'text', 'https://t.example/' || i,
        NULL, NULL, NULL FROM p WHERE m = 2
 UNION ALL SELECT doc_id, 'text', 'https://t.example/' || i || '/more',
        NULL, NULL, NULL FROM p WHERE m = 2
+"""
+
+
+def _feed_entries_sql() -> str:
+    """Oracle for the feed ingest: expected entries per synthesis arm as
+    UNION ALL literals (no XML parsing in SQL)."""
+    return """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 4 AS INT) AS m,
+         CAST(doc_id AS VARCHAR(20)) AS i,
+         CAST(doc_id % 10 AS VARCHAR(2)) AS d
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, 'rss' AS kind, 'News ' || i || ' & more' AS title,
+       'https://f.example/' || i AS link,
+       'Tue, 18 Aug 2026 06:00:00 GMT' AS published
+FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 'rss', 'only-title ' || i, NULL, NULL
+FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 'atom', 'E ' || i, 'https://a.example/e/' || i,
+       '2026-08-18T00:00:00Z' FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 'rss', 'T & ' || i, NULL, '2026-08-1' || d
+FROM p WHERE m = 2
 """
 
 
@@ -4807,6 +4880,7 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "anchor_text_topk": _anchor_text_topk_sql(),
         "table_cells": _table_cells_sql(),
         "sitemap_entries": _sitemap_entries_sql(),
+        "feed_entries": _feed_entries_sql(),
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),

@@ -259,6 +259,7 @@ def main() -> None:
         "anchor_text_topk",
         "table_cells",
         "sitemap_entries",
+        "feed_entries",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -292,7 +293,7 @@ def main() -> None:
         "url_admission",
         "video_dup_clusters",
         "page_metadata", "anchor_text_topk", "table_cells",
-        "sitemap_entries",
+        "sitemap_entries", "feed_entries",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
