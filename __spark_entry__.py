@@ -2150,6 +2150,54 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(pages)
 
 
+def q_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused frontier-scheduler step: sitemap ingest → page rows
+    only (child sitemaps routed away by kind) → host extraction →
+    UT1-style blocklist verdict → already-crawled mark — one plan where
+    the blocklist probes broadcast (zero corpus-side shuffle) and the
+    seen-set mark is ONE keyed left join on the canonical loc (the only
+    row-volume exchange; at real scale the seen set is a 10^12-row
+    table, so the join is keyed, not broadcast — AQE may still
+    broadcast it at test scale).  ``admitted = NOT blocked AND NOT
+    seen`` — the FineWeb/Nutch generate-step in one query.
+
+    Oracle: entries, hosts, blocklist suffix verdicts and the seen
+    arithmetic replayed in SQL over the shared synthesis."""
+    from doctor_spark.operators.blocklist import domain_blocklist_mark
+    from doctor_spark.operators.sitemaps import sitemap_entries
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.encode(F.expr(_SITEMAP_SYNTH_SQL), "utf-8").alias("html"),
+    )
+    cand = (
+        sitemap_entries(pages)
+        .where(F.col("kind") != "sitemapindex")
+        .select("doc_id", F.col("loc").alias("url"))
+    )
+    bl = spark.createDataFrame([("t.example",)], "domain string")
+    marked = domain_blocklist_mark(cand, bl)
+    # the crawl's seen set: the arm-0 primary locs of every 8th document
+    seen = d.where((F.col("doc_id") % 8) == 0).select(
+        F.concat(
+            F.lit("https://s.example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?a=1&b=2"),
+        ).alias("url"),
+        F.lit(True).alias("seen"),
+    )
+    seen_b = F.coalesce(F.col("seen"), F.lit(False))
+    return marked.join(seen, "url", "left").select(
+        "doc_id",
+        "url",
+        "host",
+        "blocked",
+        seen_b.alias("seen"),
+        ((~F.col("blocked")) & (~seen_b)).alias("admitted"),
+    )
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2706,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cells": q_table_cells,
         "sitemap_entries": q_sitemap_entries,
         "feed_entries": q_feed_entries,
+        "frontier_admission": q_frontier_admission,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -3690,6 +3739,32 @@ UNION ALL SELECT doc_id, 'atom', 'E ' || i, 'https://a.example/e/' || i,
        '2026-08-18T00:00:00Z' FROM p WHERE m = 1
 UNION ALL SELECT doc_id, 'rss', 'T & ' || i, NULL, '2026-08-1' || d
 FROM p WHERE m = 2
+"""
+
+
+def _frontier_admission_sql() -> str:
+    """Oracle for the fused frontier step: candidate rows, hosts,
+    blocklist verdicts and the seen arithmetic replayed per arm."""
+    return """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 4 AS INT) AS m,
+         CAST(doc_id AS VARCHAR(20)) AS i
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, 'https://s.example/p/' || i || '?a=1&b=2' AS url,
+         's.example' AS host, FALSE AS blocked,
+         (doc_id % 8 = 0) AS seen
+  FROM p WHERE m = 0
+  UNION ALL SELECT doc_id, 'https://s.example/q/' || i, 's.example',
+         FALSE, FALSE FROM p WHERE m = 0
+  UNION ALL SELECT doc_id, 'https://t.example/' || i, 't.example',
+         TRUE, FALSE FROM p WHERE m = 2
+  UNION ALL SELECT doc_id, 'https://t.example/' || i || '/more',
+         't.example', TRUE, FALSE FROM p WHERE m = 2
+)
+SELECT doc_id, url, host, blocked, seen,
+       (NOT blocked AND NOT seen) AS admitted
+FROM c
 """
 
 
@@ -4881,6 +4956,7 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "table_cells": _table_cells_sql(),
         "sitemap_entries": _sitemap_entries_sql(),
         "feed_entries": _feed_entries_sql(),
+        "frontier_admission": _frontier_admission_sql(),
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),

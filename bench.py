@@ -260,6 +260,7 @@ def main() -> None:
         "table_cells",
         "sitemap_entries",
         "feed_entries",
+        "frontier_admission",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -293,7 +294,7 @@ def main() -> None:
         "url_admission",
         "video_dup_clusters",
         "page_metadata", "anchor_text_topk", "table_cells",
-        "sitemap_entries", "feed_entries",
+        "sitemap_entries", "feed_entries", "frontier_admission",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -92,3 +92,27 @@ def test_sitemap_entries_operator_and_plan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in final, final
     assert final.count("ArrowEvalPython") == 1, final
+
+
+def test_frontier_admission_fused_plan(spark):
+    """The fused frontier step: one Arrow stage (the sitemap parse),
+    blocklist via broadcast probes only, the seen mark as one keyed
+    join — never a cartesian product."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["frontier_admission"](spark, SF)
+    rows = q.collect()
+    by = {(r.doc_id, r.url): r for r in rows}
+    # arm 0, doc 0: primary loc is blocked=False but SEEN -> not admitted
+    r = by[(0, "https://s.example/p/0?a=1&b=2")]
+    assert r.seen and not r.blocked and not r.admitted
+    # arm 0, doc 4 (not %8): same loc unseen -> admitted
+    r = by[(4, "https://s.example/p/4?a=1&b=2")]
+    assert not r.seen and r.admitted
+    # arm 2: t.example is blocklisted
+    r = next(v for (d, u), v in by.items() if u.startswith("https://t.example/"))
+    assert r.blocked and not r.admitted
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final and "NestedLoop" not in final
+    assert final.count("ArrowEvalPython") == 1, final
