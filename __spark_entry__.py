@@ -2198,6 +2198,38 @@ def q_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic raw-date synthesis: the wild formats the ingest fields
+# actually carry, plus garbage that must stay NULL.  The oracle replays
+# the EXPECTED UTC date per arm (robots discipline) — arm 2 pins the
+# cross-offset day-roll (+05:30 01:30 is the PREVIOUS UTC day).
+_DATE_SYNTH_SQL = """
+CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN '2026-08-19T06:30:00Z'
+  WHEN 1 THEN 'Tue, 18 Aug 2026 23:59:59 GMT'
+  WHEN 2 THEN '2026-08-19T01:30:00+05:30'
+  WHEN 3 THEN '2026/08/0' || CAST(doc_id % 9 + 1 AS VARCHAR(2))
+  WHEN 4 THEN ' 2026-08-19 '
+  ELSE 'not a date ' || CAST(doc_id AS VARCHAR(20))
+END
+"""
+
+
+def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed cast for the ingest date fields (sitemap lastmod, feed
+    pubDate/published, metadata published_at): wild formats → canonical
+    UTC yyyy-MM-dd, malformed → NULL.  Pure JVM Column expressions
+    (try_to_timestamp coalesce under the pinned UTC session timezone) —
+    whole-stage codegen, zero Python, zero shuffles."""
+    from doctor_spark.functions.dates import parse_web_date
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(_DATE_SYNTH_SQL).alias("raw"),
+        parse_web_date(F.expr(_DATE_SYNTH_SQL)).alias("day"),
+    )
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2755,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,
         "feed_entries": q_feed_entries,
         "frontier_admission": q_frontier_admission,
+        "date_normalize": q_date_normalize,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -3765,6 +3798,22 @@ WITH p AS (
 SELECT doc_id, url, host, blocked, seen,
        (NOT blocked AND NOT seen) AS admitted
 FROM c
+"""
+
+
+def _date_normalize_sql() -> str:
+    """Oracle for the date cast: raw value + EXPECTED UTC day per arm."""
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  ({_DATE_SYNTH_SQL}) AS raw,
+  CASE CAST(doc_id % 6 AS INT)
+    WHEN 0 THEN '2026-08-19'
+    WHEN 1 THEN '2026-08-18'
+    WHEN 2 THEN '2026-08-18'
+    WHEN 3 THEN '2026-08-0' || CAST(doc_id % 9 + 1 AS VARCHAR(2))
+    WHEN 4 THEN '2026-08-19'
+    ELSE NULL END AS day
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -4957,6 +5006,7 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "sitemap_entries": _sitemap_entries_sql(),
         "feed_entries": _feed_entries_sql(),
         "frontier_admission": _frontier_admission_sql(),
+        "date_normalize": _date_normalize_sql(),
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),

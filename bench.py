@@ -261,6 +261,7 @@ def main() -> None:
         "sitemap_entries",
         "feed_entries",
         "frontier_admission",
+        "date_normalize",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -295,6 +296,7 @@ def main() -> None:
         "video_dup_clusters",
         "page_metadata", "anchor_text_topk", "table_cells",
         "sitemap_entries", "feed_entries", "frontier_admission",
+        "date_normalize",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
