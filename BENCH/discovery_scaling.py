@@ -47,7 +47,14 @@ from pyspark.sql import functions as F
 from doctor_spark.session import get_spark
 from doctor_spark.operators.metadata import page_metadata
 
-spark = get_spark("disc-scale")
+# the head parse is ~10x cheaper per row than document extraction, so
+# Arrow IPC + per-batch overhead is a visible fraction — fat batches
+# and byte-balanced splits keep both legs compute-bound (same tuning as
+# the extraction instrument, larger batch because rows are smaller)
+spark = get_spark("disc-scale", extra_conf={{
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+}})
 
 
 def run_once():

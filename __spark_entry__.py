@@ -2230,6 +2230,54 @@ def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic code-listing synthesis: labeled block with entities +
+# preserved indentation (0), two unlabeled blocks incl. the spec's
+# post-<pre> newline drop (1), <br> + inline markup inside a block (2),
+# inline <code> that is NOT a block (3).
+_CODE_SYNTH_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN '<pre><code class="language-python">def f_' ||
+    CAST(doc_id AS VARCHAR(20)) || '():' || CHR(10) || '    return ' ||
+    CAST(doc_id AS VARCHAR(20)) || ' &lt; 2</code></pre>'
+  WHEN 1 THEN '<PRE>a ' || CAST(doc_id AS VARCHAR(20)) || '</PRE><pre>' ||
+    CHR(10) || 'b ' || CAST(doc_id AS VARCHAR(20)) || '</pre>'
+  WHEN 2 THEN '<pre>x<br>y' || CAST(doc_id AS VARCHAR(20)) ||
+    '<b>!</b></pre>'
+  ELSE '<p>inline <code>x' || CAST(doc_id AS VARCHAR(20)) ||
+    '</code> only</p>'
+END
+"""
+
+
+def q_code_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-corpus ingest (StarCoder-style <pre>/<code> mining): blocks
+    with VERBATIM whitespace — the one contract every other kernel's
+    collapse would destroy — plus highlight.js/GFM language hints and
+    JVM-side shape columns.  Map-only with a Generate fan-out.  The
+    oracle replays expected blocks (newlines via CHR(10)) per arm;
+    the spec's post-<pre> newline drop, <br> line breaks, entity decode
+    and the inline-code exclusion are all pinned.
+
+    No reference counterpart: doctor flattens <pre> like any tag
+    (doctor/tasks.py:361-370)."""
+    from doctor_spark.operators.codeblocks import code_blocks
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.encode(F.expr(_CODE_SYNTH_SQL), "utf-8").alias("html"),
+    )
+    t = code_blocks(pages)
+    return t.select(
+        "doc_id",
+        F.col("blk").cast("int").alias("blk"),
+        "lang_hint",
+        "code",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes language classifier trained distributed on the
     corpus, self-prediction confusion matrix.  All weights are int64
@@ -2788,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": q_feed_entries,
         "frontier_admission": q_frontier_admission,
         "date_normalize": q_date_normalize,
+        "code_blocks": q_code_blocks,
         "nb_confusion": q_nb_confusion,
         "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -3814,6 +3863,32 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
     WHEN 4 THEN '2026-08-19'
     ELSE NULL END AS day
 FROM documents WHERE text IS NOT NULL
+"""
+
+
+def _code_blocks_sql() -> str:
+    """Oracle for the code-listing query: expected blocks per arm as
+    UNION ALL literals, newlines spliced via CHR(10)."""
+    return """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 4 AS INT) AS m,
+         CAST(doc_id AS VARCHAR(20)) AS i
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, 0 AS blk, 'python' AS lang_hint,
+         'def f_' || i || '():' || CHR(10) || '    return ' || i || ' < 2'
+           AS code
+  FROM p WHERE m = 0
+  UNION ALL SELECT doc_id, 0, NULL, 'a ' || i FROM p WHERE m = 1
+  UNION ALL SELECT doc_id, 1, NULL, 'b ' || i FROM p WHERE m = 1
+  UNION ALL SELECT doc_id, 0, NULL, 'x' || CHR(10) || 'y' || i || '!'
+  FROM p WHERE m = 2
+)
+SELECT doc_id, CAST(blk AS INT) AS blk, lang_hint, code,
+       CAST(length(code) - length(replace(code, CHR(10), '')) + 1 AS INT)
+         AS n_lines,
+       CAST(length(code) AS BIGINT) AS n_chars
+FROM c
 """
 
 
@@ -5007,6 +5082,7 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "feed_entries": _feed_entries_sql(),
         "frontier_admission": _frontier_admission_sql(),
         "date_normalize": _date_normalize_sql(),
+        "code_blocks": _code_blocks_sql(),
         "markdown_goldens": _markdown_sql(),
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),

@@ -262,6 +262,7 @@ def main() -> None:
         "feed_entries",
         "frontier_admission",
         "date_normalize",
+        "code_blocks",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -296,7 +297,7 @@ def main() -> None:
         "video_dup_clusters",
         "page_metadata", "anchor_text_topk", "table_cells",
         "sitemap_entries", "feed_entries", "frontier_admission",
-        "date_normalize",
+        "date_normalize", "code_blocks",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -111,3 +111,43 @@ def test_table_stats_operator(spark):
     assert (r.n_tables, r.n_rows, r.n_cells, r.max_cols) == (1, 2, 3, 2)
     r = by["<p>"]
     assert (r.n_tables, r.n_rows, r.n_cells, r.max_cols) == (0, 0, 0, 0)
+
+
+def test_code_blocks_kernel_contract():
+    from doctor_spark.kernels.codeblocks import extract_code_blocks as C
+
+    # whitespace is the payload: verbatim text, entities decoded
+    assert C("<pre>\ndef f():\n    return 1 &lt; 2\n</pre>") == [
+        (None, "def f():\n    return 1 < 2\n")
+    ]
+    # language hints from pre or inner code class (highlight.js/GFM)
+    assert C('<pre><code class="language-python">x</code></pre>') == [
+        ("python", "x")
+    ]
+    assert C('<PRE CLASS="lang-C++">int;</PRE>') == [("c++", "int;")]
+    # inline <code> outside <pre> is prose, not a block
+    assert C("<p>see <code>x</code></p>") == []
+    # <br> is a line break inside a block; inline markup contributes text
+    assert C("<pre>x<br>y<b>!</b></pre>") == [(None, "x\ny!")]
+    # spec's single post-<pre> newline drop; empties skipped; EOF flush
+    assert C("<pre>\n</pre><pre></pre>") == []
+    assert C("<pre>unclosed\n  indent") == [(None, "unclosed\n  indent")]
+    assert C(None) == [] and C(b"<pre>b</pre>") == [(None, "b")]
+
+
+def test_code_blocks_operator(spark):
+    from pyspark.sql import functions as F
+
+    from doctor_spark.operators.codeblocks import code_blocks
+
+    df = spark.createDataFrame(
+        [('<pre class="language-go">a\nb</pre><pre>c</pre>',), ("<p>n</p>",)],
+        "html string",
+    )
+    rows = code_blocks(df).orderBy("blk").collect()
+    assert [(r.blk, r.lang_hint, r.code, r.n_lines, r.n_chars) for r in rows] == [
+        (0, "go", "a\nb", 2, 3),
+        (1, None, "c", 1, 1),
+    ]
+    plan = code_blocks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
