@@ -2008,6 +2008,52 @@ def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic <img> markup synthesis for the caption-pairing query:
+# 7 image hosts, three admitted arms per page (a modal-vs-minority alt
+# on a shared src — 'logo' 1-in-3 loses to 'photo k' — an entity-ref +
+# whitespace-noise alt on a whitespace-padded SRC, a srcset-only
+# lazy-load arm whose even/odd alt split exercises the (count DESC,
+# alt ASC) tie-break) plus decorative empty-alt, relative and data:-URI
+# images that must be dropped.
+_IMG_SRC_MOD = 7
+_IMG_HTML_SYNTH_SQL = f"""
+'<html><body><img src="http://img' || CAST(doc_id % {_IMG_SRC_MOD} AS VARCHAR(4)) ||
+'.example/a.png" alt="' ||
+CASE WHEN doc_id % 3 = 0 THEN 'logo'
+     ELSE 'photo ' || CAST(doc_id % {_IMG_SRC_MOD} AS VARCHAR(4)) END ||
+'"><IMG alt=" a &amp;  b " SRC=" http://img' ||
+CAST((doc_id * 2 + 1) % {_IMG_SRC_MOD} AS VARCHAR(4)) || '.example/b.jpg ">' ||
+'<img srcset="http://lazy' || CAST(doc_id % {_IMG_SRC_MOD} AS VARCHAR(4)) ||
+'.example/c.png 2x, http://other.example/d.png" alt="lazy ' ||
+CAST(doc_id % 2 AS VARCHAR(2)) || '">' ||
+'<img src="http://img0.example/deco.png" alt="">' ||
+'<img src="/rel.png" alt="rel">' ||
+'<img src="data:image/png;base64,AA" alt="data"></body></html>'
+"""
+
+
+def q_image_caption_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image/alt-text pairing table (LAION/DataComp-style caption
+    ingest): per image URL the modal alt text with the deterministic
+    (count DESC, alt ASC) tie-break.  The single row-volume exchange is
+    the keyed (src, alt) count — map-side combined; the rank window
+    runs over already-aggregated rows.  The oracle replays the three
+    admitted synthesis arms as UNION ALL branches — extraction (srcset
+    fallback, entity decode, whitespace collapse, empty-alt drop,
+    scheme admission) is verified against the replay, never against
+    the kernel."""
+    from doctor_spark.operators.metadata import image_caption_table
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.encode(F.expr(_IMG_HTML_SYNTH_SQL), "utf-8").alias("html")
+    )
+    t = image_caption_table(pages)
+    return t.select(
+        "src", "alt", F.col("n_pairs").cast("bigint").alias("n_pairs")
+    )
+
+
 # deterministic table-markup synthesis: four arms exercise th/td cells
 # with entity refs and whitespace (0), tag soup with implicit row/cell
 # closes and UPPERCASE tags (1), a nested table that must become its own
@@ -2831,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_admission": q_url_admission,
         "page_metadata": q_page_metadata,
         "anchor_text_topk": q_anchor_text_topk,
+        "image_caption_table": q_image_caption_table,
         "table_cells": q_table_cells,
         "sitemap_entries": q_sitemap_entries,
         "feed_entries": q_feed_entries,
@@ -3750,6 +3797,43 @@ WITH e AS (
   FROM c
 )
 SELECT dst_host, anchor, n_links, rnk FROM r WHERE rnk <= 3
+"""
+
+
+def _image_caption_table_sql() -> str:
+    """Oracle for the caption-pairing query: the three admitted
+    synthesis arms replayed as UNION ALL branches (the decorative
+    empty-alt, relative and data:-URI images never produce a branch),
+    the same keyed count, and the same modal pick via a
+    (count DESC, alt ASC) rank window."""
+    return f"""
+WITH e AS (
+  SELECT 'http://img' || CAST(doc_id % {_IMG_SRC_MOD} AS VARCHAR(4))
+           || '.example/a.png' AS src,
+         CASE WHEN doc_id % 3 = 0 THEN 'logo'
+              ELSE 'photo ' || CAST(doc_id % {_IMG_SRC_MOD} AS VARCHAR(4)) END
+           AS alt
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT 'http://img' || CAST((doc_id * 2 + 1) % {_IMG_SRC_MOD} AS VARCHAR(4))
+           || '.example/b.jpg',
+         'a & b'
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT 'http://lazy' || CAST(doc_id % {_IMG_SRC_MOD} AS VARCHAR(4))
+           || '.example/c.png',
+         'lazy ' || CAST(doc_id % 2 AS VARCHAR(2))
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT src, alt, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM e GROUP BY src, alt
+), r AS (
+  SELECT src, alt, n_pairs,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY n_pairs DESC, alt ASC) AS rnk
+  FROM c
+)
+SELECT src, alt, n_pairs FROM r WHERE rnk = 1
 """
 
 
@@ -5077,6 +5161,7 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "url_admission": _url_admission_sql(),
         "page_metadata": _page_metadata_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
+        "image_caption_table": _image_caption_table_sql(),
         "table_cells": _table_cells_sql(),
         "sitemap_entries": _sitemap_entries_sql(),
         "feed_entries": _feed_entries_sql(),

@@ -263,6 +263,7 @@ def main() -> None:
         "frontier_admission",
         "date_normalize",
         "code_blocks",
+        "image_caption_table",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -297,7 +298,7 @@ def main() -> None:
         "video_dup_clusters",
         "page_metadata", "anchor_text_topk", "table_cells",
         "sitemap_entries", "feed_entries", "frontier_admission",
-        "date_normalize", "code_blocks",
+        "date_normalize", "code_blocks", "image_caption_table",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -150,3 +150,59 @@ def extract_anchors(html: str | bytes | None) -> list[tuple[str, str]]:
         if scheme in ("http:", "https:") and href[len(scheme):].startswith("//"):
             out.append((href, _WS_RUN.sub(" ", text).strip()))
     return out
+
+
+class _ImgParser(HTMLParser):
+    """Collects ``(src, alt)`` pairs in document order — the LAION-style
+    image/alt-text pairing ingest.  ``srcset`` first candidate fills in
+    when ``src`` is absent (lazy-loading markup); ``alt`` is the literal
+    attribute (may be ``''`` — decorative images; the operator's call to
+    drop)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.images: list[tuple[str, str]] = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag != "img":
+            return
+        a: dict[str, str] = {}
+        for name, value in attrs:
+            if value is not None and name not in a:
+                a[name] = value
+        src = a.get("src", "").strip(_HREF_STRIP)
+        if not src and "srcset" in a:
+            # first srcset candidate: "url [descriptor], url2 ..."
+            cand = a["srcset"].split(",")[0].strip(_HREF_STRIP)
+            src = cand.split()[0] if cand else ""
+        if src:
+            self.images.append((src, a.get("alt", "")))
+
+
+def extract_image_alts(html: str | bytes | None) -> list[tuple[str, str]]:
+    """All absolute http(s) ``<img>`` references of a page as
+    ``(src, alt)`` pairs, in document order — the pairing table
+    image-caption corpora are built from.
+
+    Admission mirrors :func:`extract_hrefs` (whitespace-stripped src,
+    http/https only); ``alt`` is entity-decoded (parser), whitespace-run
+    collapsed and stripped, and MAY be ``''``.  Lazy-load markup with
+    only ``srcset`` uses the first candidate URL.  Tag soup never
+    raises; bytes go through the encoding ladder.
+    """
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        decoded = decode_html_ladder(bytes(html))
+        if decoded is None:
+            return []
+        html = decoded[0]
+    parser = _ImgParser()
+    parser.feed(html)
+    parser.close()
+    out: list[tuple[str, str]] = []
+    for src, alt in parser.images:
+        scheme = src[: src.find(":") + 1].lower() if ":" in src else ""
+        if scheme in ("http:", "https:") and src[len(scheme):].startswith("//"):
+            out.append((src, _WS_RUN.sub(" ", alt).strip()))
+    return out

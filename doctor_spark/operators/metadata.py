@@ -87,6 +87,62 @@ def anchor_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+def _image_alts_udf():
+    @F.pandas_udf("array<struct<src:string, alt:string>>")
+    def image_alts(html: pd.Series) -> pd.Series:
+        from ..kernels.links import extract_image_alts
+
+        return html.map(
+            lambda h: [
+                {"src": src, "alt": alt}
+                for src, alt in extract_image_alts(h)
+            ]
+        )
+
+    return image_alts
+
+
+def image_alt_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Pages → ``(src, alt)`` image-caption candidate rows — the
+    LAION/DataComp-style pairing ingest.  Every absolute http(s)
+    ``<img>`` contributes its (whitespace-stripped) source URL and its
+    entity-decoded, whitespace-collapsed alt text; decorative images
+    (empty alt) are dropped here — they carry no caption signal.
+    Map-only: scan → one Arrow batch → explode, zero shuffles."""
+    rows = pages.select(
+        F.explode(_image_alts_udf()(F.col(html_col))).alias("i")
+    ).select(
+        F.col("i.src").alias("src"),
+        F.col("i.alt").alias("alt"),
+    )
+    return rows.where(F.length("alt") > 0)
+
+
+def image_caption_table(
+    pages: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """The deduplicated caption table: per image URL, the modal alt
+    text — ``(src, alt, n_pairs)`` with the (count DESC, alt ASC)
+    tie-break both engines share.  Same scale shape as
+    :func:`anchor_text_topk`: the ONLY row-volume exchange is the keyed
+    (src, alt) count (map-side combined); the rank window runs over the
+    already-aggregated rows, so a hot image (a CDN logo on every page)
+    costs one AQE-splittable agg, never a collect blowup."""
+    counts = (
+        image_alt_edges(pages, html_col=html_col)
+        .groupBy("src", "alt")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("n_pairs").desc(), F.col("alt").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") == 1)
+        .drop("rank")
+    )
+
+
 def anchor_text_topk(
     pages: DataFrame, k: int = 3, html_col: str = "html"
 ) -> DataFrame:

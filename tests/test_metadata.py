@@ -295,3 +295,101 @@ def F_anchor_html():
         ),
         "utf-8",
     ).alias("html")
+
+
+# ------------------------------------------------- image/alt pairing
+
+
+def test_image_alts_kernel_admission_and_srcset():
+    from doctor_spark.kernels.links import extract_image_alts
+
+    html = (
+        '<img src="http://a.example/1.png" alt="one">'
+        '<IMG SRC=" http://b.example/2.jpg " ALT=" two &amp;  half ">'
+        '<img srcset="http://c.example/3.png 2x, http://d/4.png" alt="lazy">'
+        '<img src="/rel.png" alt="rel">'
+        '<img src="data:image/png;base64,AA" alt="data">'
+        '<img src="http://e.example/5.png">'
+        '<img src="http://f.example/6.png" alt="">'
+    )
+    assert extract_image_alts(html) == [
+        ("http://a.example/1.png", "one"),
+        ("http://b.example/2.jpg", "two & half"),
+        ("http://c.example/3.png", "lazy"),  # first srcset candidate
+        ("http://e.example/5.png", ""),  # missing alt kept by kernel
+        ("http://f.example/6.png", ""),  # empty alt kept; operator drops
+    ]
+
+
+def test_image_alts_src_beats_srcset_and_first_attr_wins():
+    from doctor_spark.kernels.links import extract_image_alts
+
+    html = (
+        '<img src="http://a/1.png" srcset="http://b/2.png 2x" alt="x">'
+        '<img src="http://c/3.png" src="http://d/4.png" alt="y">'
+    )
+    assert extract_image_alts(html) == [
+        ("http://a/1.png", "x"),
+        ("http://c/3.png", "y"),
+    ]
+
+
+def test_image_alts_soup_bytes_none():
+    from doctor_spark.kernels.links import extract_image_alts
+
+    for soup in ['<img src="http://a/1.png', "<<<img>>", "", "<img>"]:
+        assert isinstance(extract_image_alts(soup), list)
+    assert extract_image_alts(None) == []
+    assert extract_image_alts(
+        '<img src="http://a/\xe9.png" alt="caf\xe9">'.encode("utf-8")
+    ) == [("http://a/\xe9.png", "caf\xe9")]
+
+
+def test_image_caption_table_operator(spark):
+    from doctor_spark.operators.metadata import image_caption_table
+
+    pages = spark.createDataFrame(
+        [
+            ('<img src="http://i/1.png" alt="cat">',),
+            ('<img src="http://i/1.png" alt="cat">',),
+            ('<img src="http://i/1.png" alt="dog">',),
+            ('<img src="http://i/2.png" alt="b"><img src="http://i/2.png" alt="a">',),
+            ('<img src="http://i/3.png" alt="">',),
+        ],
+        "html string",
+    )
+    rows = image_caption_table(pages).collect()
+    by = {r.src: (r.alt, r.n_pairs) for r in rows}
+    assert by["http://i/1.png"] == ("cat", 2)  # modal alt wins
+    assert by["http://i/2.png"] == ("a", 1)  # tie -> alt asc
+    assert "http://i/3.png" not in by  # decorative dropped
+
+
+def test_image_caption_table_plan_two_exchanges(spark):
+    """Same scale shape as anchor_text_topk: one row-volume keyed count
+    exchange + the tiny src-window exchange, no broadcast, one Arrow
+    stage, rank-1 pushed down as WindowGroupLimit."""
+    from pyspark.sql import functions as F
+
+    from doctor_spark.operators.metadata import image_caption_table
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.encode(
+            F.concat(
+                F.lit('<img src="http://i'),
+                F.col("doc_id") % 5,
+                F.lit('.example/a.png" alt="c'),
+                F.col("doc_id") % 3,
+                F.lit('">'),
+            ),
+            "utf-8",
+        ).alias("html")
+    )
+    q = image_caption_table(df)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastExchange" not in final
+    assert final.count("Exchange hashpartitioning") == 2, final
+    assert final.count("ArrowEvalPython") == 1, final
+    assert "WindowGroupLimit" in final, final
