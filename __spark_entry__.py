@@ -2054,6 +2054,56 @@ def q_image_caption_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic redirect-edge synthesis: docs form blocks of 24; inside
+# a block each url redirects to the next.  Every 7th block closes into a
+# 24-cycle (all 24 unresolved — too-many-redirects); other blocks end in
+# a per-block terminal sink, so positions ≥8 resolve with hop counts
+# 1..16 and positions 0-7 sit 17-24 hops out and exceed the browser
+# budget.  A partial trailing block's last url points at a nonexistent
+# page — no out-edge, terminal, identically in both engines.
+_REDIR_BLOCK = 24
+_REDIR_CYCLE_MOD = 7
+
+
+def _redirect_edges_expr(div: str) -> tuple[str, str]:
+    """(src, dst) SQL exprs; ``div`` is the integer-division operator —
+    ``div`` on Spark, ``//`` on DuckDB (same truncation for non-negative
+    operands)."""
+    b = f"(doc_id {div} {_REDIR_BLOCK})"
+    src = "'http://r.example/' || CAST(doc_id AS VARCHAR(12))"
+    dst = f"""CASE
+  WHEN doc_id % {_REDIR_BLOCK} < {_REDIR_BLOCK - 1}
+    THEN 'http://r.example/' || CAST(doc_id + 1 AS VARCHAR(12))
+  WHEN {b} % {_REDIR_CYCLE_MOD} = 0
+    THEN 'http://r.example/' || CAST({b} * {_REDIR_BLOCK} AS VARCHAR(12))
+  ELSE 'http://final.example/' || CAST({b} AS VARCHAR(12))
+END"""
+    return src, dst
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (the canonicalization step after
+    page_metadata surfaces WHATWG refresh targets): every redirecting
+    url mapped to its terminal target and exact hop count within the
+    16-hop browser budget, cycles and over-long chains marked
+    unresolved.  Pointer doubling — ⌈log₂ 16⌉ = 4 keyed self-joins, not
+    16 per-hop iterations — with localCheckpoint-bounded lineage; the
+    oracle walks the same chains with a hop-bounded recursive CTE."""
+    from doctor_spark.operators.graph import resolve_redirects
+
+    src, dst = _redirect_edges_expr("div")
+    edges = _docs(spark, sf_dir).select(
+        F.expr(src).alias("src"), F.expr(dst).alias("dst")
+    )
+    r = resolve_redirects(edges, max_hops=16)
+    return r.select(
+        "url",
+        "final_url",
+        F.col("n_hops").cast("bigint").alias("n_hops"),
+        "resolved",
+    )
+
+
 # deterministic table-markup synthesis: four arms exercise th/td cells
 # with entity refs and whitespace (0), tag soup with implicit row/cell
 # closes and UPPERCASE tags (1), a nested table that must become its own
@@ -2878,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "anchor_text_topk": q_anchor_text_topk,
         "image_caption_table": q_image_caption_table,
+        "redirect_resolve": q_redirect_resolve,
         "table_cells": q_table_cells,
         "sitemap_entries": q_sitemap_entries,
         "feed_entries": q_feed_entries,
@@ -3834,6 +3885,37 @@ WITH e AS (
   FROM c
 )
 SELECT src, alt, n_pairs FROM r WHERE rnk = 1
+"""
+
+
+def _redirect_resolve_sql() -> str:
+    """Oracle for redirect resolution: the same block/cycle/sink edge
+    synthesis, walked per url by a hop-bounded recursive CTE (the
+    iterative pointer-doubling operator's sequential twin); a url is
+    resolved iff the deepest node reached has no outgoing edge."""
+    src, dst = _redirect_edges_expr("//")
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT {src} AS src, {dst} AS dst FROM documents
+),
+walk(url, cur, hops) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT w.url, e2.dst, w.hops + 1
+  FROM walk w JOIN e e2 ON w.cur = e2.src
+  WHERE w.hops < 16
+),
+deepest AS (
+  SELECT url, cur, hops,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY hops DESC) AS rn
+  FROM walk
+)
+SELECT d.url AS url,
+       CASE WHEN s.src IS NULL THEN d.cur END AS final_url,
+       CAST(CASE WHEN s.src IS NULL THEN d.hops END AS BIGINT) AS n_hops,
+       (s.src IS NULL) AS resolved
+FROM deepest d LEFT JOIN (SELECT DISTINCT src FROM e) s ON d.cur = s.src
+WHERE d.rn = 1
 """
 
 
@@ -5162,6 +5244,7 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "page_metadata": _page_metadata_sql(),
         "anchor_text_topk": _anchor_text_topk_sql(),
         "image_caption_table": _image_caption_table_sql(),
+        "redirect_resolve": _redirect_resolve_sql(),
         "table_cells": _table_cells_sql(),
         "sitemap_entries": _sitemap_entries_sql(),
         "feed_entries": _feed_entries_sql(),

@@ -64,3 +64,80 @@ def test_duplicate_edges_and_self_loops_ignored(spark):
     got = {r["node"]: r["rank_micro"] for r in pagerank(df, 3).collect()}
     assert got == ref_pagerank(edge_list, 3)
     assert set(got) == {1, 2}
+
+
+# -------------------------------------------- redirect-chain resolution
+
+
+def ref_resolve(edge_list, max_hops=16):
+    """Direct per-URL walker: follow min-dst successors until a node
+    with no out-edge (resolved) or the hop budget runs out."""
+    succ = {}
+    for s, d in edge_list:
+        succ[s] = min(succ[s], d) if s in succ else d
+    out = {}
+    for u in succ:
+        cur, hops = succ[u], 1
+        while cur in succ and hops < max_hops:
+            cur, hops = succ[cur], hops + 1
+        if cur in succ:
+            out[u] = (None, None, False)
+        else:
+            out[u] = (cur, hops, True)
+    return out
+
+
+def _run_resolve(spark, edge_list, **kw):
+    from doctor_spark.operators.graph import resolve_redirects
+
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    return {
+        r.url: (r.final_url, r.n_hops, r.resolved)
+        for r in resolve_redirects(df, **kw).collect()
+    }
+
+
+def test_resolve_chain_cycle_terminal(spark):
+    edges = [
+        # 3-hop chain a->b->c->T
+        ("a", "b"), ("b", "c"), ("c", "T"),
+        # 2-cycle with a tail: t -> x <-> y
+        ("t", "x"), ("x", "y"), ("y", "x"),
+        # self-loop
+        ("s", "s"),
+    ]
+    got = _run_resolve(spark, edges)
+    assert got == ref_resolve(edges)
+    assert got["a"] == ("T", 3, True)
+    assert got["c"] == ("T", 1, True)
+    assert got["t"] == (None, None, False)
+    assert got["s"] == (None, None, False)
+
+
+def test_resolve_hop_budget_and_min_dst(spark):
+    # chain of exactly 16 resolves; 17 does not (browser give-up)
+    chain17 = [(f"n{i}", f"n{i+1}") for i in range(17)]
+    got = _run_resolve(spark, chain17)
+    assert got == ref_resolve(chain17)
+    assert got["n1"] == ("n17", 16, True)
+    assert got["n0"] == (None, None, False)
+    # conflicting snapshots: min(dst) wins deterministically
+    got = _run_resolve(spark, [("u", "z"), ("u", "a"), ("a", "T")])
+    assert got["u"] == ("T", 2, True)
+
+
+@pytest.mark.parametrize("max_hops", [1, 3, 10])
+def test_resolve_non_power_of_two_budget(spark, max_hops):
+    chain = [(f"m{i}", f"m{i+1}") for i in range(12)]
+    assert _run_resolve(spark, chain, max_hops=max_hops) == ref_resolve(
+        chain, max_hops=max_hops
+    )
+
+
+def test_resolve_random_differential(spark):
+    rng = random.Random(7)
+    edges = list({
+        (f"p{rng.randrange(60)}", f"p{rng.randrange(80)}")
+        for _ in range(70)
+    })
+    assert _run_resolve(spark, edges) == ref_resolve(edges)
