@@ -2104,6 +2104,43 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic sentence synthesis: five pieces with KNOWN splits under
+# the kernels/sentences.py spec — abbreviation guards (Dr./Mr./Fig.), a
+# decimal that must not split, a ?!-run, a quote-closed boundary — so
+# the oracle replays per-piece sentence counts/lengths as CASE
+# arithmetic and never parses text in SQL.  Pieces A (1 sentence, 24
+# chars) and C (2: 8+4) appear on every doc; B (1: 21) on even doc_ids,
+# D (2: 36+13) on doc_id%3=0, E (2: 23+9) on doc_id%5=0.
+_SENT_SYNTH_SQL = """
+'Dr. Smith saw Mr. Jones.'
+|| CASE WHEN doc_id % 2 = 0 THEN ' The rate is 3.14 now.' ELSE '' END
+|| ' Really?! Yes.'
+|| CASE WHEN doc_id % 3 = 0
+        THEN ' He said "Stop right there, counsel." Then he left.'
+        ELSE '' END
+|| CASE WHEN doc_id % 5 = 0
+        THEN ' See Fig. 3 for details. It grows.' ELSE '' END
+"""
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation rollup (the stage before sentence-level
+    dedup / sequence packing): per doc the sentence count, total and max
+    sentence length under the deterministic boundary spec
+    (kernels/sentences.py — terminal-run + opener lookahead with an
+    abbreviation guard).  Map-only: one Arrow struct batch, zero
+    shuffles; the oracle replays each synthesis piece's known split as
+    CASE arithmetic."""
+    from doctor_spark.functions.text import sentence_stats_udf
+
+    d = _docs(spark, sf_dir)
+    s = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        sentence_stats_udf()(F.expr(_SENT_SYNTH_SQL)).alias("s"),
+    )
+    return s.select("doc_id", "s.n_sentences", "s.sum_chars", "s.max_chars")
+
+
 # deterministic table-markup synthesis: four arms exercise th/td cells
 # with entity refs and whitespace (0), tag soup with implicit row/cell
 # closes and UPPERCASE tags (1), a nested table that must become its own
@@ -2929,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_topk": q_anchor_text_topk,
         "image_caption_table": q_image_caption_table,
         "redirect_resolve": q_redirect_resolve,
+        "sentence_stats": q_sentence_stats,
         "table_cells": q_table_cells,
         "sitemap_entries": q_sitemap_entries,
         "feed_entries": q_feed_entries,
@@ -3916,6 +3954,26 @@ SELECT d.url AS url,
        (s.src IS NULL) AS resolved
 FROM deepest d LEFT JOIN (SELECT DISTINCT src FROM e) s ON d.cur = s.src
 WHERE d.rn = 1
+"""
+
+
+def _sentence_stats_sql() -> str:
+    """Oracle for the sentence rollup: pure CASE arithmetic over the
+    known per-piece splits (A always 1 sentence/24 chars, C always
+    8+4; B/D/E gated on doc_id parity) — no text parsing in SQL."""
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END
+              + CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS BIGINT)
+         AS n_sentences,
+       CAST(36 + CASE WHEN doc_id % 2 = 0 THEN 21 ELSE 0 END
+               + CASE WHEN doc_id % 3 = 0 THEN 49 ELSE 0 END
+               + CASE WHEN doc_id % 5 = 0 THEN 32 ELSE 0 END AS BIGINT)
+         AS sum_chars,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 36 ELSE 24 END AS BIGINT)
+         AS max_chars
+FROM documents
 """
 
 
@@ -5245,6 +5303,7 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "anchor_text_topk": _anchor_text_topk_sql(),
         "image_caption_table": _image_caption_table_sql(),
         "redirect_resolve": _redirect_resolve_sql(),
+        "sentence_stats": _sentence_stats_sql(),
         "table_cells": _table_cells_sql(),
         "sitemap_entries": _sitemap_entries_sql(),
         "feed_entries": _feed_entries_sql(),

@@ -265,6 +265,7 @@ def main() -> None:
         "code_blocks",
         "image_caption_table",
         "redirect_resolve",
+        "sentence_stats",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -300,7 +301,7 @@ def main() -> None:
         "page_metadata", "anchor_text_topk", "table_cells",
         "sitemap_entries", "feed_entries", "frontier_admission",
         "date_normalize", "code_blocks", "image_caption_table",
-        "redirect_resolve",
+        "redirect_resolve", "sentence_stats",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

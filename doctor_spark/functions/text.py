@@ -334,6 +334,26 @@ def char_entropy_udf():
     return F.pandas_udf(kernel, "long")
 
 
+def sentence_stats_udf():
+    """Arrow kernel over :func:`..kernels.sentences.sentence_stats_row`:
+    per-doc (n_sentences, sum_chars, max_chars) in one map-only batch —
+    the rollup sentence-level dedup/packing stages key on."""
+    import pandas as pd
+
+    from ..kernels.sentences import sentence_stats_row
+
+    def kernel(texts):
+        return pd.DataFrame(
+            [sentence_stats_row(t) for t in texts],
+            columns=["n_sentences", "sum_chars", "max_chars"],
+        )
+
+    kernel.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(
+        kernel, "struct<n_sentences:long, sum_chars:long, max_chars:long>"
+    )
+
+
 # --------------------------------------------------------------------------
 # Gopher quality rules (Rae et al. 2021, §A1.1) — the standard web-text
 # filter set for LLM training corpora.  Pure Column expressions; the exact
