@@ -2141,6 +2141,35 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("doc_id", "s.n_sentences", "s.sum_chars", "s.max_chars")
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET serialization (Common Crawl's extracted-text distribution —
+    the canonical OUTPUT of the extraction tier): every doc rendered as
+    a complete WARC conversion record (CRLF headers, md5(url)-derived
+    record id, Content-Length in UTF-8 bytes) entirely in JVM codegen —
+    zero Python, zero shuffles.  The query emits per-doc record digest
+    and size; the oracle replays the exact byte layout as string
+    concatenation in SQL.  The file-shaped sink
+    (sources/warc.py:wet_partition_files) is round-trip-tested against
+    the sequential parse_wet twin in tests/test_warc.py."""
+    from doctor_spark.sources.warc import wet_record
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    url = F.concat(
+        F.lit("https://doc.example/"), F.col("doc_id").cast("string")
+    )
+    date_s = F.concat(
+        F.lit("2024-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z"),
+    )
+    rec = wet_record(url, date_s, F.col("text"))
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5(rec).alias("wet_md5"),
+        F.length(rec).cast("bigint").alias("wet_bytes"),
+    )
+
+
 # deterministic table-markup synthesis: four arms exercise th/td cells
 # with entity refs and whitespace (0), tag soup with implicit row/cell
 # closes and UPPERCASE tags (1), a nested table that must become its own
@@ -2967,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_table": q_image_caption_table,
         "redirect_resolve": q_redirect_resolve,
         "sentence_stats": q_sentence_stats,
+        "wet_export": q_wet_export,
         "table_cells": q_table_cells,
         "sitemap_entries": q_sitemap_entries,
         "feed_entries": q_feed_entries,
@@ -3974,6 +4004,44 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 36 ELSE 24 END AS BIGINT)
          AS max_chars
 FROM documents
+"""
+
+
+def _wet_export_sql() -> str:
+    """Oracle for WET serialization: the exact record byte layout
+    replayed as string concatenation — same fixed header order, CRLF
+    line ends, md5(url)-derived uuid, Content-Length in UTF-8 octets
+    (octet_length over the encoded text, NOT the char count)."""
+    return r"""
+WITH b AS (
+  SELECT doc_id,
+         'https://doc.example/' || CAST(doc_id AS VARCHAR) AS url,
+         '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || 'T00:00:00Z' AS date_s,
+         text
+  FROM documents WHERE text IS NOT NULL
+), r AS (
+  SELECT doc_id,
+         'WARC/1.0' || chr(13) || chr(10)
+         || 'WARC-Type: conversion' || chr(13) || chr(10)
+         || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+         || 'WARC-Date: ' || date_s || chr(13) || chr(10)
+         || 'WARC-Record-ID: <urn:uuid:'
+         || substr(md5(url), 1, 8) || '-' || substr(md5(url), 9, 4)
+         || '-' || substr(md5(url), 13, 4) || '-'
+         || substr(md5(url), 17, 4) || '-' || substr(md5(url), 21, 12)
+         || '>' || chr(13) || chr(10)
+         || 'Content-Type: text/plain' || chr(13) || chr(10)
+         || 'Content-Length: '
+         || CAST(octet_length(encode(text)) AS VARCHAR)
+         || chr(13) || chr(10) || chr(13) || chr(10)
+         || text || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+  FROM b
+)
+SELECT doc_id::BIGINT AS doc_id,
+       md5(rec) AS wet_md5,
+       octet_length(encode(rec))::BIGINT AS wet_bytes
+FROM r
 """
 
 
@@ -5304,6 +5372,7 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "image_caption_table": _image_caption_table_sql(),
         "redirect_resolve": _redirect_resolve_sql(),
         "sentence_stats": _sentence_stats_sql(),
+        "wet_export": _wet_export_sql(),
         "table_cells": _table_cells_sql(),
         "sitemap_entries": _sitemap_entries_sql(),
         "feed_entries": _feed_entries_sql(),

@@ -266,6 +266,7 @@ def main() -> None:
         "image_caption_table",
         "redirect_resolve",
         "sentence_stats",
+        "wet_export",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -301,7 +302,7 @@ def main() -> None:
         "page_metadata", "anchor_text_topk", "table_cells",
         "sitemap_entries", "feed_entries", "frontier_admission",
         "date_normalize", "code_blocks", "image_caption_table",
-        "redirect_resolve", "sentence_stats",
+        "redirect_resolve", "sentence_stats", "wet_export",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

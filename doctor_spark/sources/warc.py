@@ -175,3 +175,115 @@ def read_warc_pages(spark, path: str):
             )
 
     return files.mapInPandas(parse, schema=PAGES_FROM_WARC_DDL)
+
+
+# ---------------------------------------------------------------- WET
+# Common Crawl's extracted-text distribution format: one WARC
+# "conversion" record per page, text/plain payload.  Serialization is
+# PURE Column expressions (JVM codegen, zero Python in the hot path);
+# the record id is derived from md5(url) so output is deterministic and
+# the DuckDB oracle can replay every byte.
+
+
+def wet_record(url, date_s, text):
+    """``(url, 'YYYY-MM-DDTHH:MM:SSZ' string, text)`` Columns → the
+    complete WET conversion record as a BINARY Column.
+
+    Layout (fixed header order, CRLF line ends, ``Content-Length`` in
+    UTF-8 BYTES of the text payload, two trailing CRLFs)::
+
+        WARC/1.0
+        WARC-Type: conversion
+        WARC-Target-URI: <url>
+        WARC-Date: <date>
+        WARC-Record-ID: <urn:uuid:md5(url) as 8-4-4-4-12>
+        Content-Type: text/plain
+        Content-Length: <octet_length(text)>
+
+        <text>
+    """
+    from pyspark.sql import functions as F
+
+    h = F.md5(url)
+    rid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return F.encode(
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+            url,
+            F.lit("\r\nWARC-Date: "),
+            date_s,
+            F.lit("\r\nWARC-Record-ID: <urn:uuid:"),
+            rid,
+            F.lit(">\r\nContent-Type: text/plain\r\nContent-Length: "),
+            F.octet_length(text).cast("string"),
+            F.lit("\r\n\r\n"),
+            text,
+            F.lit("\r\n\r\n"),
+        ),
+        "utf-8",
+    )
+
+
+def parse_wet(data: bytes) -> list[dict]:
+    """WET bytes → ``[{url, date, text}]`` — the sequential twin of
+    :func:`wet_record` for round-trip verification; Content-Length
+    framed, poison-tolerant (a malformed header block skips to the next
+    version line instead of raising)."""
+    recs: list[dict] = []
+    pos = 0
+    while True:
+        idx = data.find(b"WARC/1.", pos)
+        if idx < 0:
+            break
+        hdr_end = data.find(CRLF + CRLF, idx)
+        if hdr_end < 0:
+            break
+        headers = _parse_headers(data[idx:hdr_end])
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        body = data[hdr_end + 4 : hdr_end + 4 + clen]
+        recs.append(
+            {
+                "url": headers.get("warc-target-uri"),
+                "date": headers.get("warc-date"),
+                "text": body.decode("utf-8", "replace"),
+            }
+        )
+        pos = hdr_end + 4 + clen
+    return recs
+
+
+def wet_partition_files(records: DataFrame, record_col: str = "wet_record"):
+    """Concatenate WET records into one file blob per partition —
+    ``(n_records, wet_file binary)`` rows, the shape a 100k-file WET
+    distribution writes (one ~1 GB member per task, like CC's own
+    layout).  Per-partition accumulation is genuine imperative logic
+    (Arrow hands a partition as SEVERAL batches), so this is the
+    documented mapInPandas last resort; everything upstream stays
+    codegen."""
+    import pandas as pd
+
+    def concat(batches):
+        n, chunks = 0, []
+        for pdf in batches:
+            for blob in pdf[record_col]:
+                chunks.append(bytes(blob))
+                n += 1
+        if n:
+            yield pd.DataFrame(
+                {"n_records": [n], "wet_file": [b"".join(chunks)]}
+            )
+
+    return records.mapInPandas(
+        concat, schema="n_records long, wet_file binary"
+    )

@@ -80,3 +80,102 @@ def test_offset_dates_normalized_to_utc(spark, tmp_path):
     p.write_bytes(shifted)
     rows = read_warc_pages(spark, str(p)).collect()
     assert rows[0].warc_ts == dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+# ----------------------------------------------------------------- WET
+
+
+class TestWet:
+    def test_record_bytes_and_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from doctor_spark.sources.warc import parse_wet, wet_record
+
+        df = spark.createDataFrame(
+            [
+                ("https://a.example/1", "2024-01-02T00:00:00Z", "Hello."),
+                # Content-Length must count UTF-8 BYTES, not chars
+                ("https://a.example/2", "2024-01-03T00:00:00Z", "café ✓"),
+                ("https://a.example/3", "2024-01-04T00:00:00Z", ""),
+            ],
+            "url string, date_s string, text string",
+        )
+        blobs = [
+            bytes(r[0])
+            for r in df.select(
+                wet_record(F.col("url"), F.col("date_s"), F.col("text"))
+            ).collect()
+        ]
+        one = blobs[0].decode()
+        assert one.startswith("WARC/1.0\r\nWARC-Type: conversion\r\n")
+        assert "Content-Length: 6\r\n\r\nHello.\r\n\r\n" in one
+        # 'café ✓' = 9 UTF-8 bytes (é=2, ✓=3), 6 chars — byte count wins
+        assert "Content-Length: 9\r\n" in blobs[1].decode()
+        recs = parse_wet(b"".join(blobs))
+        assert [(r["url"], r["text"]) for r in recs] == [
+            ("https://a.example/1", "Hello."),
+            ("https://a.example/2", "café ✓"),
+            ("https://a.example/3", ""),
+        ]
+
+    def test_parse_wet_poison_tolerated(self):
+        from doctor_spark.sources.warc import parse_wet
+
+        junk = (
+            b"WARC/1.0\r\nContent-Length: nope\r\n\r\n"
+            b"WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+        )
+        recs = parse_wet(junk)
+        assert [r["text"] for r in recs] == ["ok"]
+        assert parse_wet(b"") == []
+
+    def test_partition_files_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from doctor_spark.sources.warc import (
+            parse_wet,
+            wet_partition_files,
+            wet_record,
+        )
+
+        docs = spark.range(0, 200, 1, 4).select(
+            F.concat(F.lit("https://d/"), F.col("id")).alias("url"),
+            F.lit("2024-01-01T00:00:00Z").alias("date_s"),
+            F.concat(F.lit("text "), F.col("id")).alias("text"),
+        )
+        files = wet_partition_files(
+            docs.select(
+                wet_record(
+                    F.col("url"), F.col("date_s"), F.col("text")
+                ).alias("wet_record")
+            )
+        ).collect()
+        assert sum(r.n_records for r in files) == 200
+        seen = []
+        for r in files:
+            members = parse_wet(bytes(r.wet_file))
+            assert len(members) == r.n_records
+            seen += [m["url"] for m in members]
+        assert sorted(seen) == sorted(f"https://d/{i}" for i in range(200))
+
+    def test_wet_plan_codegen_only(self, spark):
+        from pyspark.sql import functions as F
+
+        from doctor_spark.sources.warc import wet_record
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select(
+            wet_record(
+                F.concat(F.lit("u/"), F.col("doc_id")),
+                F.lit("2024-01-01T00:00:00Z"),
+                F.col("text"),
+            ).alias("r")
+        ).select(F.md5("r"))
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Exchange" not in final, final
+        assert "EvalPython" not in final, final  # zero Python
+        # '*(1)' prefix = whole-stage-codegen stage in the string plan
+        assert final.lstrip().startswith("*(1)"), final
