@@ -202,6 +202,13 @@ ADVERSARIAL_QUERIES = [
     # only; hostile ws classes hit the trim/empty-paragraph rules, the
     # planted dups make every doc carry intra-page repeats)
     "para_dedup_intra",
+    # round-5 tenth wave: WET serialization — the nasty corpus is the
+    # REAL stressor here (md5-of-record must agree byte-for-byte across
+    # engines on emoji/astral text, every whitespace class, and the
+    # UTF-8-octet Content-Length on multibyte payloads); plus the
+    # pointer-doubling redirect resolver on the irregular partial-block
+    # doc count this corpus produces
+    "wet_export", "redirect_resolve",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
