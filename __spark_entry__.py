@@ -2141,6 +2141,50 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("doc_id", "s.n_sentences", "s.sum_chars", "s.max_chars")
 
 
+# deterministic frontier synthesis for the scheduler: 31 hosts, a
+# host-derived RFC 9309 crawl delay, doc_id-derived priorities, and a
+# 12-slot per-host cap that BINDS at every sf (≥16 urls/host at sf0.01)
+# so the skew-bounding path is exercised, not just declared.
+_SCHED_HOSTS = 31
+_SCHED_CAP = 12
+_SCHED_WORKERS = 8
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware fetch scheduling (frontier → per-worker
+    queues): host-keyed md5 worker bands, (priority DESC, url ASC)
+    queue positions, crawl-delay fetch slots, and a per-host cap that
+    Spark pushes down as WindowGroupLimit so a hot host is a bounded
+    top-N, never a full sort.  ONE keyed exchange; the oracle replays
+    the same window + the same '0x'||md5 band arithmetic."""
+    from doctor_spark.operators.scheduler import fetch_schedule
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(
+        F.lit("h"),
+        (F.col("doc_id") % _SCHED_HOSTS).cast("string"),
+        F.lit(".example"),
+    )
+    frontier = d.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        host.alias("host"),
+        (F.col("doc_id") % 17).cast("long").alias("priority"),
+        ((F.col("doc_id") % _SCHED_HOSTS) % 4 * 5 + 1)
+        .cast("long")
+        .alias("crawl_delay_sec"),
+    )
+    s = fetch_schedule(
+        frontier, k_workers=_SCHED_WORKERS, per_host_cap=_SCHED_CAP
+    )
+    return s.select(
+        "url", "host", F.col("worker").cast("bigint").alias("worker"),
+        "seq", "fetch_at_sec",
+    )
+
+
 def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET serialization (Common Crawl's extracted-text distribution —
     the canonical OUTPUT of the extraction tier): every doc rendered as
@@ -2997,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "sentence_stats": q_sentence_stats,
         "wet_export": q_wet_export,
+        "fetch_schedule": q_fetch_schedule,
         "table_cells": q_table_cells,
         "sitemap_entries": q_sitemap_entries,
         "feed_entries": q_feed_entries,
@@ -4004,6 +4049,34 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 36 ELSE 24 END AS BIGINT)
          AS max_chars
 FROM documents
+"""
+
+
+def _fetch_schedule_sql() -> str:
+    """Oracle for the scheduler: the same frontier synthesis, the same
+    (priority DESC, url ASC) host window with the 12-slot cap, and the
+    same '0x'||substr(md5(host),1,4) worker band."""
+    return f"""
+WITH f AS (
+  SELECT 'https://h' || CAST(doc_id % {_SCHED_HOSTS} AS VARCHAR)
+           || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+         'h' || CAST(doc_id % {_SCHED_HOSTS} AS VARCHAR) || '.example'
+           AS host,
+         doc_id % 17 AS priority,
+         (doc_id % {_SCHED_HOSTS}) % 4 * 5 + 1 AS delay
+  FROM documents
+), r AS (
+  SELECT url, host, delay,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY priority DESC, url ASC) AS rn
+  FROM f
+)
+SELECT url, host,
+       (('0x' || substr(md5(host), 1, 4))::BIGINT
+          % {_SCHED_WORKERS})::BIGINT AS worker,
+       (rn - 1)::BIGINT AS seq,
+       ((rn - 1) * delay)::BIGINT AS fetch_at_sec
+FROM r WHERE rn <= {_SCHED_CAP}
 """
 
 
@@ -5373,6 +5446,7 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "redirect_resolve": _redirect_resolve_sql(),
         "sentence_stats": _sentence_stats_sql(),
         "wet_export": _wet_export_sql(),
+        "fetch_schedule": _fetch_schedule_sql(),
         "table_cells": _table_cells_sql(),
         "sitemap_entries": _sitemap_entries_sql(),
         "feed_entries": _feed_entries_sql(),

@@ -267,6 +267,7 @@ def main() -> None:
         "redirect_resolve",
         "sentence_stats",
         "wet_export",
+        "fetch_schedule",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -303,6 +304,7 @@ def main() -> None:
         "sitemap_entries", "feed_entries", "frontier_admission",
         "date_normalize", "code_blocks", "image_caption_table",
         "redirect_resolve", "sentence_stats", "wet_export",
+        "fetch_schedule",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
