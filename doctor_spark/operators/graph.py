@@ -113,45 +113,62 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 16) -> DataFrame:
     lineage bounded by localCheckpoint (the connected-components
     discipline at dedup.py:407).  A 10^12-row crawl resolves 16-hop
     chains in 4 joins instead of 16; no driver-side loop state beyond
-    the round counter.  The equivalent per-URL recursive CTE is the
-    DuckDB oracle (``redirect_resolve`` in __spark_entry__).
+    the round counter.  Rows that reach a terminal SETTLE out of the
+    probe side (a left-join miss proves the target is unmapped, i.e.
+    has no outgoing redirect): a real crawl's chains are overwhelmingly
+    1-2 hops, so round k's probe volume collapses toward the rare long
+    tail while the build side stays whole — settled rows still serve as
+    join targets so a late walker entering a settled node jumps
+    straight to its terminal with the summed hop count.  The equivalent
+    per-URL recursive CTE is the DuckDB oracle (``redirect_resolve`` in
+    __spark_entry__).
     """
     e = edges.groupBy("src").agg(F.min("dst").alias("dst"))
     e = e.repartition(F.col("src")).localCheckpoint()
-    ptr = e.select(
+    state = e.select(
         F.col("src").alias("node"),
         F.col("dst").alias("nxt"),
         F.lit(1).cast("long").alias("hops"),
+        F.lit(False).alias("settled"),
     )
     for _ in range(max(1, math.ceil(math.log2(max_hops)))):
-        succ = ptr.select(
+        active = state.where(~F.col("settled"))
+        done = state.where(F.col("settled"))
+        succ = state.select(
             F.col("node").alias("j_node"),
             F.col("nxt").alias("j_nxt"),
             F.col("hops").alias("j_hops"),
         )
-        # terminal rows (nxt has no pointer) pass through unchanged, so
-        # hops is the TRUE distance walked, never inflated past the
-        # terminal; non-terminal rows advance exactly 2^k steps.
-        ptr = (
-            ptr.join(succ, ptr["nxt"] == succ["j_node"], "left")
+        # a miss means nxt is unmapped → terminal → hops is already the
+        # TRUE distance and the row settles; a hit advances 2^k steps
+        # (or jumps to a settled target's terminal in one go).
+        state = (
+            active.join(succ, active["nxt"] == succ["j_node"], "left")
             .select(
                 "node",
                 F.coalesce("j_nxt", "nxt").alias("nxt"),
                 (F.col("hops") + F.coalesce("j_hops", F.lit(0))).alias(
                     "hops"
                 ),
+                F.col("j_node").isNull().alias("settled"),
             )
+            .unionByName(done)
             .localCheckpoint()
         )
+    # settled rows proved terminal by the join miss; rows still active
+    # after the last round need the explicit no-out-edge test (they may
+    # have advanced onto a terminal in the final round).
     has_out = e.select(F.col("src").alias("t_node"))
-    done = F.col("t_node").isNull() & (F.col("hops") <= max_hops)
+    ok = (F.col("settled") | F.col("t_node").isNull()) & (
+        F.col("hops") <= max_hops
+    )
     return (
-        ptr.join(has_out, ptr["nxt"] == F.col("t_node"), "left")
+        state.join(has_out, state["nxt"] == F.col("t_node"), "left")
         .select(
             F.col("node").alias("url"),
-            F.when(done, F.col("nxt")).alias("final_url"),
-            F.when(done, F.col("hops")).cast("long").alias("n_hops"),
-            done.alias("resolved"),
+            F.when(ok, F.col("nxt")).alias("final_url"),
+            F.when(ok, F.col("hops")).cast("long").alias("n_hops"),
+            ok.alias("resolved"),
         )
     )
 
