@@ -2214,6 +2214,200 @@ def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX URL index (Common Crawl's cdx-*.gz / wayback's index: the
+    artifact every dedup-aware recrawl and every URL lookup service is
+    built on): one CDXJ line per capture — SURT key, 14-digit
+    timestamp, JSON block with canonical url, payload digest and
+    length — built entirely in JVM codegen, then ranged on the SURT key
+    (``repartitionByRange`` + per-partition sort), because a CDX's
+    defining property is global (surt, ts) order: prefix queries over a
+    10^12-row index bind to a contiguous parquet row-group range
+    instead of a full scan.  ONE range exchange, zero Python.
+
+    The query emits per-capture digest+size of the exact line bytes;
+    the oracle replays SURT (host labels reversed through the shared
+    URL-canonicalization CTE), timestamp arithmetic and the byte layout
+    as string concatenation."""
+    from doctor_spark.functions.urls import canonicalize_url, surt_key
+
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text", F.expr(_URL_SYNTH_SQL).alias("url"))
+    )
+    ts = F.concat(
+        F.lit("202401"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+        F.lit("0000"),
+    )
+    line = F.concat(
+        surt_key(F.col("url")),
+        F.lit(" "),
+        ts,
+        F.lit(' {"url": "'),
+        canonicalize_url(F.col("url")),
+        F.lit('", "digest": "'),
+        F.md5(F.col("text")),
+        F.lit('", "length": "'),
+        F.octet_length(F.col("text")).cast("string"),
+        F.lit('"}'),
+    )
+    rows = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        surt_key(F.col("url")).alias("surt"),
+        ts.alias("ts"),
+        F.md5(line).alias("cdx_md5"),
+        F.octet_length(line).cast("bigint").alias("cdx_bytes"),
+    )
+    return rows.repartitionByRange(8, "surt", "ts").sortWithinPartitions(
+        "surt", "ts"
+    )
+
+
+def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT serialization (Common Crawl's page-metadata distribution,
+    the third of the WARC/WAT/WET artifact trio): per page, a complete
+    ``WARC-Type: metadata`` record whose JSON payload carries the
+    extracted title, absolute-outlink count, payload length and text
+    digest.  Title and outlinks come from the REAL tag-soup kernels
+    (html_meta title RCDATA rules, links absolute-http(s) filter) over
+    the shared link-graph page synthesis — one Arrow-batched map stage —
+    and the envelope/record framing is pure JVM codegen
+    (sources/warc.py:wat_record, the wet_record byte discipline).
+    Map-only: zero shuffles at any corpus size.
+
+    The oracle replays each synthesis arm's expected title/outlink
+    count (robots discipline) and the exact byte layout."""
+    from doctor_spark.operators.graph import _hrefs_udf
+    from doctor_spark.operators.metadata import _meta_udf
+    from doctor_spark.sources.warc import wat_record
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        "doc_id",
+        "text",
+        F.encode(F.expr(_LINK_HTML_SYNTH_SQL), "utf-8").alias("html"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.expr(_LINK_SRC_HOST_SQL),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    date_s = F.concat(
+        F.lit("2024-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z"),
+    )
+    title = _meta_udf()(F.col("html")).getField("title")
+    n_links = F.size(_hrefs_udf()(F.col("html")))
+    payload = F.concat(
+        F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'),
+        url,
+        F.lit('"},"Payload-Metadata":{"Title":"'),
+        title,
+        F.lit('","Outlinks":'),
+        n_links.cast("string"),
+        F.lit(',"Actual-Content-Length":"'),
+        F.octet_length(F.col("text")).cast("string"),
+        F.lit('","Text-Digest":"md5:'),
+        F.md5(F.col("text")),
+        F.lit('"}}}'),
+    )
+    rec = wat_record(url, date_s, payload)
+    return pages.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5(rec).alias("wat_md5"),
+        F.length(rec).cast("bigint").alias("wat_bytes"),
+    )
+
+
+def q_host_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webgraph degree distribution (cc-webgraph's stats artifact, the
+    power-law diagnostic every graph release ships): distinct out- and
+    in-degree per node over the deterministic affine link graph, rolled
+    into one histogram row per (direction, degree).  ONE distinct
+    exchange shared by both directions, two keyed aggregates whose
+    outputs are histogram-sized; hot (power-law) nodes are absorbed by
+    map-side partial aggregation before the exchange."""
+    from doctor_spark.operators.graph import degree_histogram
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    ids = docs.select(F.col("doc_id").alias("src"))
+    parts = [
+        ids.select(
+            "src",
+            ((F.col("src") * F.lit(m) + F.lit(c)) % F.lit(n)).alias("dst"),
+        )
+        for m, c in _PR_EDGE_GENS
+    ]
+    # hub term: every node also links to one of 50 hubs, so the in-degree
+    # side carries the power-law-style mass concentration a real webgraph
+    # has (the affine generators alone are permutation-like — uniform)
+    parts.append(ids.select("src", (F.col("src") % 50).alias("dst")))
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    h = degree_histogram(edges)
+    return h.select(
+        "side",
+        F.col("deg").cast("bigint").alias("deg"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+    )
+
+
+# deterministic soft-404 synthesis: title/body arms over doc_id % 11.
+# Arm 0 is a hard 404 title (title rule wins over its also-matching
+# body), arm 1 an 'error page' title with a clean body, arm 2 a short
+# 'does not exist' body, arm 3 a LONG body that merely contains the
+# not-found phrase (the token-length guard must keep it), arm 4 a short
+# 'has been removed' body, arm 5 a mid-title 404 numeral (the
+# standalone-number rule — '1404'/'4041' must NOT match); the rest are
+# clean, with a digit-free ELSE title so no synthetic id can collide
+# with the numeral rule.  One SQL snippet parsed by Spark's F.expr AND
+# spliced into the oracle (_URL_SYNTH_SQL discipline).
+_SOFT404_TITLE_SQL = """
+CASE CAST(doc_id % 11 AS INT)
+  WHEN 0 THEN '404 Not Found'
+  WHEN 1 THEN 'Error Page - site'
+  WHEN 5 THEN 'Page 404 - gone'
+  ELSE 'Document page ' || CAST(doc_id % 7 AS VARCHAR(8)) END
+"""
+_SOFT404_BODY_SQL = """
+CASE CAST(doc_id % 11 AS INT)
+  WHEN 0 THEN 'The page you requested was not found.'
+  WHEN 2 THEN 'This article does not exist.'
+  WHEN 3 THEN repeat('lorem ipsum dolor sit amet ', 12) ||
+              'the page was not found.'
+  WHEN 4 THEN 'Content has been removed.'
+  ELSE 'Regular content for document ' || CAST(doc_id AS VARCHAR(20))
+       || '.' END
+"""
+
+
+def q_soft404_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 gate (200-status error pages — the most duplicated
+    template class on the web, filtered before dedup by every
+    CC-derived corpus): title-rule then short-body-rule, long documents
+    that merely DISCUSS missing pages stay clean
+    (functions/text.py:soft404_flags).  Pure Column exprs: zero Python,
+    zero shuffles — a map over the scan at 10^12 rows.  The oracle
+    replays each synthesis arm's expected verdict."""
+    from doctor_spark.functions.text import soft404_flags
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(_SOFT404_TITLE_SQL).alias("title"),
+        F.expr(_SOFT404_BODY_SQL).alias("body"),
+    )
+    flags = soft404_flags(F.col("title"), F.col("body"))
+    return d.select("doc_id", flags.getField("soft404").alias("soft404"),
+                    flags.getField("reason").alias("reason"))
+
+
 # deterministic table-markup synthesis: four arms exercise th/td cells
 # with entity refs and whitespace (0), tag soup with implicit row/cell
 # closes and UPPERCASE tags (1), a nested table that must become its own
@@ -3043,6 +3237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_export": q_wet_export,
         "fetch_schedule": q_fetch_schedule,
         "table_cells": q_table_cells,
+        "cdx_index": q_cdx_index,
+        "wat_export": q_wat_export,
+        "host_degree_stats": q_host_degree_stats,
+        "soft404_gate": q_soft404_gate,
         "sitemap_entries": q_sitemap_entries,
         "feed_entries": q_feed_entries,
         "frontier_admission": q_frontier_admission,
@@ -4115,6 +4313,130 @@ SELECT doc_id::BIGINT AS doc_id,
        md5(rec) AS wet_md5,
        octet_length(encode(rec))::BIGINT AS wet_bytes
 FROM r
+"""
+
+
+def _cdx_index_sql() -> str:
+    """Oracle for the CDX index: SURT replayed from the shared URL
+    canonicalization CTE (host labels ``l`` reversed, www already
+    dropped there), the 14-digit timestamp arithmetic, and the exact
+    CDXJ line byte layout as string concatenation."""
+    return (
+        _url_canon_cte()
+        + r"""
+, s AS (
+  SELECT lab.doc_id,
+         array_to_string(list_reverse(lab.l), ',') || ')' || lower(lab.path)
+           || CASE WHEN len(lab.params) > 0
+                   THEN '?' || lower(array_to_string(lab.params, '&'))
+                   ELSE '' END AS surt,
+         '202401' || lpad(CAST(lab.doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || lpad(CAST(lab.doc_id % 24 AS VARCHAR), 2, '0') || '0000' AS ts,
+         c.canon_url, d.text
+  FROM labelled lab
+  JOIN canon c USING (doc_id)
+  JOIN documents d USING (doc_id)
+  WHERE d.text IS NOT NULL
+), r AS (
+  SELECT doc_id, surt, ts,
+         surt || ' ' || ts || ' {"url": "' || canon_url || '", "digest": "'
+           || md5(text) || '", "length": "'
+           || CAST(octet_length(encode(text)) AS VARCHAR) || '"}' AS line
+  FROM s
+)
+SELECT doc_id::BIGINT AS doc_id, surt, ts, md5(line) AS cdx_md5,
+       octet_length(encode(line))::BIGINT AS cdx_bytes
+FROM r
+"""
+    )
+
+
+def _wat_export_sql() -> str:
+    """Oracle for WAT serialization: per-arm expected title ('d'||id,
+    the RCDATA text) and outlink count (3 absolute hrefs on even pages,
+    2 on odd — relative/javascript/mailto/name-only drop), then the
+    exact JSON envelope + metadata-record byte layout replayed as
+    string concatenation (the _wet_export_sql discipline, record id
+    from md5(url || '#wat'))."""
+    return r"""
+WITH b AS (
+  SELECT doc_id,
+         'https://h' || CAST(doc_id % 997 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || 'T00:00:00Z' AS date_s,
+         'd' || CAST(doc_id AS VARCHAR) AS title,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS outlinks,
+         text
+  FROM documents WHERE text IS NOT NULL
+), p AS (
+  SELECT doc_id, url, date_s,
+         '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'
+           || url || '"},"Payload-Metadata":{"Title":"' || title
+           || '","Outlinks":' || CAST(outlinks AS VARCHAR)
+           || ',"Actual-Content-Length":"'
+           || CAST(octet_length(encode(text)) AS VARCHAR)
+           || '","Text-Digest":"md5:' || md5(text) || '"}}}' AS payload
+  FROM b
+), r AS (
+  SELECT doc_id,
+         'WARC/1.0' || chr(13) || chr(10)
+         || 'WARC-Type: metadata' || chr(13) || chr(10)
+         || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+         || 'WARC-Date: ' || date_s || chr(13) || chr(10)
+         || 'WARC-Record-ID: <urn:uuid:'
+         || substr(md5(url || '#wat'), 1, 8) || '-'
+         || substr(md5(url || '#wat'), 9, 4) || '-'
+         || substr(md5(url || '#wat'), 13, 4) || '-'
+         || substr(md5(url || '#wat'), 17, 4) || '-'
+         || substr(md5(url || '#wat'), 21, 12) || '>' || chr(13) || chr(10)
+         || 'Content-Type: application/json' || chr(13) || chr(10)
+         || 'Content-Length: '
+         || CAST(octet_length(encode(payload)) AS VARCHAR)
+         || chr(13) || chr(10) || chr(13) || chr(10)
+         || payload || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+  FROM p
+)
+SELECT doc_id::BIGINT AS doc_id,
+       md5(rec) AS wat_md5,
+       octet_length(encode(rec))::BIGINT AS wat_bytes
+FROM r
+"""
+
+
+def _host_degree_stats_sql() -> str:
+    """Oracle for the degree histogram: the same affine edge generators,
+    distinct-ified with self-loops dropped, aggregated per direction."""
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {m} + {c}) %"
+        f" (SELECT n FROM nn) AS dst FROM documents"
+        for m, c in _PR_EDGE_GENS
+    ) + " UNION ALL SELECT doc_id AS src, doc_id % 50 AS dst FROM documents"
+    return f"""
+WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+e0 AS ({unions}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+o AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+i AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst)
+SELECT 'out' AS side, deg::BIGINT AS deg, count(*)::BIGINT AS n_nodes
+FROM o GROUP BY deg
+UNION ALL
+SELECT 'in', deg::BIGINT, count(*)::BIGINT FROM i GROUP BY deg
+"""
+
+
+def _soft404_gate_sql() -> str:
+    """Oracle for the soft-404 gate: each synthesis arm's expected
+    verdict spelled out (title rule wins on arm 0, arms 2/4 flag by
+    short body, arm 3's long body stays clean under the token-length
+    guard)."""
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id % 11 AS INT) IN (0, 1, 2, 4, 5) AS soft404,
+       CASE WHEN CAST(doc_id % 11 AS INT) IN (0, 1, 5) THEN 'title'
+            WHEN CAST(doc_id % 11 AS INT) IN (2, 4) THEN 'body'
+            ELSE '' END AS reason
+FROM documents
 """
 
 
@@ -5448,6 +5770,10 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "wet_export": _wet_export_sql(),
         "fetch_schedule": _fetch_schedule_sql(),
         "table_cells": _table_cells_sql(),
+        "cdx_index": _cdx_index_sql(),
+        "wat_export": _wat_export_sql(),
+        "host_degree_stats": _host_degree_stats_sql(),
+        "soft404_gate": _soft404_gate_sql(),
         "sitemap_entries": _sitemap_entries_sql(),
         "feed_entries": _feed_entries_sql(),
         "frontier_admission": _frontier_admission_sql(),

@@ -767,3 +767,54 @@ def quality_classifier(col: Column, dim: int = QUALITY_HASH_DIM) -> Column:
         final_score.alias("score"),
         (final_score > 0).alias("keep"),
     )
+
+
+# soft-404 heuristics: the regexes stay inside the Java∩RE2∩DuckDB-safe
+# subset the PII scrubber established (no lookaround, no backrefs, no
+# \b against unicode), so the gate is portable to any engine that may
+# replay it
+SOFT404_TITLE_RE = (
+    r"(^|[^0-9])404([^0-9]|$)"
+    r"|not found|page unavailable|error page"
+)
+SOFT404_BODY_RE = (
+    r"(page|document|resource|article)"
+    r"( you requested| you are looking for)?"
+    r"( was| is| has been)? not (found|available)"
+    r"|no longer (exists|available)|does not exist"
+    r"|has been (removed|deleted)"
+)
+SOFT404_MAX_TOKENS = 60
+
+
+def soft404_flags(title: Column, text: Column) -> Column:
+    """Soft-404 gate (Bar-Yossef et al. 2004, "Sic transit gloria
+    telae"): pages that return HTTP 200 but are error pages — a crawl
+    quality stage every CC-derived corpus runs before dedup, because
+    soft error pages are the single most duplicated template class on
+    the web.
+
+    Rules, first match wins (pure Column exprs — zero Python, zero
+    shuffles; the gate is a map over the scan at 10^12 rows):
+
+    - ``title``: the <title> matches :data:`SOFT404_TITLE_RE`
+      (a 404 numeral or an explicit error phrase);
+    - ``body``: the visible text is SHORT (< :data:`SOFT404_MAX_TOKENS`
+      whitespace tokens) and matches :data:`SOFT404_BODY_RE` — long
+      documents that merely DISCUSS missing pages are not flagged;
+    - otherwise: clean.
+
+    Returns ``struct(soft404 BOOLEAN, reason STRING)`` with reason in
+    ``('title', 'body', '')``."""
+    t_hit = F.lower(F.coalesce(title, F.lit(""))).rlike(SOFT404_TITLE_RE)
+    body = F.lower(F.coalesce(text, F.lit("")))
+    short = F.size(tokens(text)) < SOFT404_MAX_TOKENS
+    b_hit = short & body.rlike(SOFT404_BODY_RE)
+    reason = (
+        F.when(t_hit, F.lit("title"))
+        .when(b_hit, F.lit("body"))
+        .otherwise(F.lit(""))
+    )
+    return F.struct(
+        (reason != "").alias("soft404"), reason.alias("reason")
+    )

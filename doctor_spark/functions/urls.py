@@ -136,3 +136,37 @@ def registrable_domain(host: Column) -> Column:
         .otherwise(last2)
     )
     return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(dom)
+
+
+def surt_key(url: Column) -> Column:
+    """SURT-form index key (Sort-friendly URI Reordering Transform —
+    the key of Common Crawl's CDX URL index and of every wayback-style
+    deduplicating crawler): host labels reversed and comma-joined
+    (leading ``www.`` dropped), ``)``, then the lowercased canonical
+    path and the lowercased sorted non-tracking query::
+
+        https://WWW.Example.co.uk:443/Articles/9/?id=9&utm_s=x
+          -> uk,co,example)/articles/9?id=9
+
+    Reversing the host makes a plain lexicographic sort cluster every
+    page of a registrable domain (and every subdomain under it)
+    contiguously — the property that lets a 10^12-row index answer
+    prefix queries from sorted parquet row groups without a secondary
+    index.  Pure Column expressions; NULL-host URLs yield NULL."""
+    host = url_host(url)
+    labels = F.filter(F.split(host, r"\."), lambda x: x != "")
+    labels = F.when(
+        (F.size(labels) > 1) & (F.element_at(labels, 1) == "www"),
+        F.slice(labels, 2, F.size(labels) - 1),
+    ).otherwise(labels)
+    params = url_query_params(url)
+    key = F.concat(
+        F.array_join(F.reverse(labels), ","),
+        F.lit(")"),
+        F.lower(url_path(url)),
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.lower(F.array_join(params, "&"))),
+        ).otherwise(F.lit("")),
+    )
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(key)

@@ -217,3 +217,35 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Link-graph degree distribution ``(side, deg, n_nodes)`` — the
+    first diagnostic every webgraph release ships (cc-webgraph's
+    stats files): for each node, its distinct out- and in-degree
+    (self-loops dropped), rolled up into one histogram row per
+    (direction, degree).
+
+    Plan shape: ONE distinct exchange on (src, dst) shared by both
+    directions (Spark reuses the exchange), then two keyed aggregates
+    whose outputs are degree-histogram-sized (thousands of rows at any
+    corpus size) — the union is a no-shuffle concat of two tiny
+    aggregates.  Power-law skew lives in the node-degree aggregate,
+    where partial (map-side) aggregation absorbs hot nodes before the
+    exchange."""
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    out_h = (
+        e.groupBy("src").agg(F.count("*").alias("deg"))
+        .groupBy("deg").agg(F.count("*").alias("n_nodes"))
+        .select(F.lit("out").alias("side"), "deg", "n_nodes")
+    )
+    in_h = (
+        e.groupBy("dst").agg(F.count("*").alias("deg"))
+        .groupBy("deg").agg(F.count("*").alias("n_nodes"))
+        .select(F.lit("in").alias("side"), "deg", "n_nodes")
+    )
+    return out_h.unionByName(in_h)

@@ -287,3 +287,42 @@ def wet_partition_files(records: DataFrame, record_col: str = "wet_record"):
     return records.mapInPandas(
         concat, schema="n_records long, wet_file binary"
     )
+
+
+def wat_record(url, date_s, payload_json):
+    """``(url, date string, JSON payload string)`` Columns → a complete
+    WAT metadata record as a BINARY Column (Common Crawl's WAT
+    distribution: one ``WARC-Type: metadata`` record per page whose
+    body is a JSON envelope of extracted page metadata).
+
+    Same byte discipline as :func:`wet_record` — fixed header order,
+    CRLF line ends, ``Content-Length`` in UTF-8 octets of the payload,
+    two trailing CRLFs; the record id is the md5 of ``url || '#wat'``
+    so WET and WAT records for one page never collide."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat(url, F.lit("#wat")))
+    rid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return F.encode(
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
+            url,
+            F.lit("\r\nWARC-Date: "),
+            date_s,
+            F.lit("\r\nWARC-Record-ID: <urn:uuid:"),
+            rid,
+            F.lit(">\r\nContent-Type: application/json\r\nContent-Length: "),
+            F.octet_length(payload_json).cast("string"),
+            F.lit("\r\n\r\n"),
+            payload_json,
+            F.lit("\r\n\r\n"),
+        ),
+        "utf-8",
+    )

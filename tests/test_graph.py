@@ -141,3 +141,23 @@ def test_resolve_random_differential(spark):
         for _ in range(70)
     })
     assert _run_resolve(spark, edges) == ref_resolve(edges)
+
+
+def test_degree_histogram_tiny(spark):
+    from doctor_spark.operators.graph import degree_histogram
+
+    # 0->1, 0->2, 1->2, 2->2 (self-loop dropped), 0->1 dup (dropped)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 2), (0, 1)], "src long, dst long"
+    )
+    got = {
+        (r["side"], r["deg"]): r["n_nodes"]
+        for r in degree_histogram(edges).collect()
+    }
+    # out: node0 deg2, node1 deg1 -> {2:1, 1:1}; in: node1 deg1, node2 deg2
+    assert got == {
+        ("out", 2): 1,
+        ("out", 1): 1,
+        ("in", 1): 1,
+        ("in", 2): 1,
+    }

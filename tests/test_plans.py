@@ -1176,3 +1176,33 @@ def test_dsir_score_map_only_and_takeordered(spark):
     plan = physical_plan(dsir_resample(scored, k=100))
     assert "TakeOrderedAndProject" in plan, plan
     assert count_exchanges(dsir_resample(scored, k=100)) == 0, plan
+
+
+def test_cdx_index_single_range_exchange(spark):
+    """The CDX build is codegen + ONE range exchange (the artifact's
+    global (surt, ts) order); any extra shuffle is a regression."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["cdx_index"](spark, SF)
+    assert count_exchanges(q) == 1, physical_plan(q, "simple")
+    plan = physical_plan(q)
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wat_export_map_only(spark):
+    """WAT serialization: one Arrow-batched map stage (title+links
+    kernels), record framing in codegen, ZERO shuffles."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["wat_export"](spark, SF)
+    assert count_exchanges(q) == 0, physical_plan(q)
+    assert "BatchEvalPython" not in physical_plan(q)
+
+
+def test_soft404_gate_map_only_jvm(spark):
+    import __spark_entry__ as entry
+
+    q = entry.queries()["soft404_gate"](spark, SF)
+    assert_jvm_only(q)
+    assert count_exchanges(q) == 0, physical_plan(q)

@@ -268,3 +268,53 @@ def test_char_entropy_micro_row():
     s = "aab"
     m = lambda x: math.floor(math.log10(x) * 1e6 + 0.5)
     assert e(s) == (3 * m(3) - 2 * m(2)) // 3
+
+
+class TestSoft404:
+    def _flags(self, spark, rows):
+        from doctor_spark.functions.text import soft404_flags
+
+        df = spark.createDataFrame(rows, "id long, title string, body string")
+        f = soft404_flags(F.col("title"), F.col("body"))
+        return {
+            r["id"]: (r["s"]["soft404"], r["s"]["reason"])
+            for r in df.select("id", f.alias("s")).collect()
+        }
+
+    def test_rules(self, spark):
+        long_body = "w " * 70 + "this page was not found once upon a time"
+        got = self._flags(
+            spark,
+            [
+                (0, "404 Not Found", "x"),
+                (1, "Page 404 - gone", "x"),
+                # standalone-number rule: 1404/4041 are NOT a 404
+                (2, "Order 1404 shipped", "x"),
+                (3, "Item 4041 details", "x"),
+                (4, "ok", "The page you requested was not found."),
+                (5, "ok", long_body),  # long: discusses, not an error page
+                (6, "ok", "Content has been removed."),
+                (7, "ok", "regular text"),
+                (8, None, None),
+            ],
+        )
+        assert got[0] == (True, "title")
+        assert got[1] == (True, "title")
+        assert got[2] == (False, "")
+        assert got[3] == (False, "")
+        assert got[4] == (True, "body")
+        assert got[5] == (False, "")
+        assert got[6] == (True, "body")
+        assert got[7] == (False, "")
+        assert got[8] == (False, "")
+
+    def test_plan_jvm_only(self, spark):
+        from doctor_spark.functions.text import soft404_flags
+        from doctor_spark.plans.checks import assert_jvm_only, count_exchanges
+
+        df = spark.range(5).select(
+            F.lit("t").alias("title"), F.lit("b").alias("body")
+        )
+        out = df.select(soft404_flags(F.col("title"), F.col("body")))
+        assert_jvm_only(out)
+        assert count_exchanges(out) == 0

@@ -70,3 +70,30 @@ def test_tracking_param_case_sensitivity(spark):
     # key on the wire and survives (documented, matches the oracle)
     got = _run(spark, ["http://h.com/p?UTM_SOURCE=x&utm_x=y&gclid=1&z=9"])
     assert got[0]["canon"] == "http://h.com/p?UTM_SOURCE=x&z=9"
+
+
+def test_surt_key_rules(spark):
+    from doctor_spark.functions.urls import surt_key
+
+    urls = [
+        "HtTpS://WWW.Site3.Co.UK:443/Articles/12/?utm_source=f&id=12#x",
+        "http://example.com/A/B?b=2&a=1",
+        "http://single/",
+        "not a url",
+        "https://sub.host.org",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+    got = {
+        r["id"]: r["surt"]
+        for r in df.select(
+            "id", surt_key(F.col("url")).alias("surt")
+        ).collect()
+    }
+    # www dropped, labels reversed, path lowercased, sorted query kept
+    assert got[0] == "uk,co,site3)/articles/12?id=12"
+    assert got[1] == "com,example)/a/b?a=1&b=2"
+    assert got[2] == "single)"
+    assert got[3] is None  # no authority -> no key
+    assert got[4] == "org,host,sub)"

@@ -179,3 +179,50 @@ class TestWet:
         assert "EvalPython" not in final, final  # zero Python
         # '*(1)' prefix = whole-stage-codegen stage in the string plan
         assert final.lstrip().startswith("*(1)"), final
+
+
+# ----------------------------------------------------------------- WAT
+
+
+class TestWat:
+    def test_record_bytes(self, spark):
+        from pyspark.sql import functions as F
+
+        from doctor_spark.sources.warc import wat_record
+
+        df = spark.createDataFrame(
+            [("https://a.example/1", "2024-01-02T00:00:00Z", '{"k":"café"}')],
+            "url string, date_s string, payload string",
+        )
+        blob = bytes(
+            df.select(
+                wat_record(F.col("url"), F.col("date_s"), F.col("payload"))
+            ).collect()[0][0]
+        )
+        s = blob.decode()
+        assert s.startswith("WARC/1.0\r\nWARC-Type: metadata\r\n")
+        assert "Content-Type: application/json\r\n" in s
+        # payload length counts UTF-8 bytes (é = 2)
+        assert 'Content-Length: 13\r\n\r\n{"k":"café"}\r\n\r\n' in s
+        # record id differs from the WET record id of the same url
+        import hashlib
+
+        wat_h = hashlib.md5(b"https://a.example/1#wat").hexdigest()
+        assert f"urn:uuid:{wat_h[:8]}-" in s
+
+    def test_plan_codegen_only(self, spark):
+        from pyspark.sql import functions as F
+
+        from doctor_spark.plans.checks import assert_jvm_only, count_exchanges
+        from doctor_spark.sources.warc import wat_record
+
+        df = spark.range(10).select(
+            F.concat(F.lit("https://e/"), F.col("id")).alias("url"),
+            F.lit("2024-01-01T00:00:00Z").alias("d"),
+            F.lit("{}").alias("p"),
+        )
+        out = df.select(
+            wat_record(F.col("url"), F.col("d"), F.col("p")).alias("rec")
+        )
+        assert_jvm_only(out)
+        assert count_exchanges(out) == 0
