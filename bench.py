@@ -268,6 +268,11 @@ def main() -> None:
         "sentence_stats",
         "wet_export",
         "fetch_schedule",
+        # eleventh wave: CDX/WAT artifacts, degree stats, soft-404 gate
+        "cdx_index",
+        "wat_export",
+        "host_degree_stats",
+        "soft404_gate",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -305,6 +310,7 @@ def main() -> None:
         "date_normalize", "code_blocks", "image_caption_table",
         "redirect_resolve", "sentence_stats", "wet_export",
         "fetch_schedule",
+        "cdx_index", "wat_export", "host_degree_stats", "soft404_gate",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
