@@ -67,7 +67,15 @@ def main() -> None:
     spark = get_spark(
         "correctness-sweep",
         cores=args.cores,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(512 * 1024)},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(512 * 1024),
+            # sf1 result sets can stall the driver >120 s in GC while a
+            # huge collect materializes; with local heartbeats there is
+            # no network to detect failures on — a timeout here kills
+            # the session for every later query in the matrix
+            "spark.network.timeout": "1200s",
+            "spark.executor.heartbeatInterval": "120s",
+        },
     )
     queries = entry.queries()
     oracles = entry.oracle_sql()
