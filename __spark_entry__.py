@@ -2774,6 +2774,27 @@ def q_boilerplate_corpus_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                                lang_col="lang")
 
 
+def q_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span lineage for the main-content pass (the north rule's
+    "extracted text/spans per document"): one row per non-empty block
+    with its [start_off, end_off) source char offsets in the page HTML,
+    the final jusText-dialect class, and the keep verdict.  Spark side
+    is one mapInPandas stage, zero shuffles; the oracle recomputes every
+    offset analytically from the static wrapper geometry plus the
+    escaped-text length, so the kernel's HTMLParser position tracking
+    (entity source lengths included — the text is &-escaped into the
+    wrapper) is pinned end-to-end."""
+    from doctor_spark.operators.boilerplate import justext_spans
+
+    docs = _docs(spark, sf_dir)
+    esc = F.expr("replace(replace(replace(coalesce(text, ''),"
+                 " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+    pages = docs.select(
+        "doc_id", F.concat(F.lit(_BP_PRE), esc, F.lit(_BP_POST)).alias("html")
+    )
+    return justext_spans(pages, key_col="doc_id", html_col="html")
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy gibberish gate (RefinedWeb/Dolma-class signal:
     base64 blobs, aaaa-runs, binary spill all score low).  Spark side is
@@ -3251,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_blocks": q_boilerplate_blocks,
         "boilerplate_corpus": q_boilerplate_corpus,
         "boilerplate_corpus_lang": q_boilerplate_corpus_lang,
+        "content_spans": q_content_spans,
         "char_entropy": q_char_entropy,
         "kmeans_clusters": q_kmeans_clusters,
         "media_features_mismatch": q_media_features_mismatch,
@@ -3888,6 +3910,54 @@ SELECT doc_id::BIGINT AS doc_id,
   (CASE WHEN cf = 'neargood' THEN 1 ELSE 0 END)::BIGINT AS n_neargood_cf,
   (CASE WHEN cf = 'good' THEN nc ELSE 0 END)::BIGINT AS good_chars,
   md5(CASE WHEN cf = 'good' THEN norm ELSE '' END) AS main_md5
+FROM c
+"""
+
+
+def _content_spans_sql() -> str:
+    """Mirror of q_content_spans: the wrapper geometry makes every offset
+    a closed-form function of the escaped-text length — nav text spans
+    [29, 60) inside the 73-char prefix, the content block spans
+    [73, 73+len(esc)), and the footer text ('© 2024 Example Corp',
+    19 chars) starts 12 chars into the suffix.  The classification CASE
+    is the corpus oracle's; the content row is absent when the
+    normalized text is empty (the kernel drops empty blocks), which also
+    shifts the footer's block_id from 2 to 1."""
+    toks = "regexp_split_to_array(lower(norm), ' ')"
+    hits = f"len(list_filter({toks}, tk -> tk IN {_STOPS['en']}))"
+    return f"""
+WITH n AS (SELECT doc_id,
+        length(replace(replace(replace(coalesce(text, ''),
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;')) AS esc_len,
+        trim(regexp_replace(coalesce(text, ''), '{_JAVA_WS_CLASS}+', ' ',
+             'g'), ' ') AS norm
+      FROM documents),
+f AS (SELECT doc_id, esc_len, norm, length(norm) AS nc,
+        CASE WHEN norm = '' THEN 0 ELSE len({toks}) END AS nw,
+        CASE WHEN norm = '' THEN 0 ELSE {hits} END AS hits
+      FROM n),
+c AS (SELECT doc_id, esc_len, nc,
+        CASE WHEN nc = 0 THEN 'none'
+             WHEN position('©' IN norm) > 0 THEN 'bad'
+             WHEN nc < 70 THEN 'short'
+             WHEN (1000 * hits) // nw > 320 THEN
+                CASE WHEN nc > 200 THEN 'good' ELSE 'neargood' END
+             WHEN (1000 * hits) // nw > 300 THEN 'neargood'
+             ELSE 'bad' END AS cf
+      FROM f)
+SELECT doc_id::BIGINT AS doc_id, 0::BIGINT AS block_id,
+       29::BIGINT AS start_off, 60::BIGINT AS end_off,
+       10::BIGINT AS n_chars, 'bad' AS final_class, false AS kept
+FROM c
+UNION ALL
+SELECT doc_id::BIGINT, 1::BIGINT, 73::BIGINT, (73 + esc_len)::BIGINT,
+       nc::BIGINT, CASE WHEN cf = 'good' THEN 'good' ELSE 'bad' END,
+       cf = 'good'
+FROM c WHERE cf <> 'none'
+UNION ALL
+SELECT doc_id::BIGINT, (CASE WHEN cf = 'none' THEN 1 ELSE 2 END)::BIGINT,
+       (73 + esc_len + 12)::BIGINT, (73 + esc_len + 31)::BIGINT,
+       19::BIGINT, 'bad', false
 FROM c
 """
 
@@ -5783,6 +5853,7 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "boilerplate_blocks": _boilerplate_blocks_sql(),
         "boilerplate_corpus": _boilerplate_corpus_sql(),
         "boilerplate_corpus_lang": _boilerplate_corpus_sql(per_lang=True),
+        "content_spans": _content_spans_sql(),
         "char_entropy": _char_entropy_sql(),
         "kmeans_clusters": _kmeans_sql(),
         "nb_confusion": f"""

@@ -273,6 +273,8 @@ def main() -> None:
         "wat_export",
         "host_degree_stats",
         "soft404_gate",
+        # twelfth wave: span-lineage main-content pass
+        "content_spans",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -311,6 +313,7 @@ def main() -> None:
         "redirect_resolve", "sentence_stats", "wet_export",
         "fetch_schedule",
         "cdx_index", "wat_export", "host_degree_stats", "soft404_gate",
+        "content_spans",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

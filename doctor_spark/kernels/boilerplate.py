@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 from ..functions.text import LANG_STOPWORDS
@@ -268,3 +269,173 @@ def main_content(html: str) -> str:
     """The kept main content: good blocks joined by newlines."""
     return "\n".join(b.text for b in classify_blocks(html)
                      if b.final_class == "good")
+
+
+# ---------------------------------------------------------------------------
+# Span-lineage variant: the same block segmentation, but every block also
+# carries its [start, end) SOURCE character offsets in the original HTML
+# string — the "extracted text/spans per document" artifact a provenance-
+# aware extraction tier writes next to the text (re-highlighting, audit,
+# incremental re-extraction all key on it).  Reference anchor: the doctor
+# reference returns extracted text only (doctor/lib/html.py); spans are the
+# lineage web-corpus pipelines add on top.
+#
+# Offset contract (deliberate, documented dialect):
+# - Offsets are Python ``str`` indices (code points) into the exact HTML
+#   string fed in; ``start`` is the first source char of the block's first
+#   text-contributing event, ``end`` is one past the last char of its last
+#   event.  Entity references count at SOURCE length (``&amp;`` spans 5).
+# - Text-contributing events are data runs, entity refs, and char refs
+#   outside SKIP_TAGS subtrees; whitespace-only runs extend the span but a
+#   block whose normalized text is empty is dropped (same rule as
+#   ``classify_blocks`` — no row, no vote).
+# - ``<br>`` renders as whitespace but has no source span of its own.
+# - Entities decode via ``html.unescape`` of their reconstructed source
+#   (terminator-aware), matching ``convert_charrefs=True`` semantics on
+#   well-formed refs; legacy unterminated edge forms are defined BY this
+#   kernel (the classifier twin and this parser agree on every corpus and
+#   fixture input, asserted in tests).
+
+
+@dataclass
+class SpanBlock(Block):
+    start: int = -1
+    end: int = -1
+
+
+class _SpanSegmenter(HTMLParser):
+    """``_Segmenter`` with source-offset tracking (convert_charrefs=False
+    so the feed position of every text event is observable)."""
+
+    def __init__(self, html: str) -> None:
+        super().__init__(convert_charrefs=False)
+        self._html = html
+        self._line_starts = [0]
+        for m in re.finditer("\n", html):
+            self._line_starts.append(m.end())
+        self._parts: list[str] = []
+        self._link_parts: list[str] = []
+        self._a_depth = 0
+        self._skip_depth = 0
+        self._span0 = -1
+        self._span1 = -1
+        self.blocks: list[tuple[str, int, int, int]] = []
+
+    def _abs(self) -> int:
+        ln, col = self.getpos()
+        return self._line_starts[ln - 1] + col
+
+    def _flush(self) -> None:
+        text = _norm("".join(self._parts))
+        link = _norm("".join(self._link_parts))
+        self._parts.clear()
+        self._link_parts.clear()
+        s0, s1 = self._span0, self._span1
+        self._span0 = self._span1 = -1
+        if text:
+            self.blocks.append((text, len(link), s0, s1))
+
+    def _text_event(self, piece: str, start: int, end: int) -> None:
+        if self._span0 < 0:
+            self._span0 = start
+        self._span1 = end
+        self._parts.append(piece)
+        self._link_parts.append(piece if self._a_depth else " ")
+
+    # -- parser callbacks (tag logic identical to _Segmenter) -------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS and tag not in _VOID:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        elif tag == "br":
+            self._parts.append(" ")
+            self._link_parts.append(" ")
+        if tag == "a":
+            self._a_depth += 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if self._skip_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        elif tag == "br":
+            self._parts.append(" ")
+            self._link_parts.append(" ")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SKIP_TAGS and tag not in _VOID:
+            if self._skip_depth:
+                self._skip_depth -= 1
+            return
+        if self._skip_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag == "a" and self._a_depth:
+            self._a_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data:
+            return
+        start = self._abs()
+        self._text_event(data, start, start + len(data))
+
+    def handle_entityref(self, name: str) -> None:
+        if self._skip_depth:
+            return
+        start = self._abs()
+        end = start + 1 + len(name)
+        terminated = end < len(self._html) and self._html[end] == ";"
+        if terminated:
+            end += 1
+        src = "&" + name + (";" if terminated else "")
+        self._text_event(_unescape(src), start, end)
+
+    def handle_charref(self, name: str) -> None:
+        if self._skip_depth:
+            return
+        start = self._abs()
+        end = start + 2 + len(name)
+        terminated = end < len(self._html) and self._html[end] == ";"
+        if terminated:
+            end += 1
+        src = "&#" + name + (";" if terminated else "")
+        self._text_event(_unescape(src), start, end)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def classify_block_spans(html: str, stopwords: frozenset = EN_STOPWORDS,
+                         ) -> list[SpanBlock]:
+    """``classify_blocks`` with source spans: segment, featurize, classify
+    (context-free then context-sensitive), and carry each block's
+    [start, end) offsets in the input string.  Never raises on tag soup."""
+    seg = _SpanSegmenter(html)
+    seg.feed(html)
+    seg.close()
+
+    blocks: list[SpanBlock] = []
+    for text, link_chars, s0, s1 in seg.blocks:
+        n_chars = len(text)
+        toks = text.lower().split(" ")
+        n_words = len(toks)
+        stop_hits = sum(t in stopwords for t in toks)
+        link_milli = (1000 * link_chars) // n_chars if n_chars else 0
+        stop_milli = (1000 * stop_hits) // n_words if n_words else 0
+        cf = _classify_cf(n_chars, link_chars, link_milli, stop_milli,
+                          "©" in text)
+        blocks.append(SpanBlock(text=text, n_chars=n_chars, n_words=n_words,
+                                link_chars=link_chars, link_milli=link_milli,
+                                stop_milli=stop_milli, cf_class=cf,
+                                start=s0, end=s1))
+
+    finals = _resolve_context([b.cf_class for b in blocks])
+    for b, f in zip(blocks, finals):
+        b.final_class = f
+    return blocks

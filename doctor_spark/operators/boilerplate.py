@@ -106,3 +106,39 @@ def justext_doc_summary(df: DataFrame, key_col: str = "url",
             yield pd.DataFrame(rows, columns=[key_col, *_SUMMARY_COLS])
 
     return df.select(*in_cols).mapInPandas(run, schema)
+
+
+def justext_spans(df: DataFrame, key_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Span-lineage form of the main-content pass: one row per non-empty
+    block carrying its [start_off, end_off) SOURCE char offsets in the
+    HTML string plus the final class and the keep verdict — the
+    "extracted text/spans per document" artifact the north rule names
+    (re-highlighting, audits, and incremental re-extraction key on it).
+
+    Output: ``(key_col, block_id, start_off, end_off, n_chars,
+    final_class, kept)``.  Map-only like its siblings: spans are
+    per-document by construction, so the pass is one mapInPandas stage
+    with zero shuffles at any corpus size.  Offset contract:
+    kernels/boilerplate.py (span-lineage section)."""
+    import pandas as pd
+
+    from ..kernels.boilerplate import classify_block_spans
+
+    key_type = dict(df.dtypes)[key_col]
+    schema = (f"{key_col} {key_type}, block_id long, start_off long, "
+              "end_off long, n_chars long, final_class string, "
+              "kept boolean")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for key, html in zip(pdf[key_col], pdf[html_col]):
+                for i, b in enumerate(classify_block_spans(_as_str(html))):
+                    rows.append((key, i, b.start, b.end, b.n_chars,
+                                 b.final_class, b.final_class == "good"))
+            yield pd.DataFrame(
+                rows, columns=[key_col, "block_id", "start_off", "end_off",
+                               "n_chars", "final_class", "kept"])
+
+    return df.select(key_col, html_col).mapInPandas(run, schema)

@@ -227,3 +227,95 @@ def test_operator_accepts_binary_html(spark):
               .unionByName(justext_blocks(sdf))
               .groupBy("url").count().collect()}
     assert counts["s"] == counts["b"] == 4
+
+
+# -- span-lineage variant ----------------------------------------------------
+
+
+def test_span_twin_parity_on_fixture_pages():
+    """classify_block_spans must agree with classify_blocks on every
+    hand-authored fixture page (text, link_chars, both classes) — the two
+    parsers differ only in charref bookkeeping, never in segmentation."""
+    from doctor_spark.kernels.boilerplate import (
+        classify_block_spans,
+        classify_blocks,
+    )
+    from doctor_spark.kernels.boilerplate_fixtures import PAGES
+
+    for url, html in sorted(PAGES.items()):
+        a = [(b.text, b.link_chars, b.cf_class, b.final_class)
+             for b in classify_blocks(html)]
+        c = [(b.text, b.link_chars, b.cf_class, b.final_class)
+             for b in classify_block_spans(html)]
+        assert a == c, url
+
+
+def test_span_slice_invariant():
+    """The raw source slice html[start:end], unescaped and whitespace-
+    normalized, must reproduce the block text — entities count at SOURCE
+    length, so the slice is the exact provenance region."""
+    import html as html_mod
+    import re
+
+    from doctor_spark.kernels.boilerplate import _WS_RE, classify_block_spans
+    from doctor_spark.kernels.boilerplate_fixtures import PAGES
+
+    def norm(s: str) -> str:
+        return " ".join(p for p in _WS_RE.split(s) if p)
+
+    pages = list(sorted(PAGES.items()))
+    pages.append(("ent", "<p>A &amp; B &#60;ok&#x3E; &copy; &amp C</p>"))
+    for url, html in pages:
+        for b in classify_block_spans(html):
+            raw = html[b.start:b.end]
+            # strip any tags inside the span (inline <a>/<b> etc.), then
+            # unescape: that is exactly what the segmenter accumulated
+            text = norm(html_mod.unescape(re.sub(r"<[^>]*>", " ", raw)))
+            assert norm(b.text) == text, (url, b.start, b.end, raw)
+
+
+def test_span_entity_edge_forms():
+    """Entity/charref source spans: terminated refs span name+2, bare
+    ampersands and unterminated legacy refs keep convert_charrefs
+    semantics (html.unescape of the reconstructed source)."""
+    from doctor_spark.kernels.boilerplate import classify_block_spans
+
+    html = "<p>x &amp; y</p><p>&#65;&#x42;</p><p>5 &lt 6 now</p>"
+    blocks = classify_block_spans(html)
+    texts = [(b.text, html[b.start:b.end]) for b in blocks]
+    assert texts[0] == ("x & y", "x &amp; y")
+    assert texts[1] == ("AB", "&#65;&#x42;")
+    # '&lt' without ';' is the legacy form html.unescape maps to '<'
+    assert texts[2][0] == "5 < 6 now"
+
+
+def test_span_skip_subtrees_and_br():
+    """script/style content contributes neither text nor span; <br>
+    renders as whitespace with no source span of its own."""
+    from doctor_spark.kernels.boilerplate import classify_block_spans
+
+    html = ("<p>before<script>var x = '<p>no</p>';</script>after</p>"
+            "<p>one<br>two</p>")
+    blocks = classify_block_spans(html)
+    assert [b.text for b in blocks] == ["beforeafter", "one two"]
+    b0, b1 = blocks
+    assert html[b0.start:b0.end].startswith("before")
+    assert html[b0.start:b0.end].endswith("after")
+    assert html[b1.start:b1.end] == "one<br>two"
+
+
+def test_justext_spans_operator(spark):
+    """Operator contract: per-block span rows, binary html accepted,
+    poison payload yields zero rows (not a task death)."""
+    from doctor_spark.operators.boilerplate import justext_spans
+
+    html = '<div>Alpha</div><p>x &amp; y</p>'
+    df = spark.createDataFrame(
+        [("a", html.encode("utf-8")), ("n", None)], "url string, html binary"
+    )
+    rows = {(r["url"], r["block_id"]): r for r in justext_spans(df).collect()}
+    assert set(rows) == {("a", 0), ("a", 1)}
+    assert html[rows[("a", 0)]["start_off"]:rows[("a", 0)]["end_off"]] == "Alpha"
+    assert html[rows[("a", 1)]["start_off"]:rows[("a", 1)]["end_off"]] == "x &amp; y"
+    assert rows[("a", 1)]["n_chars"] == 5
+    assert not rows[("a", 1)]["kept"]
