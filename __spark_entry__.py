@@ -2795,6 +2795,145 @@ def q_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return justext_spans(pages, key_col="doc_id", html_col="html")
 
 
+def _c4_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line web-page synthesis for the C4 queries,
+    mirrored 1:1 in SQL (``_C4_PAGES_CTE``).  The single-line synthetic
+    documents become pages whose arms exercise every rule: 6-word body
+    lines with terminal punctuation on odd lines only (line filter
+    discriminates), a short tail line (< 5 words → dropped), a shared
+    3-line social block on doc_id % 7 == 0 (span dedup fires corpus-wide,
+    keeper = min doc), a javascript line on % 5 == 0, "lorem ipsum" page
+    poison on % 11 == 3, a ``{`` code line on % 13 == 1, and the
+    stand-in banned token on % 17 == 2."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    body = F.transform(
+        F.sequence(F.lit(1), F.greatest(
+            F.ceil(F.size(toks) / 6).cast("int"), F.lit(1))),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(toks, (i - 1) * 6 + 1, 6)),
+            F.when(i % 2 == 1, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    social = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.array(F.lit("Follow our updates on social media today!"),
+                F.lit("Share this story with all your friends now."),
+                F.lit("Sign up for the daily newsletter right here.")),
+    ).otherwise(F.array().cast("array<string>"))
+    extras = F.concat(
+        F.when(F.col("doc_id") % 5 == 0,
+               F.array(F.lit("Please enable javascript to continue "
+                             "reading this article.")))
+        .otherwise(F.array().cast("array<string>")),
+        F.when(F.col("doc_id") % 11 == 3,
+               F.array(F.lit("This page is filled with lorem ipsum "
+                             "placeholder content.")))
+        .otherwise(F.array().cast("array<string>")),
+        F.when(F.col("doc_id") % 13 == 1,
+               F.array(F.lit("function f() { return 1; }")))
+        .otherwise(F.array().cast("array<string>")),
+        F.when(F.col("doc_id") % 17 == 2,
+               F.array(F.lit("An unsafeword token appears right here in "
+                             "this line.")))
+        .otherwise(F.array().cast("array<string>")),
+    )
+    page = F.concat_ws(
+        "\n",
+        F.array_join(social, "\n"),
+        F.array_join(body, "\n"),
+        F.array_join(extras, "\n"),
+        F.lit("tail words"),
+    )
+    # concat_ws skips nothing here (arms emit '' when empty) — collapse
+    # the empty segments so line counts stay meaningful on both engines
+    page = F.regexp_replace(page, "\n{2,}", "\n")
+    page = F.regexp_replace(page, "^\n+|\n+$", "")
+    return docs.select("doc_id", page.alias("text"))
+
+
+_C4_PAGES_CTE = """
+WITH pages AS (
+  SELECT doc_id,
+    regexp_replace(
+      concat_ws(chr(10),
+        CASE WHEN doc_id % 7 = 0 THEN
+          'Follow our updates on social media today!' || chr(10) ||
+          'Share this story with all your friends now.' || chr(10) ||
+          'Sign up for the daily newsletter right here.'
+        ELSE '' END,
+        array_to_string(
+          list_transform(range(1, greatest(
+              cast(ceil(len(regexp_split_to_array(coalesce(text, ''), ' '))
+                   / 6.0) AS INT), 1) + 1),
+            i -> array_to_string(list_slice(
+                   regexp_split_to_array(coalesce(text, ''), ' '),
+                   (i - 1) * 6 + 1, (i - 1) * 6 + 6), ' ')
+                 || CASE WHEN i % 2 = 1 THEN '.' ELSE '' END),
+          chr(10)),
+        concat_ws(chr(10),
+          CASE WHEN doc_id % 5 = 0 THEN
+            'Please enable javascript to continue reading this article.'
+          ELSE '' END,
+          CASE WHEN doc_id % 11 = 3 THEN
+            'This page is filled with lorem ipsum placeholder content.'
+          ELSE '' END,
+          CASE WHEN doc_id % 13 = 1 THEN
+            'function f() { return 1; }' ELSE '' END,
+          CASE WHEN doc_id % 17 = 2 THEN
+            'An unsafeword token appears right here in this line.'
+          ELSE '' END),
+        'tail words'),
+      chr(10) || '{2,}', chr(10), 'g') AS text0
+  FROM documents
+), pagesx AS (
+  SELECT doc_id,
+         regexp_replace(text0, '^' || chr(10) || '+|' || chr(10) || '+$',
+                        '', 'g') AS text
+  FROM pages
+)
+"""
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-retention + page-poison pass (Raffel et al. 2020 §2.2)
+    over the synthesized multi-line pages.  Spark side is pure Column
+    expressions — zero shuffles, zero Python, whole-stage codegen; the
+    oracle replays the trim/terminal-punct/word-count/javascript line
+    rule and the four page gates over the identical page CTE."""
+    from doctor_spark.operators.c4 import c4_line_filter
+
+    pages = _c4_pages(_docs(spark, sf_dir))
+    out = c4_line_filter(pages, banned_words=("unsafeword",))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_lines",
+        "n_kept",
+        "drop_reason",
+        "page_ok",
+        F.md5(F.col("cleaned_text").cast("binary")).alias("clean_hash"),
+    )
+
+
+def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 corpus-level three-line-span dedup over the synthesized pages:
+    the shared social block survives only in the minimum doc_id taking
+    it; every other occurrence's three lines are removed.  Plan: span
+    hashing per-row in codegen, the exploded stream carries (doc_id,
+    start, h) only — ONE exchange on the span hash, ONE on doc_id, ONE
+    keyed join back.  Oracle replays spans/keeper/removal with DuckDB
+    list lambdas over the identical page CTE."""
+    from doctor_spark.operators.c4 import c4_span_dedup
+
+    pages = _c4_pages(_docs(spark, sf_dir))
+    out = c4_span_dedup(pages)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_lines",
+        "n_removed",
+        F.md5(F.col("cleaned_text").cast("binary")).alias("clean_hash"),
+    )
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy gibberish gate (RefinedWeb/Dolma-class signal:
     base64 blobs, aaaa-runs, binary spill all score low).  Spark side is
@@ -3273,6 +3412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_corpus": q_boilerplate_corpus,
         "boilerplate_corpus_lang": q_boilerplate_corpus_lang,
         "content_spans": q_content_spans,
+        "c4_clean": q_c4_clean,
+        "c4_span_dedup": q_c4_span_dedup,
         "char_entropy": q_char_entropy,
         "kmeans_clusters": q_kmeans_clusters,
         "media_features_mismatch": q_media_features_mismatch,
@@ -3911,6 +4052,95 @@ SELECT doc_id::BIGINT AS doc_id,
   (CASE WHEN cf = 'good' THEN nc ELSE 0 END)::BIGINT AS good_chars,
   md5(CASE WHEN cf = 'good' THEN norm ELSE '' END) AS main_md5
 FROM c
+"""
+
+
+_C4_TRIM = "'^[ \\t]+|[ \\t]+$'"
+
+
+def _c4_clean_sql() -> str:
+    """Mirror of q_c4_clean: the page CTE is shared verbatim, then the
+    line-retention rule (trim → terminal punct → ≥5 words → no
+    'javascript') runs as a list_filter lambda and the four page gates
+    as a first-match CASE.  Kept lines are emitted TRIMMED, exactly as
+    the operator does."""
+    t = f"regexp_replace(ln, {_C4_TRIM}, '', 'g')"
+    keep = (f"right({t}, 1) IN ('.', '!', '?', '\"') AND "
+            f"len(list_filter(str_split({t}, ' '), w -> w <> '')) >= 5 AND "
+            f"position('javascript' IN lower({t})) = 0")
+    return _C4_PAGES_CTE + f"""
+, d AS (
+  SELECT doc_id, text, regexp_split_to_array(text, chr(10)) AS ls
+  FROM pagesx
+), k AS (
+  SELECT doc_id, text, ls,
+         list_filter(ls, ln -> {keep}) AS kept
+  FROM d
+), g AS (
+  SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept, kept,
+         CASE WHEN position('lorem ipsum' IN lower(text)) > 0
+                THEN 'lorem_ipsum'
+              WHEN position('{{' IN text) > 0 THEN 'brace'
+              WHEN len(list_intersect(
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '{_JAVA_WS_CLASS}'), w -> w <> ''),
+                     ['unsafeword'])) > 0 THEN 'banned_word'
+              WHEN len(kept) < 3 THEN 'too_few_lines' END AS drop_reason
+  FROM k
+)
+SELECT doc_id::BIGINT AS doc_id, n_lines::BIGINT AS n_lines,
+       n_kept::BIGINT AS n_kept, drop_reason,
+       drop_reason IS NULL AS page_ok,
+       md5(coalesce(array_to_string(
+             list_transform(kept,
+               ln -> regexp_replace(ln, {_C4_TRIM}, '', 'g')),
+             chr(10)), '')) AS clean_hash
+FROM g
+"""
+
+
+def _c4_span_sql(n: int = 3) -> str:
+    """Mirror of q_c4_span_dedup: spans built with DuckDB list lambdas
+    over the shared page CTE (trim-normalized lines, newline-joined,
+    60-bit md5 key), keeper = first (doc_id, start) per key via
+    row_number, removed line indices regenerated and set-subtracted,
+    cleaned text rebuilt from the RAW lines."""
+    return _C4_PAGES_CTE + f"""
+, d AS (
+  SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls,
+         list_transform(regexp_split_to_array(text, chr(10)),
+           x -> regexp_replace(x, {_C4_TRIM}, '', 'g')) AS nl
+  FROM pagesx
+), occ AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(nl) >= {n} THEN range(1, len(nl) - {n - 2})
+                ELSE [] END) AS start,
+    unnest(CASE WHEN len(nl) >= {n} THEN
+        list_transform(range(1, len(nl) - {n - 2}),
+          i -> ('0x' || substr(md5(array_to_string(
+                 list_slice(nl, i, i + {n - 1}), chr(10))), 1, 15))::BIGINT)
+      ELSE [] END) AS h
+  FROM d
+), mk AS (
+  SELECT doc_id, start,
+         count(*) OVER (PARTITION BY h) AS c,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+  FROM occ
+), rem AS (
+  SELECT doc_id, unnest(range(start, start + {n})) AS idx
+  FROM mk WHERE c > 1 AND rn > 1
+), remset AS (
+  SELECT doc_id, list_distinct(list(idx)) AS rl FROM rem GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id, len(d.ls)::BIGINT AS n_lines,
+       coalesce(len(r.rl), 0)::BIGINT AS n_removed,
+       md5(coalesce(array_to_string(
+             list_transform(
+               list_filter(range(1, len(d.ls) + 1),
+                 i -> NOT list_contains(coalesce(r.rl, []), i)),
+               i -> d.ls[i]),
+             chr(10)), '')) AS clean_hash
+FROM d LEFT JOIN remset r USING (doc_id)
 """
 
 
@@ -5854,6 +6084,8 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "boilerplate_corpus": _boilerplate_corpus_sql(),
         "boilerplate_corpus_lang": _boilerplate_corpus_sql(per_lang=True),
         "content_spans": _content_spans_sql(),
+        "c4_clean": _c4_clean_sql(),
+        "c4_span_dedup": _c4_span_sql(),
         "char_entropy": _char_entropy_sql(),
         "kmeans_clusters": _kmeans_sql(),
         "nb_confusion": f"""
