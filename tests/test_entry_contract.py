@@ -209,6 +209,12 @@ ADVERSARIAL_QUERIES = [
     # pointer-doubling redirect resolver on the irregular partial-block
     # doc count this corpus produces
     "wet_export", "redirect_resolve",
+    # round-5 twelfth wave: span lineage (offset bookkeeping must agree
+    # on entity-escaped hostile text across engines), the C4 line filter
+    # (trim/terminal-punct/word-count rules on every whitespace class)
+    # and the C4 span dedup (CRLF lines, blank lines, planted shared
+    # blocks — the hash/keeper/removal chain on degenerate pages)
+    "content_spans", "c4_clean", "c4_span_dedup",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
