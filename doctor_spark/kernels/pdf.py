@@ -1476,6 +1476,14 @@ def _interpret_content(
     runs: list[TextRun] = []
     render_mode = 0  # Tr; 3 = invisible (OCR text layers)
     col = collector if collector is not None else _CharCollector()
+    # per-content-stream fragment memo for the batch-TJ plain path: the
+    # per-fragment output (texts, fragment-relative cums, widths, total
+    # advance) is a pure function of (layout table, fragment bytes) when
+    # Tc == Tw == 0, and kerned court PDFs repeat short fragments
+    # heavily — outer dict keyed by id(layout_table), which is safe
+    # because the tables are cached on Font objects that outlive this
+    # stream's interpretation
+    frag_memo: dict[int, dict[bytes, tuple]] = {}
     curves = 0
     black_rects: list[tuple[float, float, float, float]] = []
     pending_rects: list[tuple[float, float, float, float]] = []
@@ -1765,6 +1773,10 @@ def _interpret_content(
             tc, tw, th = t_c, t_w, t_h
             plain = tc == 0.0 and tw == 0.0
             sb_metric = not two_byte
+            if sb_metric and plain:
+                fmemo = frag_memo.get(id(tbl))
+                if fmemo is None:
+                    fmemo = frag_memo[id(tbl)] = {}
 
         # ---- batch path: one validator match + one findall ----
         # Proves the whole array is simple tokens, checks the TJ operator
@@ -1824,13 +1836,24 @@ def _interpret_content(
                 cum = 0.0
                 if sb_metric:
                     if plain:
-                        for code in frag:
-                            text, w_text, wth = tbl[code]
-                            if text:
-                                texts_append(text)
-                                cums_append(cum)
-                                wths_append(wth)
-                            cum += wth
+                        ent = fmemo.get(frag)
+                        if ent is not None:
+                            t_seq, c_seq, w_seq, cum = ent
+                            if t_seq:
+                                texts.extend(t_seq)
+                                cums.extend(c_seq)
+                                wths.extend(w_seq)
+                        else:
+                            for code in frag:
+                                text, w_text, wth = tbl[code]
+                                if text:
+                                    texts_append(text)
+                                    cums_append(cum)
+                                    wths_append(wth)
+                                cum += wth
+                            fmemo[frag] = (tuple(texts[seg_start:]),
+                                           cums[seg_start:],
+                                           wths[seg_start:], cum)
                     else:
                         for code in frag:
                             text, w_text, wth = tbl[code]
