@@ -1962,6 +1962,50 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_metadata(pages).drop("html")
 
 
+# deterministic robots-meta synthesis: six head arms (noindex+nofollow,
+# uppercase NONE, googlebot-padded NoFollow, noindex then a later
+# index/follow that must NOT clear it, non-restrictive all, no meta)
+# plus an independent body-position nofollow arm on doc_id % 7 == 5 so
+# the cross-tag union is exercised against every head arm.
+_ROBOTS_META_SYNTH_SQL = """
+'<html><head><title>t</title>' ||
+CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+  WHEN 1 THEN '<META NAME="ROBOTS" CONTENT="NONE">'
+  WHEN 2 THEN '<meta name="googlebot" content=" NoFollow ">'
+  WHEN 3 THEN '<meta name="robots" content="noindex">' ||
+              '<meta name="robots" content="index, follow">'
+  WHEN 4 THEN '<meta name="robots" content="all">'
+  ELSE ''
+END || '</head><body><p>body text</p>' ||
+CASE WHEN doc_id % 7 = 5 THEN '<meta name=robots content=nofollow>'
+     ELSE '' END || '</body></html>'
+"""
+
+
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots-meta admission gate (REP meta-tag semantics):
+    noindex/nofollow flags with most-restrictive union across all
+    robots/googlebot metas, head or body; `index_ok = NOT noindex` is
+    the corpus-admission verdict between the robots.txt gate and the
+    quality gates.  Map-only — one Arrow batch, zero shuffles.  The
+    oracle replays each synthesis arm's expected flags as closed-form
+    CASE arithmetic — the kernel is verified against the spec, never
+    against itself."""
+    from doctor_spark.operators.metadata import robots_meta_flags
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.encode(F.expr(_ROBOTS_META_SYNTH_SQL), "utf-8").alias("html"),
+    )
+    out = robots_meta_flags(pages)
+    return out.select(
+        "doc_id", "noindex", "nofollow",
+        (~F.col("noindex")).alias("index_ok"),
+    )
+
+
 # deterministic anchor-markup synthesis for the link-text query: 13
 # target hosts, three anchor shapes per page (a high-frequency 'home'
 # text vs a per-host 'about k' minority, an entity-ref + whitespace-noise
@@ -3412,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_corpus": q_boilerplate_corpus,
         "boilerplate_corpus_lang": q_boilerplate_corpus_lang,
         "content_spans": q_content_spans,
+        "robots_meta": q_robots_meta,
         "c4_clean": q_c4_clean,
         "c4_span_dedup": q_c4_span_dedup,
         "char_entropy": q_char_entropy,
@@ -6084,6 +6129,13 @@ GROUP BY doc_id % {_VID_PATTERNS}
         "boilerplate_corpus": _boilerplate_corpus_sql(),
         "boilerplate_corpus_lang": _boilerplate_corpus_sql(per_lang=True),
         "content_spans": _content_spans_sql(),
+        "robots_meta": """
+SELECT doc_id::BIGINT AS doc_id,
+       (doc_id % 6 IN (0, 1, 3)) AS noindex,
+       (doc_id % 6 IN (0, 1, 2) OR doc_id % 7 = 5) AS nofollow,
+       NOT (doc_id % 6 IN (0, 1, 3)) AS index_ok
+FROM documents WHERE text IS NOT NULL
+""",
         "c4_clean": _c4_clean_sql(),
         "c4_span_dedup": _c4_span_sql(),
         "char_entropy": _char_entropy_sql(),

@@ -273,10 +273,12 @@ def main() -> None:
         "wat_export",
         "host_degree_stats",
         "soft404_gate",
-        # twelfth wave: span-lineage main-content pass + C4 recipe
+        # twelfth wave: span-lineage main-content pass + C4 recipe +
+        # robots-meta admission gate
         "content_spans",
         "c4_clean",
         "c4_span_dedup",
+        "robots_meta",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -315,7 +317,7 @@ def main() -> None:
         "redirect_resolve", "sentence_stats", "wet_export",
         "fetch_schedule",
         "cdx_index", "wat_export", "host_degree_stats", "soft404_gate",
-        "content_spans", "c4_clean", "c4_span_dedup",
+        "content_spans", "c4_clean", "c4_span_dedup", "robots_meta",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -76,6 +76,7 @@ class _MetaParser(HTMLParser):
         self.lang_attr: str | None = None
         self.refresh_url: str | None = None
         self.charset: str | None = None
+        self.robots_contents: list[str] = []
         self._in_title = False
         self._title_buf: list[str] = []
 
@@ -123,6 +124,11 @@ class _MetaParser(HTMLParser):
             equiv = a.get("http-equiv", "").strip().lower()
             if name == "description" and self.description is None:
                 self.description = content
+            elif name in ("robots", "googlebot"):
+                # ALL robots metas collect (union semantics downstream),
+                # unlike the first-wins fields — REP says the most
+                # restrictive directive across tags applies
+                self.robots_contents.append(content)
             elif prop == "og:title" and self.og_title is None:
                 self.og_title = content
             elif (
@@ -222,3 +228,55 @@ def extract_page_metadata(html: str | bytes | None) -> dict[str, str | None]:
         "refresh_url": parser.refresh_url,
         "charset": parser.charset,
     }
+
+
+def extract_robots_flags(html: str | bytes | None) -> tuple[bool, bool]:
+    """Page-level robots-meta admission flags: ``(noindex, nofollow)``.
+
+    Robots Exclusion Protocol meta-tag semantics (the page-level
+    counterpart of kernels/robots.py's robots.txt gate; reference
+    anchor: the doctor service has no crawl layer — this is the
+    admission rung a Common-Crawl-style pipeline applies between fetch
+    and indexing):
+
+    - every ``<meta name="robots">`` and ``<meta name="googlebot">``
+      content attribute contributes (name matched case-insensitively,
+      head or body — parsers honor them anywhere);
+    - a content value is a comma-separated directive list; directives
+      are trimmed (ASCII whitespace) and matched case-insensitively;
+    - ``noindex`` / ``nofollow`` set their flag; ``none`` sets BOTH
+      (its documented meaning); ``all`` / ``index`` / ``follow`` and
+      unknown directives are non-restrictive no-ops;
+    - MULTIPLE tags union: the most restrictive directive across all
+      tags applies — ``index`` in a later tag never clears an earlier
+      ``noindex``.
+
+    bytes decode via the reference encoding ladder; an undecodable or
+    None page yields ``(False, False)`` — unknown pages are admitted by
+    the META gate (robots.txt and quality gates have their own say),
+    and a corrupt payload must not kill a Spark task.
+    """
+    if html is None:
+        return (False, False)
+    if isinstance(html, (bytes, bytearray)):
+        decoded = decode_html_ladder(bytes(html))
+        if decoded is None:
+            return (False, False)
+        html = decoded[0]
+    parser = _MetaParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass  # flags reflect whatever was parsed before the failure
+    noindex = nofollow = False
+    for content in parser.robots_contents:
+        for d in content.split(","):
+            d = d.strip().lower()
+            if d == "noindex":
+                noindex = True
+            elif d == "nofollow":
+                nofollow = True
+            elif d == "none":
+                noindex = nofollow = True
+    return (noindex, nofollow)

@@ -163,3 +163,32 @@ def anchor_text_topk(
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def robots_meta_flags(pages: DataFrame, key_col: str = "doc_id",
+                      html_col: str = "html") -> DataFrame:
+    """Page-level robots-meta admission flags: ``(key_col, noindex,
+    nofollow)`` from every ``<meta name="robots"|"googlebot">`` tag
+    (REP union semantics — the most restrictive directive across tags
+    applies; ``none`` sets both; ``index``/``follow``/``all`` are
+    no-ops).  The admission rung between the robots.txt gate
+    (operators/robots.py, per-host fetch admission) and the quality
+    gates: a fetched page that says noindex must not enter the corpus.
+
+    Map-only like its siblings — one Arrow batch, zero shuffles at any
+    corpus size; kernel contract: kernels/html_meta.py
+    ``extract_robots_flags`` (undecodable/None pages admit)."""
+
+    @F.pandas_udf("struct<noindex:boolean, nofollow:boolean>")
+    def flags(html: pd.Series) -> pd.DataFrame:
+        from ..kernels.html_meta import extract_robots_flags
+
+        recs = [extract_robots_flags(h) for h in html]
+        return pd.DataFrame(recs, columns=["noindex", "nofollow"])
+
+    f = flags(F.col(html_col))
+    return pages.select(
+        key_col,
+        f.getField("noindex").alias("noindex"),
+        f.getField("nofollow").alias("nofollow"),
+    )

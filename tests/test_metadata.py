@@ -393,3 +393,49 @@ def test_image_caption_table_plan_two_exchanges(spark):
     assert final.count("Exchange hashpartitioning") == 2, final
     assert final.count("ArrowEvalPython") == 1, final
     assert "WindowGroupLimit" in final, final
+
+
+# -- robots-meta admission gate ----------------------------------------------
+
+
+def test_robots_flags_kernel_directives():
+    from doctor_spark.kernels.html_meta import extract_robots_flags as f
+
+    assert f('<meta name="robots" content="noindex, nofollow">') == (True, True)
+    assert f('<META NAME="ROBOTS" CONTENT="NONE">') == (True, True)
+    assert f('<meta name="googlebot" content=" NoFollow ">') == (False, True)
+    # union: a later index/follow never clears an earlier noindex
+    assert f('<meta name=robots content=noindex>'
+             '<meta name=robots content="index, follow">') == (True, False)
+    assert f('<meta name="robots" content="all">') == (False, False)
+    assert f('<meta name="robots" content="INDEX , unknown-directive">') \
+        == (False, False)
+    # body-position metas are honored; description metas are not robots
+    assert f('<body><p>x</p><meta name=robots content=nofollow></body>') \
+        == (False, True)
+    assert f('<meta name="description" content="noindex">') == (False, False)
+
+
+def test_robots_flags_kernel_poison():
+    from doctor_spark.kernels.html_meta import extract_robots_flags as f
+
+    assert f(None) == (False, False)
+    assert f("") == (False, False)
+    assert f(b'<meta name=robots content=noindex>') == (True, False)
+    assert f(b"\xff\xfe\x00\x00garbage") in ((False, False), (True, False))
+    assert f("<meta name=robots") == (False, False)  # truncated tag soup
+
+
+def test_robots_meta_operator_and_plan(spark):
+    from doctor_spark.operators.metadata import robots_meta_flags
+    from doctor_spark.plans.checks import physical_plan
+
+    df = spark.createDataFrame(
+        [(1, b'<meta name="robots" content="none">'),
+         (2, b"<p>plain</p>"), (3, None)],
+        "doc_id long, html binary")
+    q = robots_meta_flags(df)
+    rows = {r["doc_id"]: (r["noindex"], r["nofollow"]) for r in q.collect()}
+    assert rows == {1: (True, True), 2: (False, False), 3: (False, False)}
+    plan = physical_plan(q)
+    assert "Exchange" not in plan, plan
