@@ -1428,6 +1428,44 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_host_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-URL cardinality via the integer-exact
+    HyperLogLog sketch (operators/hll.py): the crawl-coverage
+    ``count(distinct url)`` per host WITHOUT shuffling url occurrences
+    — two bounded keyed exchanges (register table with map-side max
+    partials, then a per-host rollup of ≤4096 rows/key), zero Python.
+    Every register and the raw estimate are replayed bit-for-bit by
+    the oracle (60-bit md5-prefix hash, scaled-integer harmonic sum,
+    mod-subtract exact floor division); the float linear-counting
+    correction is deliberately caller-side (``hll_correct``) so the
+    hashed result stays integer-exact.  Synthetic (host, url) pairs:
+    8 urls per document over 41 hosts with per-host moduli."""
+    from doctor_spark.operators.hll import hll_distinct
+
+    host_id = (F.col("doc_id") * 7 + F.col("i")) % 41
+    pairs = (
+        _docs(spark, sf_dir)
+        .select("doc_id",
+                F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"))
+        .select(
+            F.concat(F.lit("host-"), host_id).alias("host"),
+            F.concat(
+                F.lit("/p/"),
+                (F.col("doc_id") * 13 + F.col("i") * 97)
+                % (F.lit(120) + host_id * 11),
+            ).alias("url"),
+        )
+    )
+    out = hll_distinct(pairs, ["host"], "url")
+    return out.orderBy("host").select(
+        "host",
+        F.col("n_regs").cast("bigint").alias("n_regs"),
+        F.col("v_zero").cast("bigint").alias("v_zero"),
+        F.col("sum_scaled").cast("bigint").alias("sum_scaled"),
+        F.col("est_distinct").cast("bigint").alias("est_distinct"),
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training, first 8 merges: ONE
     corpus-scale exchange builds the word-count table, then each merge
@@ -3423,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,
         "heavy_hitters": q_heavy_hitters,
+        "hll_host_distinct": q_hll_host_distinct,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "link_pagerank": q_link_pagerank,
@@ -3490,6 +3529,16 @@ _JAVA_WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
 # stupid-backoff penalty literal, generated from the LM module's own
 # quantizer so the Spark side and the oracle can never drift
 from doctor_spark.operators.lm import _lp_micro as _lm_lp_micro  # noqa: E402
+
+# HLL constants — single source of truth in the operator module
+from doctor_spark.operators.hll import (  # noqa: E402
+    DEN_MIN as _HLL_DEN_MIN,
+    EST_NUM as _HLL_EST_NUM,
+    M as _HLL_M,
+    Q as _HLL_Q,
+    RHO_CAP as _HLL_RHO_CAP,
+    RHO_MAX as _HLL_RHO_MAX,
+)
 
 _LM_ALPHA_MICRO = _lm_lp_micro(0.4)
 _TOKS = f"regexp_split_to_array(trim(lower(text)), '{_JAVA_WS_CLASS}+')"
@@ -6198,6 +6247,42 @@ WITH toks AS (
 SELECT token, count(*)::BIGINT AS cnt
 FROM toks WHERE token <> ''
 GROUP BY token HAVING count(*) >= 200
+""",
+        # HLL: bit-for-bit replay of the register table and the
+        # scaled-integer estimator (constants imported from the module
+        # so the two sides can never drift)
+        "hll_host_distinct": f"""
+WITH pairs AS (
+  SELECT 'host-' || CAST((doc_id*7 + i) % 41 AS VARCHAR) AS host,
+         '/p/' || CAST((doc_id*13 + i*97)
+                       % (120 + ((doc_id*7 + i) % 41) * 11) AS VARCHAR)
+             AS url
+  FROM documents, (SELECT unnest(range(8)) AS i)
+), hashed AS (
+  SELECT host, ('0x' || substr(md5(url), 1, 15))::BIGINT AS h FROM pairs
+), regs AS (
+  SELECT host, h >> {_HLL_Q} AS reg,
+         MAX(CASE WHEN (h & ((1::BIGINT << {_HLL_Q}) - 1)) = 0
+                  THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(printf('%b',
+                       h & ((1::BIGINT << {_HLL_Q}) - 1))) END) AS rho
+  FROM hashed GROUP BY host, reg
+), est AS (
+  SELECT host, count(*)::BIGINT AS n_regs,
+         ({_HLL_M} - count(*))::BIGINT AS v_zero,
+         (SUM(CASE WHEN rho <= {_HLL_RHO_CAP}
+                   THEN (1::BIGINT << ({_HLL_RHO_CAP} - rho))
+                   ELSE 0 END)
+          + ({_HLL_M} - count(*)) * (1::BIGINT << {_HLL_RHO_CAP})
+         )::BIGINT AS sum_scaled
+  FROM regs GROUP BY host
+)
+SELECT host, n_regs, v_zero, sum_scaled,
+       CASE WHEN sum_scaled >= {_HLL_DEN_MIN}
+            THEN (({_HLL_EST_NUM}::HUGEINT // sum_scaled::HUGEINT)
+                  // 1000000)::BIGINT
+            ELSE NULL END AS est_distinct
+FROM est ORDER BY host
 """,
         "media_features_mismatch": (
             "SELECT CAST(NULL AS BIGINT) AS media_id,"

@@ -279,6 +279,8 @@ def main() -> None:
         "c4_clean",
         "c4_span_dedup",
         "robots_meta",
+        # thirteenth wave: integer-exact HyperLogLog crawl-coverage
+        "hll_host_distinct",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (

@@ -215,6 +215,10 @@ ADVERSARIAL_QUERIES = [
     # and the C4 span dedup (CRLF lines, blank lines, planted shared
     # blocks — the hash/keeper/removal chain on degenerate pages)
     "content_spans", "c4_clean", "c4_span_dedup",
+    # round-5 thirteenth wave: HLL registers/estimator (doc_id only —
+    # the hostile corpus varies doc COUNT and id gaps, exercising the
+    # absent-register and small-denominator paths of the estimator)
+    "hll_host_distinct",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
