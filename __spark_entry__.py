@@ -2000,6 +2000,45 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_metadata(pages).drop("html")
 
 
+# deterministic JSON-LD synthesis: six arms — full NewsArticle with
+# Person/Organization objects, a Yoast-style @graph wrapper, a
+# top-level array with a type LIST and a bare-string author (plus mime
+# params on the type attr), a malformed block followed by a valid one
+# (strict-JSON isolation), a non-article-type-only page, and a page
+# with no ld+json at all.
+_JSONLD_SYNTH_SQL = """
+'<html><head><title>t</title>' ||
+CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN '<script type="application/ld+json">{"@context":"https://schema.org","@type":"NewsArticle","headline":"Ruling ' || CAST(doc_id AS VARCHAR(20)) || '","datePublished":"2024-03-0' || CAST(doc_id % 9 + 1 AS VARCHAR(20)) || 'T08:00:00Z","author":{"@type":"Person","name":"A. Reporter"},"publisher":{"@type":"Organization","name":"The Daily"}}</script>'
+  WHEN 1 THEN '<script type="application/ld+json">{"@graph":[{"@type":"Organization","name":"Pub"},{"@type":"NewsArticle","headline":"H-' || CAST(doc_id AS VARCHAR(20)) || '"}]}</script>'
+  WHEN 2 THEN '<script type="application/LD+JSON; charset=utf-8">[{"@type":["Thing","BlogPosting"],"headline":"Blog é ' || CAST(doc_id AS VARCHAR(20)) || '","author":"bare-author"}]</script>'
+  WHEN 3 THEN '<script type="application/ld+json">{"@type":"NewsArticle","headline":"oops",}</script><script type="application/ld+json">{"@type":"Article","headline":"good ' || CAST(doc_id AS VARCHAR(20)) || '"}</script>'
+  WHEN 4 THEN '<script type="application/ld+json">{"@type":"Organization","name":"Acme"}</script>'
+  ELSE '<script>var x = 1;</script>'
+END || '</head><body><p>body</p></body></html>'
+"""
+
+
+def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD extraction (the highest-precision title/date
+    source a web corpus has): first article-like ld+json node per page
+    — type string-or-list matching, @graph traversal in document
+    order, Person/Organization author/publisher shapes, strict
+    per-block JSON with malformed blocks counted and isolated.
+    Map-only — one Arrow batch, zero shuffles.  The oracle replays
+    each synthesis arm's expected record as closed-form CASE
+    arithmetic — the kernel is verified against the spec, never
+    against itself."""
+    from doctor_spark.operators.metadata import structured_data
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.encode(F.expr(_JSONLD_SYNTH_SQL), "utf-8").alias("html"),
+    )
+    return structured_data(pages).orderBy("doc_id")
+
+
 # deterministic robots-meta synthesis: six head arms (noindex+nofollow,
 # uppercase NONE, googlebot-padded NoFollow, noindex then a later
 # index/follow that must NOT clear it, non-restrictive all, no meta)
@@ -3496,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_corpus_lang": q_boilerplate_corpus_lang,
         "content_spans": q_content_spans,
         "robots_meta": q_robots_meta,
+        "structured_data": q_structured_data,
         "c4_clean": q_c4_clean,
         "c4_span_dedup": q_c4_span_dedup,
         "char_entropy": q_char_entropy,
@@ -6184,6 +6224,35 @@ SELECT doc_id::BIGINT AS doc_id,
        (doc_id % 6 IN (0, 1, 2) OR doc_id % 7 = 5) AS nofollow,
        NOT (doc_id % 6 IN (0, 1, 3)) AS index_ok
 FROM documents WHERE text IS NOT NULL
+""",
+        # JSON-LD: each synthesis arm's expected record, closed-form
+        "structured_data": """
+SELECT doc_id::BIGINT AS doc_id,
+       CASE CAST(doc_id % 6 AS INT)
+         WHEN 0 THEN 'NewsArticle' WHEN 1 THEN 'NewsArticle'
+         WHEN 2 THEN 'BlogPosting' WHEN 3 THEN 'Article'
+         ELSE NULL END AS ld_type,
+       CASE CAST(doc_id % 6 AS INT)
+         WHEN 0 THEN 'Ruling ' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN 'H-' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN 'Blog é ' || CAST(doc_id AS VARCHAR)
+         WHEN 3 THEN 'good ' || CAST(doc_id AS VARCHAR)
+         ELSE NULL END AS headline,
+       CASE WHEN doc_id % 6 = 0
+            THEN '2024-03-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                 || 'T08:00:00Z'
+            ELSE NULL END AS date_published,
+       CASE WHEN doc_id % 6 = 0 THEN 'A. Reporter'
+            WHEN doc_id % 6 = 2 THEN 'bare-author'
+            ELSE NULL END AS author_name,
+       CASE WHEN doc_id % 6 = 0 THEN 'The Daily'
+            ELSE NULL END AS publisher_name,
+       CASE CAST(doc_id % 6 AS INT) WHEN 3 THEN 2 WHEN 5 THEN 0
+            ELSE 1 END::INT AS n_blocks,
+       CASE WHEN doc_id % 6 = 3 THEN 1 ELSE 0 END::INT AS n_bad,
+       CASE CAST(doc_id % 6 AS INT) WHEN 1 THEN 3 WHEN 3 THEN 1
+            WHEN 5 THEN 0 ELSE 1 END::INT AS n_nodes
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """,
         "c4_clean": _c4_clean_sql(),
         "c4_span_dedup": _c4_span_sql(),

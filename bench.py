@@ -279,8 +279,10 @@ def main() -> None:
         "c4_clean",
         "c4_span_dedup",
         "robots_meta",
-        # thirteenth wave: integer-exact HyperLogLog crawl-coverage
+        # thirteenth wave: integer-exact HyperLogLog crawl-coverage +
+        # schema.org JSON-LD extraction
         "hll_host_distinct",
+        "structured_data",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (

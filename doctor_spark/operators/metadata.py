@@ -192,3 +192,37 @@ def robots_meta_flags(pages: DataFrame, key_col: str = "doc_id",
         f.getField("noindex").alias("noindex"),
         f.getField("nofollow").alias("nofollow"),
     )
+
+
+_LD_STRUCT = (
+    "struct<ld_type:string, headline:string, date_published:string, "
+    "author_name:string, publisher_name:string, "
+    "n_blocks:int, n_bad:int, n_nodes:int>"
+)
+_LD_COLS = ("ld_type", "headline", "date_published", "author_name",
+            "publisher_name", "n_blocks", "n_bad", "n_nodes")
+
+
+def structured_data(pages: DataFrame, key_col: str = "doc_id",
+                    html_col: str = "html") -> DataFrame:
+    """schema.org JSON-LD extraction: ``(key_col, ld_type, headline,
+    date_published, author_name, publisher_name, n_blocks, n_bad,
+    n_nodes)`` from the first article-like ld+json node per page
+    (kernel contract: kernels/jsonld.py — strict per-block JSON, a
+    malformed block counts in ``n_bad`` and never poisons the page).
+
+    Map-only like its head-metadata siblings — one Arrow batch, zero
+    shuffles at any corpus size; the highest-precision title/date
+    source a web corpus has."""
+
+    @F.pandas_udf(_LD_STRUCT)
+    def ld(html: pd.Series) -> pd.DataFrame:
+        from ..kernels.jsonld import extract_structured_data
+
+        recs = [extract_structured_data(h) for h in html]
+        return pd.DataFrame(recs, columns=list(_LD_COLS))
+
+    f = ld(F.col(html_col))
+    return pages.select(
+        key_col, *[f.getField(c).alias(c) for c in _LD_COLS]
+    )

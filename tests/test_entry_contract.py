@@ -219,6 +219,10 @@ ADVERSARIAL_QUERIES = [
     # the hostile corpus varies doc COUNT and id gaps, exercising the
     # absent-register and small-denominator paths of the estimator)
     "hll_host_distinct",
+    # round-5 thirteenth wave: JSON-LD extraction (doc_id + text only;
+    # the synthesis arms fan out over whatever doc_ids the hostile
+    # corpus carries, exercising every arm boundary)
+    "structured_data",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
