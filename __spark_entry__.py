@@ -2019,6 +2019,45 @@ END || '</head><body><p>body</p></body></html>'
 """
 
 
+def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
+    cleaning recipe): NFC composition + explicit space-like /
+    zero-width / control sets (functions/text.py module constants —
+    the oracle replays the same sets as RE2 classes).  Map-only Arrow
+    kernel, zero shuffles.  The cleaned TEXT is hash-compared, so
+    Python's unicodedata NFC and DuckDB's utf8proc NFC are checked
+    against each other on every row; six dirty-prefix arms exercise
+    combining composition, jamo, the NFC-keeps-ligatures property,
+    and each character set."""
+    from doctor_spark.functions.text import unicode_clean_udf
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    arm = (F.col("doc_id") % 6).cast("int")
+    dirty = (
+        # combining acute (NFC composes) + ZWSP
+        F.when(arm == 0, F.concat(F.lit("Cafe\u0301\u200b "), F.col("text")))
+        # NBSP + IDEOGRAPHIC SPACE
+        .when(arm == 1, F.concat(F.lit("A\u00a0B\u3000C "), F.col("text")))
+        # C0 control, DEL, C1 NEL
+        .when(arm == 2,
+              F.concat(F.lit("X\u0001Y\u007f\u0085Z "), F.col("text")))
+        # fi ligature (NFC KEEPS it) + soft hyphen (dropped)
+        .when(arm == 3, F.concat(F.lit("\ufb01\u00adle "), F.col("text")))
+        # hangul jamo pair (NFC composes to a syllable)
+        .when(arm == 4, F.concat(F.lit("\u1100\u1161 "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    k = unicode_clean_udf()(dirty)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        k.getField("clean").alias("clean"),
+        k.getField("n_space_mapped").alias("n_space_mapped"),
+        k.getField("n_zero_width").alias("n_zero_width"),
+        k.getField("n_controls").alias("n_controls"),
+        k.getField("changed").alias("changed"),
+    ).orderBy("doc_id")
+
+
 def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """schema.org JSON-LD extraction (the highest-precision title/date
     source a web corpus has): first article-like ld+json node per page
@@ -3536,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_spans": q_content_spans,
         "robots_meta": q_robots_meta,
         "structured_data": q_structured_data,
+        "unicode_clean": q_unicode_clean,
         "c4_clean": q_c4_clean,
         "c4_span_dedup": q_c4_span_dedup,
         "char_entropy": q_char_entropy,
@@ -3569,6 +3609,24 @@ _JAVA_WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
 # stupid-backoff penalty literal, generated from the LM module's own
 # quantizer so the Spark side and the oracle can never drift
 from doctor_spark.operators.lm import _lp_micro as _lm_lp_micro  # noqa: E402
+
+# unicode-clean character sets — single source of truth in
+# functions/text.py; rendered as RE2 \x{...} classes so no raw control
+# bytes appear in the oracle SQL text
+from doctor_spark.functions.text import (  # noqa: E402
+    UC_CONTROLS as _UC_CONTROLS,
+    UC_SPACE_LIKE as _UC_SPACE_LIKE,
+    UC_ZERO_WIDTH as _UC_ZERO_WIDTH,
+)
+
+
+def _re2_class(chars: str) -> str:
+    return "[" + "".join(f"\\x{{{ord(c):x}}}" for c in chars) + "]"
+
+
+_UC_SP_CLS = _re2_class(_UC_SPACE_LIKE)
+_UC_ZW_CLS = _re2_class(_UC_ZERO_WIDTH)
+_UC_CTL_CLS = _re2_class(_UC_CONTROLS)
 
 # HLL constants — single source of truth in the operator module
 from doctor_spark.operators.hll import (  # noqa: E402
@@ -6224,6 +6282,39 @@ SELECT doc_id::BIGINT AS doc_id,
        (doc_id % 6 IN (0, 1, 2) OR doc_id % 7 = 5) AS nofollow,
        NOT (doc_id % 6 IN (0, 1, 3)) AS index_ok
 FROM documents WHERE text IS NOT NULL
+""",
+        # unicode-clean: full replay on the same dirty synthesis —
+        # nfc_normalize (utf8proc) vs Python unicodedata checked on
+        # every row's TEXT, sets replayed as RE2 classes
+        "unicode_clean": f"""
+WITH dirty AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN 'Cafe\u0301\u200b ' || text
+           WHEN 1 THEN 'A\u00a0B\u3000C ' || text
+           WHEN 2 THEN 'X\u0001Y\u007f\u0085Z ' || text
+           WHEN 3 THEN '\ufb01\u00adle ' || text
+           WHEN 4 THEN '\u1100\u1161 ' || text
+           ELSE text END AS t0
+  FROM documents WHERE text IS NOT NULL
+), nfc AS (
+  SELECT doc_id, t0, nfc_normalize(t0) AS t1 FROM dirty
+), cl AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(regexp_replace(regexp_replace(t1,
+             '{_UC_SP_CLS}', ' ', 'g'), '{_UC_ZW_CLS}', '', 'g'),
+             '{_UC_CTL_CLS}', '', 'g') AS clean
+  FROM nfc
+)
+SELECT doc_id, clean,
+  (length(t1) - length(regexp_replace(t1, '{_UC_SP_CLS}', '', 'g')))::INT
+      AS n_space_mapped,
+  (length(t1) - length(regexp_replace(t1, '{_UC_ZW_CLS}', '', 'g')))::INT
+      AS n_zero_width,
+  (length(t1) - length(regexp_replace(t1, '{_UC_CTL_CLS}', '', 'g')))::INT
+      AS n_controls,
+  (clean <> t0) AS changed
+FROM cl ORDER BY doc_id
 """,
         # JSON-LD: each synthesis arm's expected record, closed-form
         "structured_data": """

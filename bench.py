@@ -283,6 +283,7 @@ def main() -> None:
         # schema.org JSON-LD extraction
         "hll_host_distinct",
         "structured_data",
+        "unicode_clean",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (

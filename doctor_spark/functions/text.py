@@ -818,3 +818,81 @@ def soft404_flags(title: Column, text: Column) -> Column:
     return F.struct(
         (reason != "").alias("soft404"), reason.alias("reason")
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization cleanup — the ftfy/NFC rung of a C4/Dolma-style
+# cleaning recipe.  NFC composition (the UAX#15 form that preserves
+# compatibility characters — ligatures and fullwidth forms are content,
+# not noise), then three EXPLICIT character sets, enumerated here rather
+# than derived from Unicode categories so the DuckDB oracle can replay
+# the exact same sets as RE2 classes with no unicode-table dependency:
+#
+# - UC_SPACE_LIKE -> ' '  : NBSP, OGHAM SPACE, U+2000..200A quads/thins,
+#   NNBSP, MMSP, IDEOGRAPHIC SPACE — layout spaces that tokenizers must
+#   see as plain spaces;
+# - UC_ZERO_WIDTH -> ''   : ZWSP/ZWNJ/ZWJ, WORD JOINER, ZWNBSP/BOM,
+#   SOFT HYPHEN — width-less chars that split tokens invisibly and leak
+#   from CMS editors;
+# - UC_CONTROLS   -> ''   : C0 except \t \n \r, DEL, and the C1 block —
+#   transport noise (NFC never produces them).
+#
+# The three sets are disjoint, so application order is immaterial; the
+# kernel and the oracle both measure counts on the NFC'd string.
+# No reference counterpart (doctor normalizes whitespace only,
+# lib/utils.py); this is the training-data cleaning stage.
+
+UC_SPACE_LIKE = (
+    "          "
+    "     　"
+)
+UC_ZERO_WIDTH = "​‌‍⁠﻿­"
+UC_CONTROLS = (
+    "".join(chr(c) for c in range(0x00, 0x09))      # C0 before \t
+    + "\x0b\x0c"                                     # VT, FF
+    + "".join(chr(c) for c in range(0x0e, 0x20))     # C0 after \r
+    + "\x7f"                                         # DEL
+    + "".join(chr(c) for c in range(0x80, 0xa0))     # C1
+)
+
+_UC_SPACE_TABLE = {ord(c): " " for c in UC_SPACE_LIKE}
+_UC_DROP_TABLE = {ord(c): None for c in UC_ZERO_WIDTH + UC_CONTROLS}
+
+UNICODE_CLEAN_STRUCT = (
+    "struct<clean:string, n_space_mapped:int, n_zero_width:int, "
+    "n_controls:int, changed:boolean>"
+)
+
+
+def unicode_clean_row(s: str | None) -> tuple:
+    """The spec: (clean, n_space_mapped, n_zero_width, n_controls,
+    changed) per the module-constant sets; None -> all-null row."""
+    import unicodedata as _ud
+
+    if s is None:
+        return (None, None, None, None, None)
+    t = _ud.normalize("NFC", s)
+    n_sp = sum(1 for ch in t if ch in UC_SPACE_LIKE)
+    n_zw = sum(1 for ch in t if ch in UC_ZERO_WIDTH)
+    n_ctl = sum(1 for ch in t if ch in UC_CONTROLS)
+    clean = t.translate(_UC_SPACE_TABLE).translate(_UC_DROP_TABLE)
+    return (clean, n_sp, n_zw, n_ctl, clean != s)
+
+
+def unicode_clean_udf():
+    """Vectorized Arrow kernel for :func:`unicode_clean_row` — map-only,
+    zero shuffles; the cleaned TEXT itself is oracle-hashed, so the
+    NFC implementations of Python and DuckDB (utf8proc) are checked
+    against each other on every row."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def k(s):
+        return pd.DataFrame(
+            [unicode_clean_row(v) for v in s],
+            columns=["clean", "n_space_mapped", "n_zero_width",
+                     "n_controls", "changed"],
+        )
+
+    k.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(k, UNICODE_CLEAN_STRUCT)

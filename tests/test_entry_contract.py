@@ -223,6 +223,10 @@ ADVERSARIAL_QUERIES = [
     # the synthesis arms fan out over whatever doc_ids the hostile
     # corpus carries, exercising every arm boundary)
     "structured_data",
+    # round-5 thirteenth wave: NFC cleanup — the hostile corpus is the
+    # REAL stressor (astral pairs, \x0b and every control class, BOM,
+    # combining runs hit Python-unicodedata-vs-utf8proc head-on)
+    "unicode_clean",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
