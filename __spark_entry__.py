@@ -2019,6 +2019,56 @@ END || '</head><body><p>body</p></body></html>'
 """
 
 
+# deterministic hreflang synthesis: five arms — a 3-language cluster,
+# a region-tagged pair, an x-default+single (pseudo-tag excluded from
+# pairs), a single language (no pairs), and no alternates at all.
+_HREFLANG_SYNTH_SQL = """
+'<html><head>' ||
+CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN '<link rel="alternate" hreflang="en" href="https://s'
+              || CAST(doc_id AS VARCHAR(20)) || '.example/en">'
+              || '<link rel="alternate" hreflang="fr" href="https://s'
+              || CAST(doc_id AS VARCHAR(20)) || '.example/fr">'
+              || '<link rel="alternate" hreflang="de" href="https://s'
+              || CAST(doc_id AS VARCHAR(20)) || '.example/de">'
+  WHEN 1 THEN '<link rel="alternate" hreflang="en-us" href="https://s'
+              || CAST(doc_id AS VARCHAR(20)) || '.example/">'
+              || '<link rel="alternate" hreflang="ES" href="https://s'
+              || CAST(doc_id AS VARCHAR(20)) || '.example/es">'
+  WHEN 2 THEN '<link rel="alternate" hreflang="x-default" href="https://s'
+              || CAST(doc_id AS VARCHAR(20)) || '.example/">'
+              || '<link rel="alternate" hreflang="en" href="https://s'
+              || CAST(doc_id AS VARCHAR(20)) || '.example/en">'
+  WHEN 3 THEN '<link rel="alternate" hreflang="fr" href="https://s'
+              || CAST(doc_id AS VARCHAR(20)) || '.example/fr">'
+  ELSE ''
+END || '</head><body><p>b</p></body></html>'
+"""
+
+
+def q_hreflang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-corpus language-pair inventory from hreflang alternate
+    declarations — the planning table a bitext harvest (ParaCrawl/
+    CCMatrix-style) runs before fetching any alternate: which language
+    pairs exist in the crawl, at what page volume.  One Arrow
+    extraction batch (asNondeterministic so Catalyst cannot duplicate
+    it into both explode stages — plan-pinned), JVM-side pair
+    expansion bounded by a site's locale count, ONE keyed exchange
+    with map-side partials.  The oracle replays each synthesis arm's
+    expected pairs with count guards, closed-form."""
+    from doctor_spark.operators.metadata import language_pair_counts
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(_HREFLANG_SYNTH_SQL).alias("html"),
+    )
+    out = language_pair_counts(pages)
+    return out.select(
+        "lang_a", "lang_b", F.col("n_pages").cast("bigint").alias("n_pages")
+    ).orderBy("lang_a", "lang_b")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -3576,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_meta": q_robots_meta,
         "structured_data": q_structured_data,
         "unicode_clean": q_unicode_clean,
+        "hreflang_pairs": q_hreflang_pairs,
         "c4_clean": q_c4_clean,
         "c4_span_dedup": q_c4_span_dedup,
         "char_entropy": q_char_entropy,
@@ -6282,6 +6333,25 @@ SELECT doc_id::BIGINT AS doc_id,
        (doc_id % 6 IN (0, 1, 2) OR doc_id % 7 = 5) AS nofollow,
        NOT (doc_id % 6 IN (0, 1, 3)) AS index_ok
 FROM documents WHERE text IS NOT NULL
+""",
+        # hreflang pairs: each synthesis arm's expected pairs with
+        # count guards (a degenerate corpus missing an arm emits no row
+        # on either engine)
+        "hreflang_pairs": """
+WITH n AS (
+  SELECT
+    (SELECT count(*) FROM documents
+      WHERE text IS NOT NULL AND doc_id % 5 = 0) AS n0,
+    (SELECT count(*) FROM documents
+      WHERE text IS NOT NULL AND doc_id % 5 = 1) AS n1
+)
+SELECT * FROM (
+  SELECT 'de' AS lang_a, 'en' AS lang_b, n0::BIGINT AS n_pages
+    FROM n WHERE n0 > 0
+  UNION ALL SELECT 'de', 'fr', n0::BIGINT FROM n WHERE n0 > 0
+  UNION ALL SELECT 'en', 'fr', n0::BIGINT FROM n WHERE n0 > 0
+  UNION ALL SELECT 'en-US', 'es', n1::BIGINT FROM n WHERE n1 > 0
+) ORDER BY lang_a, lang_b
 """,
         # unicode-clean: full replay on the same dirty synthesis —
         # nfc_normalize (utf8proc) vs Python unicodedata checked on

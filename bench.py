@@ -284,6 +284,7 @@ def main() -> None:
         "hll_host_distinct",
         "structured_data",
         "unicode_clean",
+        "hreflang_pairs",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (

@@ -206,3 +206,72 @@ def extract_image_alts(html: str | bytes | None) -> list[tuple[str, str]]:
         if scheme in ("http:", "https:") and src[len(scheme):].startswith("//"):
             out.append((src, _WS_RUN.sub(" ", alt).strip()))
     return out
+
+
+class _HreflangParser(HTMLParser):
+    """Collects ``<link rel="alternate" hreflang=... href=...>``
+    declarations in document order (the convention search engines and
+    bitext miners read; ``<a hreflang>`` is presentational and skipped)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.alts: list[tuple[str, str]] = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag != "link":
+            return
+        a = {k.lower(): v for k, v in attrs if v is not None}
+        rel = a.get("rel", "")
+        # rel is a space-separated token list per WHATWG
+        if "alternate" not in rel.lower().split():
+            return
+        lang, href = a.get("hreflang"), a.get("href")
+        if lang and href:
+            self.alts.append((lang, href))
+
+
+def extract_hreflang(html: str | bytes | None) -> list[tuple[str, str]]:
+    """``(hreflang, href)`` alternates of a page, in document order —
+    the cross-language page-cluster signal bitext mining starts from
+    (Resnik & Smith 2003's STRAND used URL patterns; modern parallel
+    corpora — e.g. CCMatrix/ParaCrawl harvesting — seed from exactly
+    these declarations).
+
+    Admission: same rules as :func:`extract_hrefs` (ws-stripped
+    absolute http(s) hrefs only); hreflang values are BCP-47-shaped
+    tags, lowercased with the region part upper-cased back
+    (``en-us`` → ``en-US``, ``x-default`` kept verbatim); tags that
+    are not ASCII-alnum-with-hyphens are dropped.  Duplicates kept —
+    cluster semantics are the operator's job.
+    """
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        decoded = decode_html_ladder(bytes(html))
+        if decoded is None:
+            return []
+        html = decoded[0]
+    parser = _HreflangParser()
+    parser.feed(html)
+    parser.close()
+    out: list[tuple[str, str]] = []
+    for lang, href in parser.alts:
+        href = href.strip(_HREF_STRIP)
+        scheme = href[: href.find(":") + 1].lower() if ":" in href else ""
+        if not (scheme in ("http:", "https:")
+                and href[len(scheme):].startswith("//")):
+            continue
+        tag = lang.strip().lower()
+        if tag != "x-default":
+            if not tag or not all(
+                p.isalnum() and p.isascii() for p in tag.split("-")
+            ) or "" in tag.split("-"):
+                continue
+            parts = tag.split("-")
+            parts = [
+                p.upper() if i > 0 and len(p) == 2 else p
+                for i, p in enumerate(parts)
+            ]
+            tag = "-".join(parts)
+        out.append((tag, href))
+    return out

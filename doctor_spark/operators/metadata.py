@@ -226,3 +226,69 @@ def structured_data(pages: DataFrame, key_col: str = "doc_id",
     return pages.select(
         key_col, *[f.getField(c).alias(c) for c in _LD_COLS]
     )
+
+
+def _hreflang_udf():
+    @F.pandas_udf("array<struct<hreflang:string, href:string>>")
+    def alts(html: pd.Series) -> pd.Series:
+        from ..kernels.links import extract_hreflang
+
+        return html.map(
+            lambda h: [
+                {"hreflang": lang, "href": href}
+                for lang, href in extract_hreflang(h)
+            ]
+        )
+
+    # asNondeterministic: stops Catalyst from inlining the kernel into
+    # BOTH explode stages of the pair expansion (same discipline as the
+    # image-dup decode kernel) — the plan must carry ONE ArrowEvalPython
+    return alts.asNondeterministic()
+
+
+def hreflang_edges(pages: DataFrame, key_col: str = "doc_id",
+                   html_col: str = "html") -> DataFrame:
+    """Pages → ``(key_col, hreflang, href)`` alternate-language
+    declarations (kernel: kernels/links.py ``extract_hreflang``) — the
+    seed table for bitext mining.  Map-only: one Arrow batch + a
+    zero-shuffle explode."""
+    rows = pages.select(
+        F.col(key_col), F.explode(_hreflang_udf()(F.col(html_col))).alias("a")
+    )
+    return rows.select(
+        key_col,
+        F.col("a.hreflang").alias("hreflang"),
+        F.col("a.href").alias("href"),
+    )
+
+
+def language_pair_counts(pages: DataFrame, key_col: str = "doc_id",
+                         html_col: str = "html") -> DataFrame:
+    """Parallel-corpus language-pair inventory: ``(lang_a, lang_b,
+    n_pages)`` — on how many pages are the two languages co-declared
+    as hreflang alternates?  This is the planning table a bitext
+    harvest runs first (which pairs exist, at what volume) before
+    fetching any alternate.
+
+    Scale shape: the per-page language set is DISTINCT-ed and
+    pair-expanded JVM-side (k² rows per page for k declared languages
+    — k is bounded by a site's locale count, ~dozens), then ONE keyed
+    aggregate on the pair with map-side partials.  ``x-default`` is a
+    routing pseudo-tag, not a language — excluded."""
+    langs = pages.select(
+        F.col(key_col),
+        F.array_distinct(
+            F.filter(
+                _hreflang_udf()(F.col(html_col)).getField("hreflang"),
+                lambda t: t != "x-default",
+            )
+        ).alias("langs"),
+    )
+    a = langs.select(key_col, F.explode("langs").alias("lang_a"), "langs")
+    pairs = a.select(
+        key_col, "lang_a", F.explode("langs").alias("lang_b")
+    ).where(F.col("lang_a") < F.col("lang_b"))
+    return (
+        pairs.groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("n_pages"))
+    )

@@ -227,6 +227,9 @@ ADVERSARIAL_QUERIES = [
     # REAL stressor (astral pairs, \x0b and every control class, BOM,
     # combining runs hit Python-unicodedata-vs-utf8proc head-on)
     "unicode_clean",
+    # round-5 thirteenth wave: hreflang pair inventory (doc_id + text
+    # only; degenerate corpora exercise the count-guard arms)
+    "hreflang_pairs",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
