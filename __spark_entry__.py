@@ -2019,6 +2019,39 @@ END || '</head><body><p>body</p></body></html>'
 """
 
 
+def q_host_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host template-line detection (host-scoped CCNet variant):
+    normalized lines on ≥60% of a host's pages — the site-chrome table
+    (nav bars, cookie banners, footers) a cleaning pass strips with
+    one semi-join.  Row-local distinct (array_distinct BEFORE the
+    explode — no dedup exchange), ONE row-volume keyed aggregate on
+    (host, line), tiny host-count aggregate joined host-keyed, pure
+    integer fraction predicate.  Synthesis plants a per-host welcome
+    line on 100% of pages and a cookie line on the even half; the
+    oracle replays the whole computation (split/normalize/distinct/
+    fraction) in DuckDB — independent engine, not closed-form."""
+    from doctor_spark.operators.dedup import host_template_lines
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string"))
+    synth = F.concat(
+        F.lit("Welcome to "), host, F.lit("\n"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("Cookie notice - accept all\n")).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        host.alias("host"), synth.alias("text"),
+    )
+    out = host_template_lines(pages, min_frac_pct=60, min_host_docs=2)
+    return out.select(
+        "host", "line",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("host_docs").cast("bigint").alias("host_docs"),
+    ).orderBy("host", "line")
+
+
 # deterministic hreflang synthesis: five arms — a 3-language cluster,
 # a region-tagged pair, an x-default+single (pseudo-tag excluded from
 # pairs), a single language (no pairs), and no alternates at all.
@@ -3627,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_data": q_structured_data,
         "unicode_clean": q_unicode_clean,
         "hreflang_pairs": q_hreflang_pairs,
+        "host_template_lines": q_host_template_lines,
         "c4_clean": q_c4_clean,
         "c4_span_dedup": q_c4_span_dedup,
         "char_entropy": q_char_entropy,
@@ -6333,6 +6367,32 @@ SELECT doc_id::BIGINT AS doc_id,
        (doc_id % 6 IN (0, 1, 2) OR doc_id % 7 = 5) AS nofollow,
        NOT (doc_id % 6 IN (0, 1, 3)) AS index_ok
 FROM documents WHERE text IS NOT NULL
+""",
+        # host-template lines: FULL replay (split / normalize /
+        # row-distinct / integer fraction) in the independent engine
+        "host_template_lines": """
+WITH base AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 13 AS VARCHAR) AS host,
+         'Welcome to h' || CAST(doc_id % 13 AS VARCHAR) || chr(10) ||
+         CASE WHEN doc_id % 2 = 0
+              THEN 'Cookie notice - accept all' || chr(10) ELSE '' END ||
+         text AS t
+  FROM documents WHERE text IS NOT NULL
+), ln AS (
+  SELECT DISTINCT doc_id, host,
+         trim(regexp_replace(lower(u.ln),
+              '[ \t\n\x0b\x0c\r]+', ' ', 'g')) AS line
+  FROM base, unnest(string_split(t, chr(10))) AS u(ln)
+), pl AS (
+  SELECT host, line, count(*)::BIGINT AS n_docs
+  FROM ln WHERE line <> '' GROUP BY 1, 2
+), hd AS (
+  SELECT host, count(*)::BIGINT AS host_docs FROM base GROUP BY 1
+)
+SELECT pl.host AS host, line, n_docs, host_docs
+FROM pl JOIN hd ON pl.host = hd.host
+WHERE n_docs * 100 >= host_docs * 60 AND host_docs >= 2
+ORDER BY host, line
 """,
         # hreflang pairs: each synthesis arm's expected pairs with
         # count guards (a degenerate corpus missing an arm emits no row

@@ -285,6 +285,7 @@ def main() -> None:
         "structured_data",
         "unicode_clean",
         "hreflang_pairs",
+        "host_template_lines",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (

@@ -1340,3 +1340,70 @@ def ngram_novelty(
             ).alias("novel_frac"),
         )
     )
+
+
+# shared line normalization for host_template_lines: the ws class is
+# spelled explicitly (not \s) so the Spark regex and the DuckDB/RE2
+# oracle replay the IDENTICAL class (Java \s includes \x0b, RE2's
+# excludes it); trim() then strips plain spaces only — the one
+# whitespace both engines' trim agrees on.
+LINE_NORM_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def host_template_lines(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_frac_pct: int = 60,
+    min_host_docs: int = 2,
+) -> DataFrame:
+    """Per-host template (chrome) lines: normalized lines occurring on
+    ≥ ``min_frac_pct`` % of a host's documents — the host-scoped CCNet
+    variant (nav bars, cookie banners, footer chrome are per-SITE
+    artifacts; a corpus-global count misses small sites and
+    over-strips common short sentences).  The fraction predicate is
+    pure integer arithmetic (``n_docs·100 ≥ host_docs·pct``) — no
+    float thresholds to drift cross-engine.
+
+    Output: ``(host, line, n_docs, host_docs)`` — the template table a
+    cleaning pass then strips with one semi-join.
+
+    Plan shape at 10^12 pages: per-document line sets are DISTINCT-ed
+    ROW-LOCALLY (``array_distinct`` before the explode — no dedup
+    exchange), so the only row-volume shuffle is ONE keyed aggregate
+    on ``(host, line)`` with map-side partials; the per-host doc count
+    is a second tiny keyed aggregate, joined back host-keyed (the host
+    dimension is far too large to broadcast at crawl scale — the join
+    rides the aggregate's partitioning).
+    """
+    norm_lines = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(F.col(text_col), "\n"),
+                lambda ln: F.trim(
+                    F.regexp_replace(F.lower(ln), LINE_NORM_WS, " ")
+                ),
+            ),
+            lambda s: s != "",
+        )
+    )
+    lines = df.where(F.col(text_col).isNotNull()).select(
+        F.col(host_col).alias("host"), F.explode(norm_lines).alias("line")
+    )
+    per_line = lines.groupBy("host", "line").agg(
+        F.count("*").alias("n_docs")
+    )
+    host_docs = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(F.col(host_col).alias("host"))
+        .agg(F.count("*").alias("host_docs"))
+    )
+    return (
+        per_line.join(host_docs, "host")
+        .where(
+            (F.col("n_docs") * 100 >= F.col("host_docs") * min_frac_pct)
+            & (F.col("host_docs") >= min_host_docs)
+        )
+        .select("host", "line", "n_docs", "host_docs")
+    )

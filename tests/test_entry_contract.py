@@ -230,6 +230,10 @@ ADVERSARIAL_QUERIES = [
     # round-5 thirteenth wave: hreflang pair inventory (doc_id + text
     # only; degenerate corpora exercise the count-guard arms)
     "hreflang_pairs",
+    # round-5 thirteenth wave: host-template lines (doc_id + text only;
+    # hostile ws classes hit the line normalizer, planted dups make
+    # whole hosts share organic lines)
+    "host_template_lines",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
