@@ -2019,6 +2019,57 @@ END || '</head><body><p>body</p></body></html>'
 """
 
 
+def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup clustering end-to-end: synthesize base /
+    print-view / m-dot variant pages (variants declare ``rel=
+    canonical`` to the base IN THE HTML), run the page_metadata Arrow
+    extraction, then cluster on the declared target — the cheapest
+    dedup rung a crawl runs, before any content hashing.  GroupBy+join
+    form (NOT a window — canonical spam is a real hot key; the join is
+    AQE-skew-splittable).  Closed-form oracle: every output column is
+    CASE arithmetic on doc_id."""
+    from doctor_spark.operators.metadata import (
+        canonical_clusters,
+        page_metadata,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    base_url = F.concat(
+        F.lit("https://site.example/a/"),
+        (F.col("doc_id") - F.col("doc_id") % 3).cast("string"),
+    )
+    url = (
+        F.when(F.col("doc_id") % 3 == 0, base_url)
+        .when(F.col("doc_id") % 3 == 1, F.concat(base_url, F.lit("?print=1")))
+        .otherwise(
+            F.concat(
+                F.lit("https://m.site.example/a/"),
+                (F.col("doc_id") - F.col("doc_id") % 3).cast("string"),
+            )
+        )
+    )
+    html = F.concat(
+        F.lit('<html><head><title>t</title>'),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.lit('<link rel="canonical" href="'), base_url,
+                     F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>b</p></body></html>"),
+    )
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        url.alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    meta = page_metadata(pages).select("doc_id", "url", "canonical_url")
+    out = canonical_clusters(meta)
+    return out.select(
+        "doc_id", "url", "cluster_key", "is_keeper",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    ).orderBy("doc_id")
+
+
 def q_host_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host template-line detection (host-scoped CCNet variant):
     normalized lines on ≥60% of a host's pages — the site-chrome table
@@ -3661,6 +3712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_clean": q_unicode_clean,
         "hreflang_pairs": q_hreflang_pairs,
         "host_template_lines": q_host_template_lines,
+        "canonical_clusters": q_canonical_clusters,
         "c4_clean": q_c4_clean,
         "c4_span_dedup": q_c4_span_dedup,
         "char_entropy": q_char_entropy,
@@ -6367,6 +6419,39 @@ SELECT doc_id::BIGINT AS doc_id,
        (doc_id % 6 IN (0, 1, 2) OR doc_id % 7 = 5) AS nofollow,
        NOT (doc_id % 6 IN (0, 1, 3)) AS index_ok
 FROM documents WHERE text IS NOT NULL
+""",
+        # canonical clusters: the synthesis arms give the declared
+        # canonical closed-form (extraction itself is proven by the
+        # page_metadata oracle); the CLUSTERING is replayed independently
+        "canonical_clusters": """
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         'https://site.example/a/' ||
+             CAST(doc_id - doc_id % 3 AS VARCHAR) AS base_url,
+         CAST(doc_id % 3 AS INT) AS arm
+  FROM documents WHERE text IS NOT NULL
+), pages AS (
+  SELECT doc_id,
+    CASE arm WHEN 0 THEN base_url
+             WHEN 1 THEN base_url || '?print=1'
+             ELSE 'https://m.site.example/a/' ||
+                  CAST(doc_id - doc_id % 3 AS VARCHAR) END AS url,
+    CASE WHEN arm <> 0 THEN base_url ELSE NULL END AS canonical_url
+  FROM base
+), keyed AS (
+  SELECT doc_id, url, coalesce(canonical_url, url) AS cluster_key
+  FROM pages
+), per AS (
+  SELECT cluster_key,
+         coalesce(min(CASE WHEN url = cluster_key THEN doc_id END),
+                  min(doc_id)) AS keeper_id,
+         count(*)::BIGINT AS cluster_size
+  FROM keyed GROUP BY 1
+)
+SELECT doc_id, url, k.cluster_key AS cluster_key,
+       (doc_id = keeper_id) AS is_keeper, cluster_size
+FROM keyed k JOIN per USING (cluster_key)
+ORDER BY doc_id
 """,
         # host-template lines: FULL replay (split / normalize /
         # row-distinct / integer fraction) in the independent engine

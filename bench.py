@@ -286,6 +286,7 @@ def main() -> None:
         "unicode_clean",
         "hreflang_pairs",
         "host_template_lines",
+        "canonical_clusters",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (

@@ -292,3 +292,43 @@ def language_pair_counts(pages: DataFrame, key_col: str = "doc_id",
         pairs.groupBy("lang_a", "lang_b")
         .agg(F.count("*").alias("n_pages"))
     )
+
+
+def canonical_clusters(pages: DataFrame, url_col: str = "url",
+                       canon_col: str = "canonical_url",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Canonical-URL dedup clustering — the cheapest dedup rung a crawl
+    runs (BEFORE any content hashing): pages declaring the same
+    ``rel=canonical`` target are one logical document (print views,
+    m-dot mirrors, tracking-param variants), and the declared canonical
+    page itself is the representative.
+
+    ``cluster_key = coalesce(canonical_url, url)``; keeper = the page
+    whose url IS the cluster key (min id among them), else min id in
+    the cluster.  Output: ``(id_col, url_col, cluster_key, is_keeper,
+    cluster_size)``.
+
+    Scale shape: the groupBy+join form, NOT a window — a window over
+    ``cluster_key`` cannot be skew-split, and canonical spam (millions
+    of pages declaring one target) is a real hot key; the per-cluster
+    aggregate combines map-side and the join back is AQE-skew-
+    splittable.  Two keyed exchanges."""
+    key = F.coalesce(F.col(canon_col), F.col(url_col))
+    base = pages.select(
+        F.col(id_col), F.col(url_col), key.alias("cluster_key")
+    )
+    per = base.groupBy("cluster_key").agg(
+        F.min(F.when(F.col(url_col) == F.col("cluster_key"),
+                     F.col(id_col))).alias("self_keeper"),
+        F.min(id_col).alias("any_keeper"),
+        F.count("*").alias("cluster_size"),
+    ).select(
+        "cluster_key",
+        F.coalesce("self_keeper", "any_keeper").alias("keeper_id"),
+        "cluster_size",
+    )
+    return base.join(per, "cluster_key").select(
+        id_col, url_col, "cluster_key",
+        (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
+        "cluster_size",
+    )

@@ -234,6 +234,9 @@ ADVERSARIAL_QUERIES = [
     # hostile ws classes hit the line normalizer, planted dups make
     # whole hosts share organic lines)
     "host_template_lines",
+    # round-5 thirteenth wave: canonical-URL dedup rung (doc_id + text
+    # only; truncated clusters at corpus edges exercise keeper fallback)
+    "canonical_clusters",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
