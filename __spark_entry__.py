@@ -2019,6 +2019,44 @@ END || '</head><body><p>body</p></body></html>'
 """
 
 
+def q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page-article stitching: every page mapped to the head of
+    its ``rel=prev`` chain and its exact position — the grouping that
+    reassembles paginated articles into ONE training document.  The
+    prev links are declared IN THE HTML (Arrow extraction), the chain
+    walk reuses the redirect resolver's pointer doubling (6 keyed
+    self-joins for a 64-hop budget, settled rows leave the probe
+    side).  Synthesis: 4-page chains; the oracle re-derives the edge
+    set from the same arms and walks it with a hop-bounded recursive
+    CTE — the iterative operator's sequential twin."""
+    from doctor_spark.operators.metadata import pagination_chains
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    art = F.concat(F.lit("https://s.example/art/"),
+                   (F.col("doc_id") - F.col("doc_id") % 4).cast("string"))
+    url = F.concat(art, F.lit("/p"), (F.col("doc_id") % 4).cast("string"))
+    prev_url = F.concat(art, F.lit("/p"),
+                        (F.col("doc_id") % 4 - 1).cast("string"))
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"),
+        F.when(
+            F.col("doc_id") % 4 > 0,
+            F.concat(F.lit('<link rel="prev" href="'), prev_url,
+                     F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>b</p></body></html>"),
+    )
+    pages = d.select(
+        url.alias("url"), F.encode(html, "utf-8").alias("html")
+    )
+    out = pagination_chains(pages, max_hops=64)
+    return out.select(
+        "url", "head_url",
+        F.col("page_index").cast("bigint").alias("page_index"),
+        "resolved",
+    ).orderBy("url")
+
+
 def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup clustering end-to-end: synthesize base /
     print-view / m-dot variant pages (variants declare ``rel=
@@ -3713,6 +3751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_pairs": q_hreflang_pairs,
         "host_template_lines": q_host_template_lines,
         "canonical_clusters": q_canonical_clusters,
+        "pagination_chains": q_pagination_chains,
         "c4_clean": q_c4_clean,
         "c4_span_dedup": q_c4_span_dedup,
         "char_entropy": q_char_entropy,
@@ -6419,6 +6458,48 @@ SELECT doc_id::BIGINT AS doc_id,
        (doc_id % 6 IN (0, 1, 2) OR doc_id % 7 = 5) AS nofollow,
        NOT (doc_id % 6 IN (0, 1, 3)) AS index_ok
 FROM documents WHERE text IS NOT NULL
+""",
+        # pagination chains: edges re-derived from the synthesis arms,
+        # walked per url by a hop-bounded recursive CTE (the pointer-
+        # doubling operator's sequential twin), non-linking pages
+        # self-headed at index 0
+        "pagination_chains": """
+WITH RECURSIVE docs2 AS (
+  SELECT 'https://s.example/art/' || CAST(doc_id - doc_id % 4 AS VARCHAR)
+           || '/p' || CAST(doc_id % 4 AS VARCHAR) AS url,
+         CASE WHEN doc_id % 4 > 0 THEN
+           'https://s.example/art/' || CAST(doc_id - doc_id % 4 AS VARCHAR)
+           || '/p' || CAST(doc_id % 4 - 1 AS VARCHAR) END AS prev_url
+  FROM documents WHERE text IS NOT NULL
+), e AS (
+  SELECT url AS src, prev_url AS dst FROM docs2 WHERE prev_url IS NOT NULL
+),
+walk(url, cur, hops) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT w.url, e2.dst, w.hops + 1
+  FROM walk w JOIN e e2 ON w.cur = e2.src
+  WHERE w.hops < 64
+),
+deepest AS (
+  SELECT url, cur, hops,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY hops DESC) AS rn
+  FROM walk
+),
+res AS (
+  SELECT d.url, CASE WHEN s.src IS NULL THEN d.cur END AS final_url,
+         CAST(CASE WHEN s.src IS NULL THEN d.hops END AS BIGINT) AS n_hops,
+         (s.src IS NULL) AS resolved
+  FROM deepest d
+  LEFT JOIN (SELECT DISTINCT src FROM e) s ON d.cur = s.src
+  WHERE d.rn = 1
+)
+SELECT p.url AS url,
+       CASE WHEN r.url IS NULL THEN p.url ELSE r.final_url END AS head_url,
+       coalesce(r.n_hops, 0)::BIGINT AS page_index,
+       coalesce(r.resolved, TRUE) AS resolved
+FROM docs2 p LEFT JOIN res r ON p.url = r.url
+ORDER BY p.url
 """,
         # canonical clusters: the synthesis arms give the declared
         # canonical closed-form (extraction itself is proven by the

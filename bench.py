@@ -287,6 +287,7 @@ def main() -> None:
         "hreflang_pairs",
         "host_template_lines",
         "canonical_clusters",
+        "pagination_chains",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (

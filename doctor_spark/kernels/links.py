@@ -275,3 +275,58 @@ def extract_hreflang(html: str | bytes | None) -> list[tuple[str, str]]:
             tag = "-".join(parts)
         out.append((tag, href))
     return out
+
+
+class _RelPaginationParser(HTMLParser):
+    """First-wins collector for ``<link rel="next|prev">`` targets
+    (``prev`` accepts the legacy ``previous`` token)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.next_url: str | None = None
+        self.prev_url: str | None = None
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag != "link":
+            return
+        a = {k.lower(): v for k, v in attrs if v is not None}
+        rels = a.get("rel", "").lower().split()
+        href = a.get("href")
+        if not href:
+            return
+        if "next" in rels and self.next_url is None:
+            self.next_url = href
+        if ("prev" in rels or "previous" in rels) and self.prev_url is None:
+            self.prev_url = href
+
+
+def _admit_http(href: str | None) -> str | None:
+    if href is None:
+        return None
+    href = href.strip(_HREF_STRIP)
+    scheme = href[: href.find(":") + 1].lower() if ":" in href else ""
+    if scheme in ("http:", "https:") and href[len(scheme):].startswith("//"):
+        return href
+    return None
+
+
+def extract_rel_pagination(
+    html: str | bytes | None,
+) -> tuple[str | None, str | None]:
+    """``(next_url, prev_url)`` from ``<link rel="next"/"prev">`` — the
+    multi-page-article stitching signal (a paginated article is ONE
+    training document; the chain these links form is what reassembles
+    it).  First-wins per direction; same absolute-http(s) admission as
+    :func:`extract_hrefs`; tag soup and undecodable bytes yield
+    ``(None, None)``, never an exception."""
+    if html is None:
+        return (None, None)
+    if isinstance(html, (bytes, bytearray)):
+        decoded = decode_html_ladder(bytes(html))
+        if decoded is None:
+            return (None, None)
+        html = decoded[0]
+    p = _RelPaginationParser()
+    p.feed(html)
+    p.close()
+    return (_admit_http(p.next_url), _admit_http(p.prev_url))

@@ -332,3 +332,51 @@ def canonical_clusters(pages: DataFrame, url_col: str = "url",
         (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
         "cluster_size",
     )
+
+
+def pagination_chains(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html",
+                      max_hops: int = 64) -> DataFrame:
+    """Multi-page-article stitching: map every page to the HEAD of its
+    ``rel=prev`` chain and its position in it — the grouping a corpus
+    pass then uses to reassemble paginated articles into ONE training
+    document (concatenate by ``(head_url, page_index)``).
+
+    Reuses the redirect resolver's pointer doubling on the prev-link
+    edge set (⌈log₂ max_hops⌉ keyed self-joins, localCheckpoint-bounded
+    lineage — operators/graph.py:91): ``head_url`` is the chain
+    terminal, ``page_index`` the exact hop count; pages with no prev
+    link are their own head at index 0; cycles/over-long chains (a
+    bounded walker cannot tell them apart) get NULL head with
+    ``resolved = false``.
+
+    Output: ``(url_col, head_url, page_index, resolved)``."""
+    from .graph import resolve_redirects
+
+    @F.pandas_udf("struct<next_url:string, prev_url:string>")
+    def pg(html: pd.Series) -> pd.DataFrame:
+        from ..kernels.links import extract_rel_pagination
+
+        recs = [extract_rel_pagination(h) for h in html]
+        return pd.DataFrame(recs, columns=["next_url", "prev_url"])
+
+    ext = pages.select(
+        F.col(url_col), pg(F.col(html_col)).getField("prev_url").alias("prev")
+    )
+    edges = ext.where(F.col("prev").isNotNull()).select(
+        F.col(url_col).alias("src"), F.col("prev").alias("dst")
+    )
+    res = resolve_redirects(edges, max_hops=max_hops).withColumnRenamed(
+        "url", "_chain_url"
+    )
+    out = ext.select(url_col).join(
+        res, F.col(url_col) == F.col("_chain_url"), "left"
+    )
+    return out.select(
+        url_col,
+        F.when(F.col("_chain_url").isNull(), F.col(url_col))
+        .otherwise(F.col("final_url")).alias("head_url"),
+        F.coalesce(F.col("n_hops"), F.lit(0)).cast("long")
+        .alias("page_index"),
+        F.coalesce(F.col("resolved"), F.lit(True)).alias("resolved"),
+    )

@@ -237,6 +237,10 @@ ADVERSARIAL_QUERIES = [
     # round-5 thirteenth wave: canonical-URL dedup rung (doc_id + text
     # only; truncated clusters at corpus edges exercise keeper fallback)
     "canonical_clusters",
+    # round-5 thirteenth wave: pagination stitching (doc_id + text only;
+    # NULL-text drops truncate chains mid-walk — the resolver must head
+    # at the unseen page exactly like the CTE)
+    "pagination_chains",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
