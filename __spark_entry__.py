@@ -2191,6 +2191,149 @@ def q_hreflang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang_a", "lang_b")
 
 
+# deterministic bitext synthesis: five arms — a 3-sentence 1-1 run
+# (doc_id embedded symmetrically so lengths stay matched), a 2-1 merge
+# between anchors, a short insertion that canonically absorbs into a
+# 1-2 bead, an empty target (1-0 beads), and a single-sentence pair.
+_BITEXT_SRC_SQL = """
+CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN 'Alpha alpha ' || CAST(doc_id AS VARCHAR(20))
+              || ' one. Bravo bravo two. Charlie charlie three.'
+  WHEN 1 THEN 'Anchor number ' || CAST(doc_id AS VARCHAR(20))
+              || ' one here. Aa bb. Cc dd. Anchor sentence number two here.'
+  WHEN 2 THEN 'Anchor number ' || CAST(doc_id AS VARCHAR(20))
+              || ' one here. Anchor sentence number two here.'
+  WHEN 3 THEN 'Solo one. Solo two.'
+  ELSE 'Only one sentence here.'
+END
+"""
+
+_BITEXT_TGT_SQL = """
+CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN 'Alfa alfa ' || CAST(doc_id AS VARCHAR(20))
+              || ' eins. Brava brava zwei. Karla karla drei.'
+  WHEN 1 THEN 'Anker nummer ' || CAST(doc_id AS VARCHAR(20))
+              || ' eins hier. Aa bb und cc dd zusammen. Anker satz nummer zwei hier.'
+  WHEN 2 THEN 'Anker nummer ' || CAST(doc_id AS VARCHAR(20))
+              || ' eins hier. Eingefugt. Anker satz nummer zwei hier.'
+  WHEN 3 THEN ''
+  ELSE 'Nur ein satz hier.'
+END
+"""
+
+
+def q_bitext_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gale–Church sentence alignment over parallel page pairs — the
+    bead-extraction stage of a ParaCrawl/CCMatrix-style bitext harvest
+    that runs AFTER ``hreflang_pairs`` has inventoried which pairs
+    exist.  Published 1993 constants, deterministic move-order
+    tie-break, bead INDEX output only (no float column).  One Arrow
+    batch → explode — map-only, zero shuffles at any scale; an
+    over-budget DP pair is an ok=false marker row, never a silent
+    truncation.  The oracle replays each synthesis arm's expected
+    beads (verified against the kernel spec in tests/test_bitext.py)
+    as UNION ALL literals."""
+    from doctor_spark.operators.bitext import bitext_beads
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pairs = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(_BITEXT_SRC_SQL).alias("src_text"),
+        F.expr(_BITEXT_TGT_SQL).alias("tgt_text"),
+    )
+    out = bitext_beads(pairs)
+    return out.select(
+        "doc_id",
+        F.col("bead").cast("int").alias("bead"),
+        "ok",
+        F.col("src_start").cast("int").alias("src_start"),
+        F.col("n_src").cast("int").alias("n_src"),
+        F.col("tgt_start").cast("int").alias("tgt_start"),
+        F.col("n_tgt").cast("int").alias("n_tgt"),
+        "src_text", "tgt_text",
+    ).orderBy("doc_id", "bead")
+
+
+# deterministic URL-structure synthesis: five path arms (numeric
+# article id, hex asset id, uuid, static path, two-placeholder tag
+# pagination) spread over seven hosts.
+_URLTMPL_SYNTH_SQL = """
+'https://h' || CAST(doc_id % 7 AS VARCHAR(2)) || '.example' ||
+CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN '/article/' || CAST(doc_id AS VARCHAR(20))
+  WHEN 1 THEN '/img/cafe' || lpad(CAST(doc_id AS VARCHAR(20)), 8, '0')
+  WHEN 2 THEN '/u/123e4567-e89b-12d3-a456-426614174000'
+  WHEN 3 THEN '/about/team'
+  ELSE '/tag/' || CAST(doc_id % 10 AS VARCHAR(2)) || '/page/'
+       || CAST(doc_id AS VARCHAR(20))
+END
+"""
+
+
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL path-template inventory — the site-structure table
+    a crawl planner derives from a 10^12-row frontier before spending
+    fetch budget (``/article/{n}`` is content, ``/tag/{n}/page/{n}``
+    is pagination chaff).  Whole-segment uuid/digits/hex placeholder
+    rules in pure codegen (functions/urls.url_path_template), ONE
+    keyed aggregate with map-side partials, no window.  The oracle
+    replays host, template, and the sample-url min per synthesis arm
+    closed-form in DuckDB."""
+    from doctor_spark.operators.metadata import url_template_counts
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(F.expr(_URLTMPL_SYNTH_SQL).alias("url"))
+    out = url_template_counts(pages)
+    return out.select(
+        "host", "template",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        "sample_url",
+    ).orderBy("host", "template")
+
+
+# deterministic heading synthesis: four arms — a 4-heading outline
+# with an entity, a deep-start + empty-dropped arm, a script-excluded
+# + implicit-close arm, and a no-headings arm.
+_HEADINGS_SYNTH_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN '<h1>Doc ' || CAST(doc_id AS VARCHAR(20))
+              || '</h1><h2>Intro</h2><h3>Sub &amp; more</h3><h2>End</h2>'
+  WHEN 1 THEN '<h3>Deep ' || CAST(doc_id AS VARCHAR(20))
+              || '</h3><h2 id="a"></h2><h1>Top</h1>'
+  WHEN 2 THEN '<h1>Real<script>var x = 1;</script> one<h2>Two</h2>'
+  ELSE '<p>nothing</p>'
+END
+"""
+
+
+def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h1–h6 heading-outline extraction — the page skeleton a
+    structure-aware chunker (split-at-h2, section-title metadata per
+    chunk) consumes downstream of boilerplate stripping.  Kernel spec:
+    document-order headings, inline markup transparent, entities
+    decoded, empties dropped, script/style excluded, parent = nearest
+    prior strictly-smaller level.  One Arrow batch → explode —
+    map-only, zero shuffles; the per-page heading cap is a counted
+    ``truncated`` flag, never silent.  The oracle replays each
+    synthesis arm's expected outline (verified against the kernel
+    spec in tests/test_headings.py) as UNION ALL literals."""
+    from doctor_spark.operators.headings import heading_outline
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.encode(F.expr(_HEADINGS_SYNTH_SQL), "utf-8").alias("html"),
+    )
+    out = heading_outline(pages)
+    return out.select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        F.col("level").cast("int").alias("level"),
+        F.col("parent").cast("int").alias("parent"),
+        "text", "truncated",
+    ).orderBy("doc_id", "seq")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -3749,6 +3892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_data": q_structured_data,
         "unicode_clean": q_unicode_clean,
         "hreflang_pairs": q_hreflang_pairs,
+        "bitext_align": q_bitext_align,
+        "url_templates": q_url_templates,
+        "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
         "canonical_clusters": q_canonical_clusters,
         "pagination_chains": q_pagination_chains,
@@ -5128,6 +5274,51 @@ UNION ALL SELECT doc_id, 0, 0, 1, 'y' FROM p WHERE m = 1
 UNION ALL SELECT doc_id, 0, 1, 0, 'z' FROM p WHERE m = 1
 UNION ALL SELECT doc_id, 0, 0, 0, 'outer' || i FROM p WHERE m = 2
 UNION ALL SELECT doc_id, 1, 0, 0, 'inner' FROM p WHERE m = 2
+"""
+
+
+def _bitext_align_sql() -> str:
+    """Oracle for the Gale–Church bitext query: each synthesis arm's
+    expected beads as UNION ALL literals — the alignments were verified
+    against the kernel spec (and their stability across doc_id digit
+    widths) in tests/test_bitext.py; no DP in SQL."""
+    return """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 5 AS INT) AS m,
+         CAST(doc_id AS VARCHAR(20)) AS i
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(0 AS INT) AS bead, TRUE AS ok,
+       CAST(0 AS INT) AS src_start, CAST(1 AS INT) AS n_src,
+       CAST(0 AS INT) AS tgt_start, CAST(1 AS INT) AS n_tgt,
+       'Alpha alpha ' || i || ' one.' AS src_text,
+       'Alfa alfa ' || i || ' eins.' AS tgt_text
+FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 1, TRUE, 1, 1, 1, 1,
+       'Bravo bravo two.', 'Brava brava zwei.' FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 2, TRUE, 2, 1, 2, 1,
+       'Charlie charlie three.', 'Karla karla drei.' FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 0, TRUE, 0, 1, 0, 1,
+       'Anchor number ' || i || ' one here.',
+       'Anker nummer ' || i || ' eins hier.' FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 1, TRUE, 1, 2, 1, 1,
+       'Aa bb. Cc dd.', 'Aa bb und cc dd zusammen.' FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 2, TRUE, 3, 1, 2, 1,
+       'Anchor sentence number two here.',
+       'Anker satz nummer zwei hier.' FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 0, TRUE, 0, 1, 0, 1,
+       'Anchor number ' || i || ' one here.',
+       'Anker nummer ' || i || ' eins hier.' FROM p WHERE m = 2
+UNION ALL SELECT doc_id, 1, TRUE, 1, 1, 1, 2,
+       'Anchor sentence number two here.',
+       'Eingefugt. Anker satz nummer zwei hier.' FROM p WHERE m = 2
+UNION ALL SELECT doc_id, 0, TRUE, 0, 1, 0, 0,
+       'Solo one.', '' FROM p WHERE m = 3
+UNION ALL SELECT doc_id, 1, TRUE, 1, 1, 0, 0,
+       'Solo two.', '' FROM p WHERE m = 3
+UNION ALL SELECT doc_id, 0, TRUE, 0, 1, 0, 1,
+       'Only one sentence here.', 'Nur ein satz hier.' FROM p WHERE m = 4
+ORDER BY doc_id, bead
 """
 
 
@@ -6559,6 +6750,55 @@ SELECT pl.host AS host, line, n_docs, host_docs
 FROM pl JOIN hd ON pl.host = hd.host
 WHERE n_docs * 100 >= host_docs * 60 AND host_docs >= 2
 ORDER BY host, line
+""",
+        "bitext_align": _bitext_align_sql(),
+        # heading outline: each synthesis arm's expected rows as
+        # UNION ALL literals (alignments verified in tests/test_headings.py)
+        "heading_outline": """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 4 AS INT) AS m,
+         CAST(doc_id AS VARCHAR(20)) AS i
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(0 AS INT) AS seq, CAST(1 AS INT) AS level,
+       CAST(-1 AS INT) AS parent, 'Doc ' || i AS text,
+       FALSE AS truncated
+FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 1, 2, 0, 'Intro', FALSE FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 2, 3, 1, 'Sub & more', FALSE FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 3, 2, 0, 'End', FALSE FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 0, 3, -1, 'Deep ' || i, FALSE FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 1, 1, -1, 'Top', FALSE FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 0, 1, -1, 'Real one', FALSE FROM p WHERE m = 2
+UNION ALL SELECT doc_id, 1, 2, 0, 'Two', FALSE FROM p WHERE m = 2
+ORDER BY doc_id, seq
+""",
+        # url templates: independent replay — DuckDB rebuilds host,
+        # template, and the full url per synthesis arm and re-groups
+        "url_templates": """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 5 AS INT) AS m,
+         'h' || CAST(doc_id % 7 AS VARCHAR(2)) || '.example' AS host,
+         CAST(doc_id AS VARCHAR(20)) AS i
+  FROM documents WHERE text IS NOT NULL
+), u AS (
+  SELECT host,
+    CASE m WHEN 0 THEN '/article/{n}' WHEN 1 THEN '/img/{hex}'
+           WHEN 2 THEN '/u/{uuid}' WHEN 3 THEN '/about/team'
+           ELSE '/tag/{n}/page/{n}' END AS template,
+    'https://' || host ||
+    CASE m WHEN 0 THEN '/article/' || i
+           WHEN 1 THEN '/img/cafe' || lpad(i, 8, '0')
+           WHEN 2 THEN '/u/123e4567-e89b-12d3-a456-426614174000'
+           WHEN 3 THEN '/about/team'
+           ELSE '/tag/' || CAST(doc_id % 10 AS VARCHAR(2)) || '/page/' || i
+    END AS url
+  FROM p
+)
+SELECT host, template, count(*)::BIGINT AS n_urls,
+       min(url) AS sample_url
+FROM u GROUP BY 1, 2
+ORDER BY host, template
 """,
         # hreflang pairs: each synthesis arm's expected pairs with
         # count guards (a degenerate corpus missing an arm emits no row

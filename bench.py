@@ -288,6 +288,11 @@ def main() -> None:
         "host_template_lines",
         "canonical_clusters",
         "pagination_chains",
+        # fourteenth wave: bitext alignment, URL templates, heading
+        # outlines
+        "bitext_align",
+        "url_templates",
+        "heading_outline",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -327,6 +332,10 @@ def main() -> None:
         "fetch_schedule",
         "cdx_index", "wat_export", "host_degree_stats", "soft404_gate",
         "content_spans", "c4_clean", "c4_span_dedup", "robots_meta",
+        "hll_host_distinct", "structured_data", "unicode_clean",
+        "hreflang_pairs", "host_template_lines", "canonical_clusters",
+        "pagination_chains",
+        "bitext_align", "url_templates", "heading_outline",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

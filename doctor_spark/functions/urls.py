@@ -138,6 +138,47 @@ def registrable_domain(host: Column) -> Column:
     return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(dom)
 
 
+# url_path_template segment classes, applied whole-segment in this
+# order (first match wins).  Deliberately minimal and spec'd: the
+# oracle replays the same classes as RE2 patterns in DuckDB.
+_SEG_UUID_RE = (
+    r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+)
+_SEG_HEX_RE = r"^[0-9a-f]{8,}$"
+_SEG_NUM_RE = r"^[0-9]+$"
+
+
+def url_path_template(url: Column) -> Column:
+    """Path template: the URL's path with identifier-like segments
+    replaced by typed placeholders — the pattern a crawl planner uses
+    to discover a site's URL structure (``/article/{n}``,
+    ``/img/{hex}``) from a 10^12-row frontier without per-host code.
+
+    Whole-segment rules, first match wins: UUID → ``{uuid}``,
+    all-digits → ``{n}``, lowercase hex run of ≥8 (checked after
+    digits, so it always contains a letter) → ``{hex}``; everything
+    else is kept verbatim.  '' for the root path; NULL-host URLs yield
+    NULL.  Pure Column expressions (split / transform / array_join),
+    whole-stage codegen — zero Python, zero shuffles."""
+    path = url_path(url)
+    segs = F.split(path, "/")
+    templ = F.array_join(
+        F.transform(
+            segs,
+            lambda s: (
+                F.when(s.rlike(_SEG_UUID_RE), F.lit("{uuid}"))
+                .when(s.rlike(_SEG_NUM_RE), F.lit("{n}"))
+                .when(s.rlike(_SEG_HEX_RE), F.lit("{hex}"))
+                .otherwise(s)
+            ),
+        ),
+        "/",
+    )
+    return F.when(
+        url_host(url).isNull(), F.lit(None).cast("string")
+    ).otherwise(templ)
+
+
 def surt_key(url: Column) -> Column:
     """SURT-form index key (Sort-friendly URI Reordering Transform —
     the key of Common Crawl's CDX URL index and of every wayback-style

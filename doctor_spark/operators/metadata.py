@@ -380,3 +380,30 @@ def pagination_chains(pages: DataFrame, url_col: str = "url",
         .alias("page_index"),
         F.coalesce(F.col("resolved"), F.lit(True)).alias("resolved"),
     )
+
+
+def url_template_counts(pages: DataFrame,
+                        url_col: str = "url") -> DataFrame:
+    """Per-host URL path-template inventory: ``(host, template,
+    n_urls, sample_url)`` — the site-structure table a crawl planner
+    derives from the frontier (``/article/{n}`` carries the content,
+    ``/tag/{n}`` is pagination chaff) before spending fetch budget.
+
+    Template: :func:`..functions.urls.url_path_template` (whole-
+    segment uuid/digits/hex placeholders, pure codegen).  Scale shape:
+    ONE keyed aggregate on (host, template) with map-side partials —
+    count and min combine; no window, so a mega-host's templates
+    AQE-skew-split cleanly.  NULL-host rows (relative/garbage URLs)
+    are dropped, counted nowhere — callers wanting them audit
+    ``url_host IS NULL`` upstream."""
+    from ..functions.urls import url_host, url_path_template
+
+    base = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        url_path_template(F.col(url_col)).alias("template"),
+        F.col(url_col),
+    ).where(F.col("host").isNotNull())
+    return base.groupBy("host", "template").agg(
+        F.count("*").alias("n_urls"),
+        F.min(url_col).alias("sample_url"),
+    )

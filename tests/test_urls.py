@@ -97,3 +97,60 @@ def test_surt_key_rules(spark):
     assert got[2] == "single)"
     assert got[3] is None  # no authority -> no key
     assert got[4] == "org,host,sub)"
+
+
+def test_url_path_template_rules(spark):
+    from doctor_spark.functions.urls import url_path_template
+
+    urls = [
+        "https://h.com/article/12345/print",          # digits -> {n}
+        "https://h.com/img/deadbeef01",                # hex w/ letter -> {hex}
+        "https://h.com/u/123e4567-e89b-12d3-a456-426614174000",  # uuid
+        "https://h.com/page-12/about",                 # mixed segment kept
+        "https://h.com/DEADBEEF01",                    # uppercase hex kept
+        "https://h.com/1234567",                       # short digits -> {n}
+        "https://h.com/",                              # root -> ''
+        "not a url",                                   # no host -> NULL
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", url_path_template(F.col("url")).alias("t")
+        ).collect()
+    }
+    assert got[0] == "/article/{n}/print"
+    assert got[1] == "/img/{hex}"
+    assert got[2] == "/u/{uuid}"
+    assert got[3] == "/page-12/about"
+    assert got[4] == "/DEADBEEF01"
+    assert got[5] == "/{n}"
+    assert got[6] == ""
+    assert got[7] is None
+
+
+def test_url_template_counts_operator_and_plan(spark):
+    from doctor_spark.operators.metadata import url_template_counts
+
+    urls = [
+        "https://a.com/article/1",
+        "https://a.com/article/22",
+        "https://a.com/about",
+        "https://b.com/article/1",
+        "relative/only",  # NULL host dropped
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    q = url_template_counts(df)
+    rows = {(r.host, r.template): (r.n_urls, r.sample_url)
+            for r in q.collect()}
+    assert rows[("a.com", "/article/{n}")] == (2, "https://a.com/article/1")
+    assert rows[("a.com", "/about")] == (1, "https://a.com/about")
+    assert rows[("b.com", "/article/{n}")] == (1, "https://b.com/article/1")
+    assert len(rows) == 3
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final   # ONE keyed aggregate
+    assert "EvalPython" not in final, final       # zero Python
+    assert "partial_count" in final or "HashAggregate" in final, final
