@@ -2334,6 +2334,95 @@ def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "seq")
 
 
+def q_bitext_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRAND/ParaCrawl URL-matching bitext candidates — the frontier
+    rung of the bitext harvest, BEFORE hreflang (declared) and
+    Gale–Church (content): URLs differing only in a language marker
+    are paired with no content fetch at all.  Stem/lang are pure
+    codegen (functions/urls.py); TWO keyed aggs on the stem, JVM-side
+    pair expansion bounded by locale count — no self-join, no window,
+    no Python.  Synthesis: each doc explodes into six URLs (en / fr /
+    de-DE path markers on one site, es./pt. host markers on another,
+    and a marker-less page), so every stem group is complete and the
+    oracle replays the four expected pairs per doc closed-form."""
+    from doctor_spark.operators.bitext import bitext_url_pairs
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    i = F.col("doc_id").cast("string")
+    site = F.concat(F.lit("https://w.site"), i, F.lit(".example"))
+    pages = d.select(
+        F.explode(
+            F.array(
+                F.concat(site, F.lit("/en/page"), i),
+                F.concat(site, F.lit("/fr/page"), i),
+                F.concat(site, F.lit("/de-DE/page"), i),
+                F.concat(F.lit("https://es.h"), i, F.lit(".example/p/x")),
+                F.concat(F.lit("https://pt.h"), i, F.lit(".example/p/x")),
+                F.concat(F.lit("https://plain"), i, F.lit(".example/about")),
+            )
+        ).alias("url")
+    )
+    out = bitext_url_pairs(pages)
+    return out.select(
+        "stem", "src_lang", "src_url", "tgt_lang", "tgt_url"
+    ).orderBy("stem", "src_lang", "tgt_lang")
+
+
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality rollup gate (RefinedWeb-style site curation,
+    content-informed): per-document Gopher verdicts rolled up per host
+    — ONE map-side-combined keyed agg — then the integer-fraction host
+    verdict (``n_fail*100 <= n_docs*50``, small hosts ``< 5`` docs
+    admitted on benefit of the doubt) joined back to every document
+    (keyed join, NOT broadcast: a real crawl's host dimension is
+    10^8+ rows; AQE splits mega-host skew).  Synthesis: seven head
+    hosts (``doc_id % 7``) whose fail fractions differ by text arm,
+    plus single-document tail hosts every 25th doc exercising the
+    min-docs rule.  The oracle replays the Gopher CTE + the same
+    integer arithmetic."""
+    from doctor_spark.operators.hostgate import host_quality_gate
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    host = F.when(
+        F.col("doc_id") % 25 == 0,
+        F.concat(F.lit("t"), F.col("doc_id").cast("string"),
+                 F.lit(".example")),
+    ).otherwise(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example"))
+    )
+    docs = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        host.alias("host"),
+        "text",
+    )
+    out = host_quality_gate(docs, min_docs=5, max_fail_pct=50)
+    return out.select("doc_id", "host", "passes", "host_ok") \
+        .orderBy("doc_id")
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid / Flesch reading-ease over the corpus — the
+    audience-level signal education-filtered corpora bucket on.  Both
+    sub-measures are spec'd SQL-replayable simplifications
+    (functions/text.py: vowel-group syllables, terminal-run
+    sentences), so the oracle replays the FULL computation on the raw
+    document text — not a synthesis-arm replay.  Pure Column exprs,
+    map-only, zero Python, zero shuffles."""
+    from doctor_spark.functions.text import readability_metrics
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    m = readability_metrics(F.col("text"))
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        m["n_words"].alias("n_words"),
+        m["n_sentences"].alias("n_sentences"),
+        m["n_syllables"].alias("n_syllables"),
+        m["fk_grade"].alias("fk_grade"),
+        m["flesch_ease"].alias("flesch_ease"),
+    ).orderBy("doc_id")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -3893,6 +3982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_clean": q_unicode_clean,
         "hreflang_pairs": q_hreflang_pairs,
         "bitext_align": q_bitext_align,
+        "bitext_url_pairs": q_bitext_url_pairs,
+        "host_quality": q_host_quality,
+        "readability": q_readability,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -5678,6 +5770,62 @@ FROM documents
 """
 
 
+def _host_quality_sql() -> str:
+    """Gopher CTE + host synthesis + the integer host verdict."""
+    return f"""
+WITH g AS ({_gopher_sql()}),
+d AS (
+  SELECT g.doc_id,
+         CASE WHEN g.doc_id % 25 = 0
+              THEN 't' || CAST(g.doc_id AS VARCHAR(20)) || '.example'
+              ELSE 'h' || CAST(g.doc_id % 7 AS VARCHAR(2)) || '.example'
+         END AS host,
+         g.passes
+  FROM g JOIN documents USING (doc_id)
+  WHERE documents.text IS NOT NULL
+),
+h AS (
+  SELECT host, count(*) AS n_docs,
+         sum(CASE WHEN passes THEN 0 ELSE 1 END) AS n_fail
+  FROM d GROUP BY host
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.host, d.passes,
+       (h.n_docs < 5 OR h.n_fail * 100 <= h.n_docs * 50)::BOOLEAN
+         AS host_ok
+FROM d JOIN h ON d.host = h.host
+ORDER BY doc_id
+"""
+
+
+def _readability_sql() -> str:
+    """FULL replay of functions/text.py readability_metrics on the raw
+    text: vowel-group syllables, terminal-run sentences, one terminal
+    round — identical IEEE double ops in both engines."""
+    w = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END"
+    s = ("CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+         "greatest(1, len(regexp_extract_all(text, '[.!?]+'))) END")
+    y = (f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+         f"list_sum(list_transform({_TOKS}, tk -> "
+         f"greatest(1, len(regexp_extract_all(tk, '[aeiouy]+'))))) END")
+    return f"""
+WITH m AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         ({w})::DOUBLE AS w, ({s})::DOUBLE AS s, ({y})::DOUBLE AS y
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       w::BIGINT AS n_words, s::BIGINT AS n_sentences,
+       y::BIGINT AS n_syllables,
+       CASE WHEN w = 0 THEN NULL
+            ELSE round(0.39::DOUBLE * (w / s) + 11.8::DOUBLE * (y / w)
+                       - 15.59::DOUBLE, 4) END AS fk_grade,
+       CASE WHEN w = 0 THEN NULL
+            ELSE round(206.835::DOUBLE - 1.015::DOUBLE * (w / s)
+                       - 84.6::DOUBLE * (y / w), 4) END AS flesch_ease
+FROM m ORDER BY doc_id
+"""
+
+
 def _lang_guess_expr() -> str:
     """Mirror of functions.text.lang_guess as a single SQL expression:
     script vote (explicit BMP ranges, character-identical classes), then
@@ -6752,6 +6900,33 @@ WHERE n_docs * 100 >= host_docs * 60 AND host_docs >= 2
 ORDER BY host, line
 """,
         "bitext_align": _bitext_align_sql(),
+        # bitext URL pairs: four expected pairs per doc, closed-form
+        # (stem/lang extraction itself unit-tested in tests/test_urls.py)
+        "bitext_url_pairs": """
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR(20)) AS i
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT i, 'https://w.site' || i || '.example' AS site FROM p
+)
+SELECT site || '/{lang}/page' || i AS stem,
+       'de' AS src_lang, site || '/de-DE/page' || i AS src_url,
+       'en' AS tgt_lang, site || '/en/page' || i AS tgt_url
+FROM s
+UNION ALL
+SELECT site || '/{lang}/page' || i, 'de', site || '/de-DE/page' || i,
+       'fr', site || '/fr/page' || i FROM s
+UNION ALL
+SELECT site || '/{lang}/page' || i, 'en', site || '/en/page' || i,
+       'fr', site || '/fr/page' || i FROM s
+UNION ALL
+SELECT 'https://{lang}.h' || i || '.example/p/x', 'es',
+       'https://es.h' || i || '.example/p/x', 'pt',
+       'https://pt.h' || i || '.example/p/x' FROM s
+ORDER BY stem, src_lang, tgt_lang
+""",
+        "host_quality": _host_quality_sql(),
+        "readability": _readability_sql(),
         # heading outline: each synthesis arm's expected rows as
         # UNION ALL literals (alignments verified in tests/test_headings.py)
         "heading_outline": """

@@ -293,6 +293,11 @@ def main() -> None:
         "bitext_align",
         "url_templates",
         "heading_outline",
+        # fifteenth wave: STRAND URL pairing, host quality gate,
+        # readability
+        "bitext_url_pairs",
+        "host_quality",
+        "readability",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -336,6 +341,7 @@ def main() -> None:
         "hreflang_pairs", "host_template_lines", "canonical_clusters",
         "pagination_chains",
         "bitext_align", "url_templates", "heading_outline",
+        "bitext_url_pairs", "host_quality", "readability",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -286,6 +286,73 @@ def fingerprint(col: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# Readability (Flesch 1948 / Kincaid et al. 1975) — the audience-level
+# signal education-filtered corpora (FineWeb-Edu-class) bucket on.  Both
+# sub-measures are deliberately SQL-replayable simplifications of their
+# linguistic ideals, spec'd here as the contract:
+#   syllables(token) = max(1, count of [aeiouy]+ runs in the lowercased
+#     token) — no silent-e or -le handling (documented deviation from
+#     dictionary syllabification; deterministic and language-blind);
+#   sentences(text)  = max(1, count of [.!?]+ terminal runs) — the
+#     regex twin of kernels/sentences.py without the abbreviation
+#     inventory (a corpus-stat simplification, NOT a segmentation
+#     replacement; use the kernel where boundaries matter).
+# All arithmetic is per-row double math with one terminal round(…, 4),
+# identical IEEE ops in both engines.  Pure Column exprs, zero Python.
+# --------------------------------------------------------------------------
+
+VOWEL_GROUP_RE = "[aeiouy]+"
+SENTENCE_RUN_RE = "[.!?]+"
+
+
+def syllable_count(col: Column) -> Column:
+    """Total spec-syllables over the whitespace tokens; 0 for blank."""
+    total = F.aggregate(
+        F.transform(
+            tokens(col),
+            lambda t: F.greatest(
+                F.lit(1), F.regexp_count(t, F.lit(VOWEL_GROUP_RE))
+            ),
+        ),
+        F.lit(0),
+        lambda a, v: a + v,
+    )
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(total)
+
+
+def sentence_run_count(col: Column) -> Column:
+    """Spec-sentences: terminal-punctuation runs, min 1 for non-blank."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.greatest(F.lit(1), F.regexp_count(col, F.lit(SENTENCE_RUN_RE)))
+    )
+
+
+def readability_metrics(col: Column) -> dict[str, Column]:
+    """``n_words / n_sentences / n_syllables / fk_grade / flesch_ease``
+    as named Columns.  Grades are NULL for blank text (no words, no
+    reading level), never a division error."""
+    w = token_count(col).cast("double")
+    s = sentence_run_count(col).cast("double")
+    y = syllable_count(col).cast("double")
+    fk = F.round(
+        F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59), 4
+    )
+    ease = F.round(
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w), 4
+    )
+    blank = w == 0
+    return {
+        "n_words": w.cast("bigint"),
+        "n_sentences": s.cast("bigint"),
+        "n_syllables": y.cast("bigint"),
+        "fk_grade": F.when(blank, F.lit(None).cast("double")).otherwise(fk),
+        "flesch_ease": F.when(
+            blank, F.lit(None).cast("double")
+        ).otherwise(ease),
+    }
+
+
+# --------------------------------------------------------------------------
 # Character-entropy gibberish gate (RefinedWeb/Dolma-class signal: kills
 # base64 blobs, aaaa-runs, binary spill).  Integer-exact cross-engine via
 # the micro-log10 quantization the LM module established: per-count terms

@@ -179,6 +179,88 @@ def url_path_template(url: Column) -> Column:
     ).otherwise(templ)
 
 
+# language tokens recognized by url_lang_stem / url_lang: the 27
+# lang_guess languages (functions/text.py) plus the web's other
+# high-frequency locale path markers.  Whole-segment matching only —
+# '/it/' the country section vs 'it' the language is an inherent
+# ambiguity of the published heuristic (Resnik & Smith 2003 STRAND;
+# ParaCrawl/Bitextor use the same token substitution), documented, not
+# special-cased.
+URL_LANG_CODES = (
+    "en", "de", "fr", "es", "it", "pt", "nl", "sv", "da", "no", "fi",
+    "pl", "cs", "ro", "hu", "tr", "id", "vi", "ca", "zh", "ja", "ko",
+    "ar", "ru", "el", "he", "th", "hi", "uk", "bg", "sk", "sl", "hr",
+    "lt", "lv", "et",
+)
+_LANG_ALT_RE = r"^[a-z]{2}[-_][a-zA-Z]{2}$"  # en-US, pt_br, zh-CN
+
+
+def _is_lang_segment(seg: Column) -> Column:
+    low = F.lower(seg)
+    base = F.substring(low, 1, 2)
+    return low.isin(*URL_LANG_CODES) | (
+        low.rlike(_LANG_ALT_RE) & base.isin(*URL_LANG_CODES)
+    )
+
+
+def url_lang(url: Column) -> Column:
+    """The URL's language marker as a lowercase 2-letter base code —
+    the FIRST whole path segment matching :data:`URL_LANG_CODES` (bare
+    ``en`` or regioned ``en-US``/``pt_BR``), else the host's first
+    label when the host has ≥3 labels (``en.example.org`` yes,
+    ``it.com`` no); NULL when the URL carries no marker.  Pure Column
+    expressions — zero Python, zero shuffles."""
+    segs = F.filter(F.split(url_path(url), "/"), lambda s: s != "")
+    path_hit = F.try_element_at(F.filter(segs, _is_lang_segment), F.lit(1))
+    labels = F.split(url_host(url), r"\.")
+    first = F.try_element_at(labels, F.lit(1))
+    host_hit = F.when(
+        (F.size(labels) >= 3) & _is_lang_segment(first), first
+    )
+    hit = F.coalesce(path_hit, host_hit)
+    return F.substring(F.lower(hit), 1, 2)
+
+
+def url_lang_stem(url: Column) -> Column:
+    """Language-neutral URL stem — the STRAND/ParaCrawl URL-matching
+    heuristic's join key: every language-marker path segment and a
+    marker first host label replaced by ``{lang}``, query dropped::
+
+        https://example.org/en-US/doc/9 -> https://example.org/{lang}/doc/9
+        https://fr.example.org/doc/9    -> https://{lang}.example.org/doc/9
+
+    Two pages with the SAME stem and DIFFERENT :func:`url_lang` codes
+    are a candidate parallel pair — no content needed, so the heuristic
+    runs on the 10^12-row frontier itself.  NULL for URLs with no host
+    or no language marker (a stem that never contained a marker can
+    only self-pair).  Pure Column expressions."""
+    host = url_host(url)
+    labels = F.split(host, r"\.")
+    stem_host = F.when(
+        (F.size(labels) >= 3) & _is_lang_segment(F.element_at(labels, 1)),
+        F.concat(
+            F.lit("{lang}"),
+            F.substr(
+                host,
+                F.length(F.split_part(host, F.lit("."), F.lit(1))) + 1,
+            ),
+        ),
+    ).otherwise(host)
+    segs = F.split(url_path(url), "/")
+    stem_path = F.array_join(
+        F.transform(
+            segs,
+            lambda s: F.when(_is_lang_segment(s), F.lit("{lang}")).otherwise(s),
+        ),
+        "/",
+    )
+    stem = F.concat(url_scheme(url), F.lit("://"), stem_host, stem_path)
+    return F.when(
+        host.isNull() | url_lang(url).isNull(),
+        F.lit(None).cast("string"),
+    ).otherwise(stem)
+
+
 def surt_key(url: Column) -> Column:
     """SURT-form index key (Sort-friendly URI Reordering Transform —
     the key of Common Crawl's CDX URL index and of every wayback-style

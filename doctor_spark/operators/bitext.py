@@ -83,3 +83,61 @@ def bitext_beads(pairs: DataFrame, src_col: str = "src_text",
         "_b.src_start", "_b.n_src", "_b.tgt_start", "_b.n_tgt",
         "_b.src_text", "_b.tgt_text",
     )
+
+
+def bitext_url_pairs(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Candidate parallel-page pairs from URL structure alone — the
+    STRAND (Resnik & Smith 2003) / ParaCrawl URL-matching heuristic:
+    two URLs whose only difference is a language marker
+    (``/en/`` vs ``/fr/``, ``en.host`` vs ``fr.host``) are candidate
+    translations.  Runs on the frontier itself (no content fetch), so
+    it is the rung BEFORE ``hreflang_edges`` (declared alternates) and
+    ``bitext_beads`` (content alignment) in a bitext harvest.
+
+    Output: one row per unordered language pair per stem —
+    ``(stem, src_lang, src_url, tgt_lang, tgt_url)`` with
+    ``src_lang < tgt_lang``; the representative URL per (stem, lang)
+    is the minimum (deterministic under URL dedup).
+
+    Scale shape: stem/lang are pure codegen (functions/urls.py);
+    then TWO keyed aggregates on the stem — (stem, lang) min-URL with
+    map-side partials, then per-stem side collection whose fan-out is
+    bounded by a site's LOCALE COUNT (the k² of ~40 langs max, same
+    bound as ``language_pair_counts``), pair-expanded JVM-side.  No
+    self-join, no window, no Python; a mega-site's stems hash-spread
+    across partitions."""
+    from ..functions.urls import url_lang, url_lang_stem
+
+    u = F.col(url_col)
+    cand = pages.select(
+        url_lang_stem(u).alias("stem"),
+        url_lang(u).alias("lang"),
+        u.alias("_url"),
+    ).where(F.col("stem").isNotNull())
+    rep = cand.groupBy("stem", "lang").agg(F.min("_url").alias("_url"))
+    sides = rep.groupBy("stem").agg(
+        F.array_sort(
+            F.collect_list(F.struct("lang", "_url"))
+        ).alias("_sides")
+    ).where(F.size("_sides") >= 2)
+    n = F.size("_sides")
+    pairs = F.flatten(
+        F.transform(
+            F.col("_sides"),
+            lambda a, i: F.transform(
+                F.slice(F.col("_sides"), i + 2, n - i - 1),
+                lambda b: F.struct(
+                    a["lang"].alias("src_lang"),
+                    a["_url"].alias("src_url"),
+                    b["lang"].alias("tgt_lang"),
+                    b["_url"].alias("tgt_url"),
+                ),
+            ),
+        )
+    )
+    return sides.select(
+        "stem", F.explode(pairs).alias("_p")
+    ).select(
+        "stem",
+        "_p.src_lang", "_p.src_url", "_p.tgt_lang", "_p.tgt_url",
+    )

@@ -118,3 +118,48 @@ class TestOperator:
         assert "Exchange" not in final, final
         assert final.count("ArrowEvalPython") == 1, final
         assert "Generate" in final, final
+
+
+class TestBitextUrlPairs:
+    """bitext_url_pairs — pairing semantics and plan shape."""
+
+    @pytest.fixture(scope="class")
+    def pairs_df(self, spark):
+        from doctor_spark.operators.bitext import bitext_url_pairs
+
+        urls = [
+            "https://w.s1.example/en/p1",
+            "https://w.s1.example/fr/p1",
+            "https://w.s1.example/de-DE/p1",
+            "https://w.s1.example/en/p1?utm_source=x",  # same (stem, en)
+            "https://es.h2.example/p/2",
+            "https://pt.h2.example/p/2",
+            "https://plain.example/about",              # never pairs
+            "https://w.s3.example/en/only",             # lone lang: no pair
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return bitext_url_pairs(df)
+
+    def test_pairs(self, pairs_df):
+        got = {
+            (r.stem, r.src_lang, r.tgt_lang): (r.src_url, r.tgt_url)
+            for r in pairs_df.collect()
+        }
+        s1 = "https://w.s1.example/{lang}/p1"
+        assert got[(s1, "de", "en")] == (
+            "https://w.s1.example/de-DE/p1", "https://w.s1.example/en/p1"
+        )
+        assert (s1, "de", "fr") in got and (s1, "en", "fr") in got
+        # min-url representative: the query variant loses to the bare URL
+        assert got[(s1, "en", "fr")][0] == "https://w.s1.example/en/p1"
+        assert got[(
+            "https://{lang}.h2.example/p/2", "es", "pt"
+        )] == ("https://es.h2.example/p/2", "https://pt.h2.example/p/2")
+        assert len(got) == 4  # lone-lang and no-marker URLs never pair
+
+    def test_plan_two_keyed_aggs_no_python_no_join(self, pairs_df):
+        plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange") == 2, final
+        assert "EvalPython" not in final, final
+        assert "Join" not in final, final   # pair expansion is JVM arrays

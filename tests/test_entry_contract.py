@@ -241,6 +241,16 @@ ADVERSARIAL_QUERIES = [
     # NULL-text drops truncate chains mid-walk — the resolver must head
     # at the unseen page exactly like the CTE)
     "pagination_chains",
+    # round-5 fourteenth wave: Gale–Church beads / URL templates /
+    # heading outlines (doc_id + text only; degenerate corpora vary the
+    # arm populations and the hostile texts ride the carried columns)
+    "bitext_align", "url_templates", "heading_outline",
+    # round-5 fifteenth wave: STRAND URL pairing (doc_id only),
+    # host-quality rollup (the Gopher CTE on hostile text + integer
+    # fraction boundaries on whatever host populations emerge), and
+    # readability (vowel/terminal-run regex classes on every whitespace
+    # and unicode arm — the FULL-replay oracle meets the nasty corpus)
+    "bitext_url_pairs", "host_quality", "readability",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]

@@ -154,3 +154,52 @@ def test_url_template_counts_operator_and_plan(spark):
     assert final.count("Exchange") == 1, final   # ONE keyed aggregate
     assert "EvalPython" not in final, final       # zero Python
     assert "partial_count" in final or "HashAggregate" in final, final
+
+
+class TestUrlLang:
+    """url_lang / url_lang_stem — the STRAND marker rules."""
+
+    CASES = [
+        # (url, lang, stem)
+        ("https://w.site.example/en/p1", "en",
+         "https://w.site.example/{lang}/p1"),
+        ("https://w.site.example/de-DE/p1", "de",
+         "https://w.site.example/{lang}/p1"),
+        ("http://h.example/pt_BR/a/en/b", "pt",        # first marker wins
+         "http://h.example/{lang}/a/{lang}/b"),        # ...all replaced
+        ("https://example.org/EN/p9", "en",            # case-blind match
+         "https://example.org/{lang}/p9"),
+        ("https://fr.example.org/doc", "fr",           # host label marker
+         "https://{lang}.example.org/doc"),
+        ("https://it.com/x", None, None),              # 2-label host: no
+        ("https://plain.example/about", None, None),   # no marker
+        ("https://w.example/enx/p", None, None),       # not whole-segment
+        ("https://w.example/en-USA/p", None, None),    # bad region form
+        ("relative/en/only", None, None),              # no authority
+    ]
+
+    def test_lang_and_stem(self, spark):
+        from doctor_spark.functions.urls import url_lang, url_lang_stem
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(u,) for u, _, _ in self.CASES], "url string"
+        )
+        rows = df.select(
+            "url",
+            url_lang(F.col("url")).alias("lang"),
+            url_lang_stem(F.col("url")).alias("stem"),
+        ).collect()
+        got = {r.url: (r.lang, r.stem) for r in rows}
+        for url, lang, stem in self.CASES:
+            assert got[url] == (lang, stem), url
+
+    def test_query_dropped_from_stem(self, spark):
+        from doctor_spark.functions.urls import url_lang_stem
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("https://a.example/en/p?utm_source=x&id=9",)], "url string"
+        )
+        r = df.select(url_lang_stem(F.col("url")).alias("s")).collect()[0]
+        assert r.s == "https://a.example/{lang}/p"
