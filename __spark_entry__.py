@@ -2423,6 +2423,65 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation table (Church & Hanks 1990) — corpus-level word
+    association: multi-word entities surface as high-PMI pairs,
+    tokenizer-merge candidates as high-count high-PMI.  All
+    probabilities stay as COUNTS; one micro-log10 per count (libm both
+    engines, the LM/entropy idiom) makes pmi_micro a pure int64 sum.
+    Corpus path is JVM arrays (zip_with over slices) + ONE keyed count
+    per gram order; Python touches only the vocab-sized aggregate.
+    The oracle replays the FULL computation on the raw text."""
+    from doctor_spark.operators.collocations import collocations
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    out = collocations(d, min_pair=5)
+    return out.select(
+        "w1", "w2",
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        "pmi_micro",
+    ).orderBy("w1", "w2")
+
+
+# chunking synthesis: four arms — paragraph packing, an oversize
+# paragraph that sentence-splits, an oversize sentence that hard-splits,
+# and a blank doc that produces no rows.  max_tokens=6.
+_CHUNK_SYNTH_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'alpha bravo charlie.' || chr(10) || chr(10) ||
+              'delta echo.' || chr(10) || chr(10) ||
+              'fox golf hotel india juliet kilo.'
+  WHEN 1 THEN 'Aa bb cc. Dd ee ff. Gg hh ii jj kk ll mm nn.'
+  WHEN 2 THEN 'w1 w2 w3 w4 w5 w6 w7 w8'
+  ELSE '   '
+END
+"""
+
+
+def q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-aware chunking — the pretraining/RAG segmentation
+    stage: ≤max_tokens chunks breaking at the strongest boundary
+    (paragraph → sentence → hard token split), deterministic greedy
+    spec in kernels/chunking.py.  One Arrow batch → explode, map-only,
+    zero shuffles.  The oracle replays each synthesis arm's expected
+    chunks (verified against the kernel spec in tests/test_chunking.py)
+    as UNION ALL literals."""
+    from doctor_spark.operators.chunking import chunk_documents
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(_CHUNK_SYNTH_SQL).alias("text"),
+    )
+    out = chunk_documents(pages, max_tokens=6)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "kind", "chunk_text",
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -3985,6 +4044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_url_pairs": q_bitext_url_pairs,
         "host_quality": q_host_quality,
         "readability": q_readability,
+        "collocations": q_collocations,
+        "chunk_spans": q_chunk_spans,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -5826,6 +5887,42 @@ FROM m ORDER BY doc_id
 """
 
 
+def _collocations_sql() -> str:
+    """FULL replay of operators/collocations.py on the raw text:
+    same token split, bigrams via list_zip, same micro-log10 sum."""
+    ml = "CAST(floor(log10({x}) * 1000000 + 0.5) AS BIGINT)"
+    return f"""
+WITH t AS (
+  SELECT {_TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+uni AS (
+  SELECT u.w AS w, count(*)::BIGINT AS n_w
+  FROM t, unnest(tk) AS u(w) GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT sum(n_w) FROM uni)::BIGINT AS n_uni_total,
+         (SELECT sum(len(tk) - 1) FROM t)::BIGINT AS n_big_total
+),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*)::BIGINT AS n_pair FROM (
+    SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS p FROM t
+  ) GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT w1, w2, n_pair,
+       ({ml.format(x='n_pair')}
+        + 2 * {ml.format(x='n_uni_total')}
+        - {ml.format(x='n_big_total')}
+        - {ml.format(x='u1.n_w')}
+        - {ml.format(x='u2.n_w')})::BIGINT AS pmi_micro
+FROM big
+JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w
+CROSS JOIN tot
+ORDER BY w1, w2
+"""
+
+
 def _lang_guess_expr() -> str:
     """Mirror of functions.text.lang_guess as a single SQL expression:
     script vote (explicit BMP ranges, character-identical classes), then
@@ -6927,6 +7024,31 @@ ORDER BY stem, src_lang, tgt_lang
 """,
         "host_quality": _host_quality_sql(),
         "readability": _readability_sql(),
+        "collocations": _collocations_sql(),
+        # chunk spans: each synthesis arm's expected chunks as UNION ALL
+        # literals (alignments verified in tests/test_chunking.py)
+        "chunk_spans": """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 4 AS INT) AS m
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(1 AS INT) AS chunk_idx, CAST(5 AS INT) AS n_tokens,
+       'para' AS kind,
+       'alpha bravo charlie.' || chr(10) || chr(10) || 'delta echo.'
+         AS chunk_text
+FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 2, 6, 'para',
+       'fox golf hotel india juliet kilo.' FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 1, 6, 'sent', 'Aa bb cc. Dd ee ff.'
+FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 2, 6, 'hard', 'Gg hh ii jj kk ll'
+FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 3, 2, 'hard', 'mm nn.' FROM p WHERE m = 1
+UNION ALL SELECT doc_id, 1, 6, 'hard', 'w1 w2 w3 w4 w5 w6'
+FROM p WHERE m = 2
+UNION ALL SELECT doc_id, 2, 2, 'hard', 'w7 w8' FROM p WHERE m = 2
+ORDER BY doc_id, chunk_idx
+""",
         # heading outline: each synthesis arm's expected rows as
         # UNION ALL literals (alignments verified in tests/test_headings.py)
         "heading_outline": """

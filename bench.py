@@ -298,6 +298,9 @@ def main() -> None:
         "bitext_url_pairs",
         "host_quality",
         "readability",
+        # sixteenth wave: PMI collocations, boundary-aware chunking
+        "collocations",
+        "chunk_spans",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -342,6 +345,7 @@ def main() -> None:
         "pagination_chains",
         "bitext_align", "url_templates", "heading_outline",
         "bitext_url_pairs", "host_quality", "readability",
+        "collocations", "chunk_spans",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

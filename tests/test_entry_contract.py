@@ -251,6 +251,10 @@ ADVERSARIAL_QUERIES = [
     # readability (vowel/terminal-run regex classes on every whitespace
     # and unicode arm — the FULL-replay oracle meets the nasty corpus)
     "bitext_url_pairs", "host_quality", "readability",
+    # round-5 sixteenth wave: PMI collocations (the full-replay oracle
+    # meets hostile whitespace classes and planted-dup token streams)
+    # and boundary-aware chunking (doc_id-only synthesis arms)
+    "collocations", "chunk_spans",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
