@@ -2482,6 +2482,65 @@ def q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted posting-list shard — term-keyed (term, df, doc_id,
+    positions) rows over the corpus, the search-index artifact that
+    backs decontamination probes and show-me-the-docs debugging.  The
+    stopword problem is handled BEFORE materializing lists: df counts
+    from a row-local distinct (ONE keyed count), the tiny over-cap
+    term list broadcast-ANTI-joins the token stream, then ONE
+    (term, doc) aggregation; position lists are bounded by document
+    length, never corpus size.  The oracle replays the FULL
+    computation (list_zip positions, string_agg) on the raw text."""
+    from doctor_spark.operators.postings import inverted_postings
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    out = inverted_postings(d, df_cap=100)
+    return out.select(
+        "term",
+        F.col("df").cast("bigint").alias("df"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "positions",
+    ).orderBy("term", "doc_id")
+
+
+# quote synthesis: constant-string arms so every offset is a literal
+# (expected spans pinned against the kernel in tests/test_quotes.py)
+_QUOTE_SYNTH_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'He said "the motion is denied" in open court.'
+  WHEN 1 THEN '“Curly quoted span here” trailing.'
+  WHEN 2 THEN 'A "tiny" quote and "an unclosed one'
+  ELSE 'no quotes at all here.'
+END
+"""
+
+
+def q_quote_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotation-span extraction — verbatim quoted passages with
+    source offsets, the span table a memorization/contamination audit
+    joins against the dedup machinery.  Deterministic pair spec
+    (straight toggles, curly must match curly, min-token gate, no
+    nesting) in kernels/quotes.py; one Arrow batch → explode,
+    map-only, zero shuffles.  The oracle replays each constant-string
+    arm's expected spans as UNION ALL literals."""
+    from doctor_spark.operators.quotes import quote_spans
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(_QUOTE_SYNTH_SQL).alias("text"),
+    )
+    out = quote_spans(pages, min_tokens=3)
+    return out.select(
+        "doc_id",
+        F.col("quote_idx").cast("int").alias("quote_idx"),
+        F.col("start_off").cast("int").alias("start_off"),
+        F.col("end_off").cast("int").alias("end_off"),
+        "quote_text",
+    ).orderBy("doc_id", "quote_idx")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4046,6 +4105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "collocations": q_collocations,
         "chunk_spans": q_chunk_spans,
+        "inverted_postings": q_inverted_postings,
+        "quote_spans": q_quote_spans,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -5923,6 +5984,36 @@ ORDER BY w1, w2
 """
 
 
+def _inverted_postings_sql() -> str:
+    """FULL replay of operators/postings.py on the raw text: positions
+    via list_zip(tk, range), df via count(DISTINCT doc_id), positions
+    string via ordered string_agg."""
+    return f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id, {_TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+x AS (
+  SELECT doc_id, p[1] AS term, CAST(p[2] AS INT) AS pos
+  FROM (
+    SELECT doc_id, unnest(list_zip(tk, range(0, len(tk)))) AS p FROM t
+  )
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM x GROUP BY 1
+),
+pd AS (
+  SELECT term, doc_id,
+         string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+  FROM x GROUP BY 1, 2
+)
+SELECT pd.term, dfs.df, pd.doc_id, pd.positions
+FROM pd JOIN dfs USING (term)
+WHERE dfs.df <= 100
+ORDER BY term, doc_id
+"""
+
+
 def _lang_guess_expr() -> str:
     """Mirror of functions.text.lang_guess as a single SQL expression:
     script vote (explicit BMP ranges, character-identical classes), then
@@ -7025,6 +7116,20 @@ ORDER BY stem, src_lang, tgt_lang
         "host_quality": _host_quality_sql(),
         "readability": _readability_sql(),
         "collocations": _collocations_sql(),
+        "inverted_postings": _inverted_postings_sql(),
+        # quote spans: constant-string arms, expected spans as literals
+        "quote_spans": """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 4 AS INT) AS m
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(1 AS INT) AS quote_idx, CAST(8 AS INT) AS start_off,
+       CAST(30 AS INT) AS end_off, 'the motion is denied' AS quote_text
+FROM p WHERE m = 0
+UNION ALL SELECT doc_id, 1, 0, 24, 'Curly quoted span here'
+FROM p WHERE m = 1
+ORDER BY doc_id, quote_idx
+""",
         # chunk spans: each synthesis arm's expected chunks as UNION ALL
         # literals (alignments verified in tests/test_chunking.py)
         "chunk_spans": """

@@ -301,6 +301,9 @@ def main() -> None:
         # sixteenth wave: PMI collocations, boundary-aware chunking
         "collocations",
         "chunk_spans",
+        # seventeenth wave: inverted postings, quote spans
+        "inverted_postings",
+        "quote_spans",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -346,6 +349,7 @@ def main() -> None:
         "bitext_align", "url_templates", "heading_outline",
         "bitext_url_pairs", "host_quality", "readability",
         "collocations", "chunk_spans",
+        "inverted_postings", "quote_spans",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
