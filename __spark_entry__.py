@@ -2541,6 +2541,67 @@ def q_quote_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "quote_idx")
 
 
+# mirror synthesis: three mirror payloads replicated across four m-hosts
+# (host index decorrelated from the content arm via doc_id DIV 8), one
+# boilerplate string on all thirteen h-hosts (over the cap: dropped from
+# pairs but counted in sizes), unique tails.  One snippet parsed by BOTH
+# engines (the _URL_SYNTH_SQL discipline).
+_MIRROR_CONTENT_SQL = """
+CASE CAST(doc_id % 8 AS INT)
+  WHEN 0 THEN 'mirror payload zero'
+  WHEN 1 THEN 'mirror payload one'
+  WHEN 2 THEN 'mirror payload two'
+  WHEN 3 THEN 'shared boilerplate footer'
+  ELSE 'unique doc ' || CAST(doc_id AS STRING)
+END
+"""
+
+_MIRROR_HOST_SQL = """
+CASE WHEN CAST(doc_id % 8 AS INT) < 3
+  THEN 'm' || CAST(CAST(floor(doc_id / 8) AS BIGINT) % 4 AS STRING)
+       || '.example'
+  ELSE 'h' || CAST(doc_id % 13 AS STRING) || '.example'
+END
+"""
+
+
+def q_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection — host pairs serving identical content
+    (software-archive replicas, syndication networks, ccTLD clones),
+    the admission-time signal that retires a whole mirror before
+    per-page dedup pays for it.  ONE (host, fp) distinct exchange; the
+    boilerplate guard drops fingerprints carried by more hosts than
+    ``host_cap`` BEFORE the bounded JVM-side pair expansion (no
+    self-join on the corpus); integer overlap_micro arithmetic is
+    exact in both engines.  The oracle replays the full computation —
+    distinct, sizes, cap, pair expansion via fp self-join, least() —
+    over the same synthesis."""
+    from doctor_spark.operators.mirrors import host_mirror_pairs
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.expr(_MIRROR_HOST_SQL).alias("host"),
+        F.expr(_MIRROR_CONTENT_SQL).alias("text"),
+    )
+    out = host_mirror_pairs(pages, host_cap=8, min_shared=1)
+    return out.orderBy("host1", "host2")
+
+
+def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance for the probe term 'spark' — keyword-in-context
+    lines with 0-based token position and 3-token contexts, the
+    show-me-the-term-in-context debugging view every quality rule and
+    contamination probe eventually needs.  Hit positions found
+    ROW-LOCALLY (explode fans out per hit, not per token); map-only,
+    zero shuffles, zero Python.  The oracle replays the FULL
+    computation (list_zip positions, clamped slices) on the raw
+    text."""
+    from doctor_spark.operators.concordance import kwic
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return kwic(d, "spark", k=3).orderBy("doc_id", "pos")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4107,6 +4168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_spans": q_chunk_spans,
         "inverted_postings": q_inverted_postings,
         "quote_spans": q_quote_spans,
+        "mirror_pairs": q_mirror_pairs,
+        "kwic": q_kwic,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6014,6 +6077,73 @@ ORDER BY term, doc_id
 """
 
 
+def _mirror_pairs_sql() -> str:
+    """FULL replay of operators/mirrors.py over the shared synthesis:
+    (host, fp) distinct, per-host sizes, the host_cap=8 boilerplate
+    guard, pair expansion via fp self-join (host1 < host2 — binary
+    string order, same as sort_array), integer overlap arithmetic."""
+    return f"""
+WITH d AS (
+  SELECT ({_MIRROR_HOST_SQL}) AS host,
+         md5(({_MIRROR_CONTENT_SQL})) AS fp
+  FROM documents WHERE text IS NOT NULL
+),
+hf AS (SELECT DISTINCT host, fp FROM d),
+sizes AS (SELECT host, count(*)::BIGINT AS n FROM hf GROUP BY 1),
+keep AS (
+  SELECT fp FROM hf GROUP BY fp
+  HAVING count(*) BETWEEN 2 AND 8
+),
+x AS (SELECT hf.fp, hf.host FROM hf JOIN keep USING (fp)),
+p AS (
+  SELECT a.host AS host1, b.host AS host2
+  FROM x a JOIN x b ON a.fp = b.fp AND a.host < b.host
+),
+agg AS (
+  SELECT host1, host2, count(*)::BIGINT AS n_shared
+  FROM p GROUP BY 1, 2
+)
+SELECT agg.host1, agg.host2, agg.n_shared,
+       s1.n AS n1, s2.n AS n2,
+       CAST((agg.n_shared * 1000000) // least(s1.n, s2.n) AS BIGINT)
+         AS overlap_micro
+FROM agg
+JOIN sizes s1 ON agg.host1 = s1.host
+JOIN sizes s2 ON agg.host2 = s2.host
+ORDER BY host1, host2
+"""
+
+
+def _kwic_sql() -> str:
+    """FULL replay of operators/concordance.py on the raw text: hit
+    positions via list_zip(tk, range), 1-based clamped slices for the
+    k=3 contexts, coalesce('') because DuckDB's array_to_string of an
+    empty slice is NULL where Spark's array_join is ''."""
+    return f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id, {_TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+h AS (
+  SELECT doc_id, tk, CAST(p[2] AS INT) AS pos
+  FROM (
+    SELECT doc_id, tk, unnest(list_zip(tk, range(0, len(tk)))) AS p
+    FROM t
+  )
+  WHERE p[1] = 'spark'
+),
+o AS (
+  SELECT doc_id, pos,
+    coalesce(array_to_string(tk[greatest(1, pos - 2) : pos], ' '), '')
+      AS left_ctx,
+    coalesce(array_to_string(tk[pos + 2 : pos + 4], ' '), '')
+      AS right_ctx
+  FROM h
+)
+SELECT * FROM o ORDER BY doc_id, pos
+"""
+
+
 def _lang_guess_expr() -> str:
     """Mirror of functions.text.lang_guess as a single SQL expression:
     script vote (explicit BMP ranges, character-identical classes), then
@@ -7117,6 +7247,8 @@ ORDER BY stem, src_lang, tgt_lang
         "readability": _readability_sql(),
         "collocations": _collocations_sql(),
         "inverted_postings": _inverted_postings_sql(),
+        "mirror_pairs": _mirror_pairs_sql(),
+        "kwic": _kwic_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

@@ -304,6 +304,9 @@ def main() -> None:
         # seventeenth wave: inverted postings, quote spans
         "inverted_postings",
         "quote_spans",
+        # eighteenth wave: mirror-site detection, KWIC concordance
+        "mirror_pairs",
+        "kwic",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -350,6 +353,7 @@ def main() -> None:
         "bitext_url_pairs", "host_quality", "readability",
         "collocations", "chunk_spans",
         "inverted_postings", "quote_spans",
+        "mirror_pairs", "kwic",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
