@@ -2490,12 +2490,18 @@ def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a row-local distinct (ONE keyed count), the tiny over-cap
     term list broadcast-ANTI-joins the token stream, then ONE
     (term, doc) aggregation; position lists are bounded by document
-    length, never corpus size.  The oracle replays the FULL
-    computation (list_zip positions, string_agg) on the raw text."""
+    length, never corpus size.  The cap is corpus-proportional —
+    ``max(100, n_docs DIV 20)``, i.e. "a stopword is a term in >5% of
+    documents" with a small-corpus floor — so the shard stays
+    non-trivial at every sf (a fixed cap empties it once every vocab
+    term's df outgrows the constant).  The one driver-side ``count()``
+    is metadata-scale.  The oracle replays the FULL computation
+    (list_zip positions, string_agg, the same greatest() cap)."""
     from doctor_spark.operators.postings import inverted_postings
 
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    out = inverted_postings(d, df_cap=100)
+    n_docs = d.where(F.length(F.trim(F.col("text"))) > 0).count()
+    out = inverted_postings(d, df_cap=max(100, n_docs // 20))
     return out.select(
         "term",
         F.col("df").cast("bigint").alias("df"),
@@ -6072,7 +6078,7 @@ pd AS (
 )
 SELECT pd.term, dfs.df, pd.doc_id, pd.positions
 FROM pd JOIN dfs USING (term)
-WHERE dfs.df <= 100
+WHERE dfs.df <= greatest(100, (SELECT count(*) FROM t) // 20)
 ORDER BY term, doc_id
 """
 
