@@ -2608,6 +2608,54 @@ def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kwic(d, "spark", k=3).orderBy("doc_id", "pos")
 
 
+# citation synthesis: five arms — multi-cite prose, series precedence
+# (F. Supp. 2d vs F. Supp. vs F.), Lawyers' Edition prefix pair, no
+# citations, and boundary misfires that must stay out.  One snippet
+# parsed by BOTH engines; the oracle replays the SAME regex.
+_CITE_SYNTH_SQL = """
+CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN 'Roe v. Wade, 410 U.S. 113, 93 S. Ct. 705, reh. denied.'
+  WHEN 1 THEN 'See Smith, 100 F. Supp. 2d 999; affirmed 250 F.3d 44.'
+  WHEN 2 THEN 'Contrast 9 L. Ed. 2d 10 with 1 L. Ed. 2 and 7 F. 44.'
+  WHEN 3 THEN 'Plain prose with no citation, page 113 alone.'
+  ELSE 'Misfires: x1410 U.S. 113 and 410 U.S. 113a stay out.'
+END
+"""
+
+
+def q_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legal citation extraction — the reference's OWN downstream: doctor
+    feeds CourtListener, whose flagship analysis (eyecite) is exactly
+    this volume/reporter/page cite table.  Java∩RE2 pattern over a
+    longest-prefix-first reporter inventory (both engines share
+    leftmost-first alternation, verified per series in
+    tests/test_citations.py); regexp_extract_all + row-local group
+    extraction, map-only, zero shuffles, zero Python.  The oracle runs
+    the IDENTICAL regex in DuckDB's RE2 over the same synthesis."""
+    from doctor_spark.functions.citations import citation_spans
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(_CITE_SYNTH_SQL).alias("text"),
+    )
+    return citation_spans(pages).orderBy("doc_id", "cite_idx")
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — the corpus-card diagnostic
+    for crawl diversity (flattening = template-farm re-crawl; jumps =
+    new language/domain).  Term arrival = min doc_id via ONE keyed agg
+    over row-locally distinct tokens; the cumulative window runs over
+    the BUCKET table, metadata-scale by construction.  The oracle
+    replays the full computation (list_distinct, min, floor-bucket,
+    running sums) on the raw text."""
+    from doctor_spark.operators.vocab import vocab_growth
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return vocab_growth(d, bucket_docs=100).orderBy("bucket")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4176,6 +4224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_spans": q_quote_spans,
         "mirror_pairs": q_mirror_pairs,
         "kwic": q_kwic,
+        "citations": q_citations,
+        "vocab_growth": q_vocab_growth,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6150,6 +6200,66 @@ SELECT * FROM o ORDER BY doc_id, pos
 """
 
 
+def _citations_sql() -> str:
+    """IDENTICAL regex (Java∩RE2 subset) replayed in DuckDB over the
+    shared synthesis; cite order via list_zip(matches, range)."""
+    from doctor_spark.functions.citations import CITATION_PATTERN
+
+    pat = CITATION_PATTERN
+    return f"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, ({_CITE_SYNTH_SQL}) AS text
+  FROM documents WHERE text IS NOT NULL
+),
+x AS (
+  SELECT doc_id, p[1] AS cite, CAST(p[2] AS INT) AS cite_idx
+  FROM (
+    SELECT doc_id,
+           unnest(list_zip(m, range(0, len(m)))) AS p
+    FROM (
+      SELECT doc_id, regexp_extract_all(text, '{pat}', 0) AS m FROM d
+    )
+  )
+)
+SELECT doc_id, cite_idx,
+       CAST(regexp_extract(cite, '{pat}', 1) AS BIGINT) AS volume,
+       regexp_extract(cite, '{pat}', 2) AS reporter,
+       CAST(regexp_extract(cite, '{pat}', 3) AS BIGINT) AS page
+FROM x ORDER BY doc_id, cite_idx
+"""
+
+
+def _vocab_growth_sql() -> str:
+    """FULL replay of operators/vocab.py on the raw text: row-local
+    distinct, min-doc arrival, floor buckets of 100, running sums."""
+    return f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id, {_TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+x AS (SELECT doc_id, unnest(list_distinct(tk)) AS term FROM t),
+firsts AS (SELECT term, min(doc_id) AS fd FROM x GROUP BY 1),
+nt AS (
+  SELECT CAST(floor(fd / 100) AS BIGINT) AS bucket,
+         count(*)::BIGINT AS n_new_terms
+  FROM firsts GROUP BY 1
+),
+dc AS (
+  SELECT CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+         count(*)::BIGINT AS n_docs
+  FROM t GROUP BY 1
+)
+SELECT dc.bucket, dc.n_docs,
+       coalesce(nt.n_new_terms, 0)::BIGINT AS n_new_terms,
+       CAST(sum(dc.n_docs) OVER (ORDER BY dc.bucket) AS BIGINT)
+         AS n_docs_cum,
+       CAST(sum(coalesce(nt.n_new_terms, 0)) OVER (ORDER BY dc.bucket)
+         AS BIGINT) AS vocab_size
+FROM dc LEFT JOIN nt USING (bucket)
+ORDER BY bucket
+"""
+
+
 def _lang_guess_expr() -> str:
     """Mirror of functions.text.lang_guess as a single SQL expression:
     script vote (explicit BMP ranges, character-identical classes), then
@@ -7255,6 +7365,8 @@ ORDER BY stem, src_lang, tgt_lang
         "inverted_postings": _inverted_postings_sql(),
         "mirror_pairs": _mirror_pairs_sql(),
         "kwic": _kwic_sql(),
+        "citations": _citations_sql(),
+        "vocab_growth": _vocab_growth_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

@@ -307,6 +307,9 @@ def main() -> None:
         # eighteenth wave: mirror-site detection, KWIC concordance
         "mirror_pairs",
         "kwic",
+        # nineteenth wave: legal citations, vocabulary growth
+        "citations",
+        "vocab_growth",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -354,6 +357,7 @@ def main() -> None:
         "collocations", "chunk_spans",
         "inverted_postings", "quote_spans",
         "mirror_pairs", "kwic",
+        "citations", "vocab_growth",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
