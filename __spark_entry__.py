@@ -2656,6 +2656,51 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(d, bucket_docs=100).orderBy("bucket")
 
 
+def q_revisit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit assignment + record bytes — the capture-time dedup
+    artifact (WARC 1.1 §6.7.2 identical-payload-digest; what Common
+    Crawl writes instead of re-storing identical payloads).  Original
+    = min(struct(date, url)) per digest via ONE map-side-combined agg
+    (NOT a window: a hot digest would land every capture on one
+    reducer) + ONE keyed join; record bytes pure codegen.  Synthesis:
+    50 urls × 28 dates with each payload served at TWO urls, so
+    same-url recaptures, cross-url dedup, and date/url tie-breaks all
+    occur.  The oracle replays the pick via a lexicographic
+    ``min(date || '#' || url)`` (fixed-width ISO dates make it
+    identical to the struct order) and the exact record byte layout."""
+    from doctor_spark.operators.revisit import (
+        revisit_assign,
+        revisit_records,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    caps = d.select(
+        F.concat(
+            F.lit("https://cap.example/"),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("2024-02-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lit("T00:00:00Z"),
+        ).alias("date_s"),
+        F.concat(
+            F.lit("capture body "), (F.col("doc_id") % 25).cast("string")
+        ).alias("text"),
+    )
+    out = revisit_records(revisit_assign(caps))
+    return out.select(
+        "url",
+        "date_s",
+        "digest",
+        "is_revisit",
+        "refers_url",
+        "refers_date",
+        F.md5(F.col("record")).alias("rec_md5"),
+        F.length(F.col("record")).cast("bigint").alias("rec_bytes"),
+    ).orderBy("url", "date_s", "digest")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4226,6 +4271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic": q_kwic,
         "citations": q_citations,
         "vocab_growth": q_vocab_growth,
+        "revisit_records": q_revisit_records,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6260,6 +6306,68 @@ ORDER BY bucket
 """
 
 
+def _revisit_records_sql() -> str:
+    """Oracle for revisit assignment: the original pick replayed as a
+    lexicographic min over ``date || '#' || url`` (fixed-width ISO
+    dates: identical to struct order; '#' < every url char keeps the
+    tie-break consistent), plus the exact revisit-record byte layout
+    as string concatenation (empty body, Content-Length: 0)."""
+    return r"""
+WITH c AS (
+  SELECT 'https://cap.example/' || CAST(doc_id % 50 AS STRING) AS url,
+         '2024-02-' || lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0')
+           || 'T00:00:00Z' AS date_s,
+         md5('capture body ' || CAST(doc_id % 25 AS STRING)) AS digest
+  FROM documents WHERE text IS NOT NULL
+),
+o AS (SELECT digest, min(date_s || '#' || url) AS k FROM c GROUP BY 1),
+j AS (
+  SELECT c.url, c.date_s, c.digest,
+         substr(o.k, 1, strpos(o.k, '#') - 1) AS o_date,
+         substr(o.k, strpos(o.k, '#') + 1) AS o_url
+  FROM c JOIN o USING (digest)
+),
+a AS (
+  SELECT url, date_s, digest,
+         (date_s <> o_date OR url <> o_url) AS is_revisit,
+         CASE WHEN date_s <> o_date OR url <> o_url THEN o_url END
+           AS refers_url,
+         CASE WHEN date_s <> o_date OR url <> o_url THEN o_date END
+           AS refers_date
+  FROM j
+),
+r AS (
+  SELECT a.*,
+    CASE WHEN is_revisit THEN
+      'WARC/1.0' || chr(13) || chr(10)
+      || 'WARC-Type: revisit' || chr(13) || chr(10)
+      || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+      || 'WARC-Date: ' || date_s || chr(13) || chr(10)
+      || 'WARC-Record-ID: <urn:uuid:'
+      || substr(md5(url || '#' || date_s || '#revisit'), 1, 8) || '-'
+      || substr(md5(url || '#' || date_s || '#revisit'), 9, 4) || '-'
+      || substr(md5(url || '#' || date_s || '#revisit'), 13, 4) || '-'
+      || substr(md5(url || '#' || date_s || '#revisit'), 17, 4) || '-'
+      || substr(md5(url || '#' || date_s || '#revisit'), 21, 12)
+      || '>' || chr(13) || chr(10)
+      || 'WARC-Refers-To-Target-URI: ' || refers_url
+      || chr(13) || chr(10)
+      || 'WARC-Refers-To-Date: ' || refers_date || chr(13) || chr(10)
+      || 'WARC-Payload-Digest: md5:' || digest || chr(13) || chr(10)
+      || 'WARC-Profile: http://netpreserve.org/warc/1.1/'
+      || 'revisit/identical-payload-digest' || chr(13) || chr(10)
+      || 'Content-Length: 0' || chr(13) || chr(10) || chr(13)
+      || chr(10) || chr(13) || chr(10) || chr(13) || chr(10)
+    END AS rec
+  FROM a
+)
+SELECT url, date_s, digest, is_revisit, refers_url, refers_date,
+       md5(rec) AS rec_md5,
+       octet_length(encode(rec))::BIGINT AS rec_bytes
+FROM r ORDER BY url, date_s, digest
+"""
+
+
 def _lang_guess_expr() -> str:
     """Mirror of functions.text.lang_guess as a single SQL expression:
     script vote (explicit BMP ranges, character-identical classes), then
@@ -7367,6 +7475,7 @@ ORDER BY stem, src_lang, tgt_lang
         "kwic": _kwic_sql(),
         "citations": _citations_sql(),
         "vocab_growth": _vocab_growth_sql(),
+        "revisit_records": _revisit_records_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

@@ -310,6 +310,8 @@ def main() -> None:
         # nineteenth wave: legal citations, vocabulary growth
         "citations",
         "vocab_growth",
+        # twentieth wave: WARC revisit records
+        "revisit_records",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -357,7 +359,7 @@ def main() -> None:
         "collocations", "chunk_spans",
         "inverted_postings", "quote_spans",
         "mirror_pairs", "kwic",
-        "citations", "vocab_growth",
+        "citations", "vocab_growth", "revisit_records",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

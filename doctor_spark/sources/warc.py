@@ -326,3 +326,52 @@ def wat_record(url, date_s, payload_json):
         ),
         "utf-8",
     )
+
+
+def revisit_record(url, date_s, digest, refers_url, refers_date):
+    """``(url, date string, payload digest, original url, original date
+    string)`` Columns → a complete WARC *revisit* record as a BINARY
+    Column — the capture-time dedup artifact (Common Crawl and every
+    Heritrix-lineage crawler write one instead of re-storing an
+    identical payload; WARC 1.1 §6.7.2 identical-payload-digest
+    profile).
+
+    Same byte discipline as :func:`wet_record` — fixed header order,
+    CRLF line ends, empty body (``Content-Length: 0``), two trailing
+    CRLFs.  The record id is the md5 of ``url || '#' || date ||
+    '#revisit'``: unique per CAPTURE (the same URI revisited on two
+    dates is two records), never colliding with the page's WET/WAT
+    ids."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat(url, F.lit("#"), date_s, F.lit("#revisit")))
+    rid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return F.encode(
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: "),
+            url,
+            F.lit("\r\nWARC-Date: "),
+            date_s,
+            F.lit("\r\nWARC-Record-ID: <urn:uuid:"),
+            rid,
+            F.lit(">\r\nWARC-Refers-To-Target-URI: "),
+            refers_url,
+            F.lit("\r\nWARC-Refers-To-Date: "),
+            refers_date,
+            F.lit("\r\nWARC-Payload-Digest: md5:"),
+            digest,
+            F.lit(
+                "\r\nWARC-Profile: http://netpreserve.org/warc/1.1/"
+                "revisit/identical-payload-digest"
+                "\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+            ),
+        ),
+        "utf-8",
+    )
