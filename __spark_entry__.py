@@ -2701,6 +2701,62 @@ def q_revisit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "date_s", "digest")
 
 
+# RAKE synthesis: four constant arms — the paper-style arithmetic doc,
+# a max_phrase=3 run-splitting doc with a 9e6 tie broken by phrase
+# order, a stopwords-only-plus-one doc, and a no-candidates doc.
+# Expected rows are literals pinned against the kernel in
+# tests/test_rake.py.
+_RAKE_SYNTH_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'deep learning of deep networks, deep learning wins'
+  WHEN 1 THEN 'the quick brown fox jumps over a lazy dog'
+  WHEN 2 THEN 'stop the of and to in'
+  ELSE '12345 67; ..'
+END
+"""
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — per-document
+    keyphrases from degree/frequency word scores, integer micro
+    arithmetic so ranks replay exactly.  Per-document by design: one
+    Arrow kernel batch → explode, map-only, zero shuffles at any
+    corpus size.  The oracle replays each constant arm's expected
+    keyword rows as literals (pinned against the kernel in
+    tests/test_rake.py)."""
+    from doctor_spark.operators.rake import rake_table
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pages = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(_RAKE_SYNTH_SQL).alias("text"),
+    )
+    out = rake_table(pages, top_k=5, max_phrase=3)
+    return out.select(
+        "doc_id",
+        F.col("kw_rank").cast("int").alias("kw_rank"),
+        "phrase",
+        F.col("score_micro").cast("bigint").alias("score_micro"),
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_occurrences").cast("int").alias("n_occurrences"),
+    ).orderBy("doc_id", "kw_rank")
+
+
+def q_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-coverage table — SentencePiece's character_coverage
+    input: corpus character counts ranked with cumulative micro
+    coverage.  The Arrow kernel emits PER-DOCUMENT histograms so the
+    explode fans out per distinct character per doc (alphabet-bounded,
+    never text-length-bounded); ONE map-side-combined keyed sum; the
+    rank/cumulative window runs over the alphabet-sized aggregate.
+    The oracle replays the full computation (char split, counts,
+    row_number, running sum, integer DIV) on the raw text."""
+    from doctor_spark.operators.charcov import char_coverage
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return char_coverage(d).orderBy("rank")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4272,6 +4328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "citations": q_citations,
         "vocab_growth": q_vocab_growth,
         "revisit_records": q_revisit_records,
+        "rake_keywords": q_rake_keywords,
+        "char_coverage": q_char_coverage,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6368,6 +6426,58 @@ FROM r ORDER BY url, date_s, digest
 """
 
 
+def _rake_keywords_sql() -> str:
+    """Expected keyword rows per constant arm as literals (pinned
+    against the kernel in tests/test_rake.py::TestKernel)."""
+    return r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, CAST(doc_id % 4 AS INT) AS arm
+  FROM documents WHERE text IS NOT NULL
+),
+e AS (
+  SELECT * FROM (VALUES
+    (0, 0, 'deep learning wins', 7833333, 3, 1),
+    (0, 1, 'deep learning',      4833333, 2, 1),
+    (0, 2, 'deep networks',      4333333, 2, 1),
+    (1, 0, 'jumps over a',       9000000, 3, 1),
+    (1, 1, 'quick brown fox',    9000000, 3, 1),
+    (1, 2, 'lazy dog',           4000000, 2, 1)
+  ) AS t(arm, kw_rank, phrase, score_micro, n_words, n_occurrences)
+  UNION ALL
+  SELECT 2, 0, 'stop', 1000000, 1, 1
+)
+SELECT d.doc_id,
+       CAST(e.kw_rank AS INT) AS kw_rank,
+       e.phrase,
+       CAST(e.score_micro AS BIGINT) AS score_micro,
+       CAST(e.n_words AS INT) AS n_words,
+       CAST(e.n_occurrences AS INT) AS n_occurrences
+FROM d JOIN e USING (arm)
+ORDER BY doc_id, kw_rank
+"""
+
+
+def _char_coverage_sql() -> str:
+    """FULL replay of operators/charcov.py on the raw text: per-char
+    counts via split(text, ''), (count desc, ch asc) rank, running
+    sum, integer-DIV micro coverage."""
+    return r"""
+WITH t AS (SELECT text FROM documents WHERE text IS NOT NULL),
+x AS (SELECT unnest(split(text, '')) AS ch FROM t),
+pc AS (SELECT ch, count(*)::BIGINT AS n FROM x GROUP BY 1),
+r AS (
+  SELECT ch, n,
+         row_number() OVER (ORDER BY n DESC, ch ASC)::BIGINT AS rank,
+         sum(n) OVER (ORDER BY n DESC, ch ASC
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(n) OVER ()::BIGINT AS tot
+  FROM pc
+)
+SELECT ch, n, rank, CAST((cum * 1000000) // tot AS BIGINT) AS cum_micro
+FROM r ORDER BY rank
+"""
+
+
 def _lang_guess_expr() -> str:
     """Mirror of functions.text.lang_guess as a single SQL expression:
     script vote (explicit BMP ranges, character-identical classes), then
@@ -7476,6 +7586,8 @@ ORDER BY stem, src_lang, tgt_lang
         "citations": _citations_sql(),
         "vocab_growth": _vocab_growth_sql(),
         "revisit_records": _revisit_records_sql(),
+        "rake_keywords": _rake_keywords_sql(),
+        "char_coverage": _char_coverage_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

@@ -312,6 +312,9 @@ def main() -> None:
         "vocab_growth",
         # twentieth wave: WARC revisit records
         "revisit_records",
+        # twenty-first wave: RAKE keywords, character coverage
+        "rake_keywords",
+        "char_coverage",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -360,6 +363,7 @@ def main() -> None:
         "inverted_postings", "quote_spans",
         "mirror_pairs", "kwic",
         "citations", "vocab_growth", "revisit_records",
+        "rake_keywords", "char_coverage",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
