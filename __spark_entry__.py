@@ -2757,6 +2757,120 @@ def q_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_coverage(d).orderBy("rank")
 
 
+# Trap-shaped URL synthesis — one SQL snippet parsed by Spark's F.expr
+# AND spliced verbatim into the DuckDB oracle (_URL_SYNTH_SQL
+# discipline).  Three host tiers: news* (clean: shallow calendar pages
+# + 2-param articles), blog* (~1/3 param explosions → above zero,
+# below the flag line), archive* (all five trap arms: deep calendar,
+# path cycle, deep path, ;jsessionid path param, ?phpsessid query
+# param) — so the rollup exercises zero / sub-threshold / flagged.
+_TRAP_SYNTH_SQL = """
+'http://' ||
+CASE WHEN doc_id % 10 < 4
+     THEN 'news' || CAST(doc_id % 3 AS VARCHAR(4)) || '.example.org'
+     WHEN doc_id % 10 < 7
+     THEN 'blog' || CAST(doc_id % 2 AS VARCHAR(4)) || '.example.com'
+     ELSE 'archive' || CAST(doc_id % 4 AS VARCHAR(4)) || '.example.net'
+END ||
+CASE WHEN doc_id % 10 < 4 THEN
+  CASE WHEN doc_id % 2 = 0
+       THEN '/' || CAST(2010 + doc_id % 10 AS VARCHAR(8)) || '/' ||
+            CAST(1 + doc_id % 12 AS VARCHAR(4)) || '/' ||
+            CAST(1 + doc_id % 28 AS VARCHAR(4))
+       ELSE '/articles/' || CAST(doc_id AS VARCHAR(20)) || '?id=' ||
+            CAST(doc_id AS VARCHAR(20)) || '&page=2'
+  END
+WHEN doc_id % 10 < 7 THEN
+  CASE WHEN doc_id % 3 = 0
+       THEN '/item?id=' || CAST(doc_id AS VARCHAR(20)) ||
+            '&a=1&b=2&c=3&d=4&e=5'
+       ELSE '/posts/' || CAST(doc_id AS VARCHAR(20))
+  END
+ELSE
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN '/blog/' || CAST(2010 + doc_id % 10 AS VARCHAR(8)) ||
+                '/' || CAST(1 + doc_id % 12 AS VARCHAR(4)) || '/' ||
+                CAST(1 + doc_id % 28 AS VARCHAR(4)) || '/post-' ||
+                CAST(doc_id AS VARCHAR(20))
+    WHEN 1 THEN '/forum/thread/forum/thread/view'
+    WHEN 2 THEN '/a/b/c/d/e/f/g/h/' || CAST(doc_id AS VARCHAR(20))
+    WHEN 3 THEN '/cart;jsessionid=' ||
+                substr(md5(CAST(doc_id AS VARCHAR(20))), 1, 12)
+    ELSE '/login?phpsessid=' ||
+         substr(md5(CAST(doc_id AS VARCHAR(20))), 1, 16)
+  END
+END
+"""
+
+
+def q_crawler_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (the Heritrix/Nutch URL-space pathology
+    gate): per-URL trap signals — path depth, repeated-segment excess,
+    /YYYY/MM/DD calendar shape, query-param count, session-id minting —
+    as pure codegen'd Column expressions (zero Python, zero shuffles),
+    rolled up to a per-host quarantine table in ONE map-side-combined
+    keyed sum.  The oracle replays the FULL computation (host/path
+    parse, every regex, the threshold disjunction, int64-micro trap
+    fraction) in DuckDB over the shared synth snippet."""
+    from doctor_spark.operators.traps import host_trap_table
+
+    pages = _docs(spark, sf_dir).select(
+        F.expr(_TRAP_SYNTH_SQL).alias("url")
+    )
+    return host_trap_table(pages).orderBy("host")
+
+
+# IDN host arms — constant per residue class so the decoded forms are
+# pinnable literals (the RAKE discipline; punycode is not expressible
+# in SQL).  Arms: honest IDN (münchen), pure-Cyrillic lookalike,
+# mixed-script lookalike, pure-Cyrillic non-colliding (пример.рф),
+# the imitated ASCII host, an ASCII near-miss (munchen.de — skeleton
+# does NOT fold ü, proving precision), a plain host, and a malformed
+# xn-- label (fail-open pass-through).
+_IDN_SYNTH_SQL = """
+CASE CAST(doc_id % 8 AS INT)
+  WHEN 0 THEN 'xn--mnchen-3ya.de'
+  WHEN 1 THEN 'xn--80ak6aa92e.com'
+  WHEN 2 THEN 'xn--pple-43d.com'
+  WHEN 3 THEN 'xn--e1afmkfd.xn--p1ai'
+  WHEN 4 THEN 'apple.com'
+  WHEN 5 THEN 'munchen.de'
+  WHEN 6 THEN 'example.org'
+  ELSE 'xn--!!!.com'
+END
+"""
+
+
+def q_idn_homographs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN decoding + homograph screening: every xn-- label punycode-
+    decoded (clean-room RFC 3492, kernels/punycode.py — differential-
+    tested against the stdlib codec on 1500 random strings), TR39-style
+    mixed-script flag, confusable skeleton, and the skeleton-collision
+    join against the corpus's ASCII hosts (broadcast — the IDN side of
+    a real crawl is <1%% of hosts).  Runs on the DISTINCT host table so
+    the Python decode cost lands on host cardinality, not page count.
+    Oracle: pinned literals per constant arm (tests/test_idn.py pins
+    the same rows against the kernel)."""
+    from doctor_spark.operators.idn import homograph_pairs, idn_host_table
+
+    hosts = _docs(spark, sf_dir).select(
+        F.expr(_IDN_SYNTH_SQL).alias("host")
+    )
+    t = idn_host_table(hosts.distinct())
+    pairs = homograph_pairs(hosts).select(
+        F.col("idn_host").alias("host"),
+        F.col("ascii_host").alias("homograph_of"),
+    )
+    return (
+        t.join(pairs, "host", "left")
+        .select(
+            "host", "unicode_host", "is_idn", "mixed_script",
+            "skeleton", "homograph_of",
+        )
+        .orderBy("host")
+    )
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4330,6 +4444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_records": q_revisit_records,
         "rake_keywords": q_rake_keywords,
         "char_coverage": q_char_coverage,
+        "crawler_traps": q_crawler_traps,
+        "idn_homographs": q_idn_homographs,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6478,6 +6594,102 @@ FROM r ORDER BY rank
 """
 
 
+def _crawler_traps_sql() -> str:
+    """FULL replay of operators/traps.py over the shared trap synth:
+    lowercase → structural host/path/query parse (the _url_canon_cte
+    regexes), per-URL signals, the threshold disjunction, per-host
+    rollup with int64-micro trap fraction.  Every regex is Java∩RE2
+    and matches at most once where replace is used."""
+    return f"""
+WITH raw AS (
+  SELECT lower(({_TRAP_SYNTH_SQL})) AS u FROM documents
+), p AS (
+  SELECT u, split_part(u, '#', 1) AS nofrag FROM raw
+), parsed AS (
+  SELECT u,
+    CASE WHEN lower(split_part(regexp_extract(nofrag,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1), ':', 1)) = ''
+         THEN NULL
+         ELSE lower(split_part(regexp_extract(nofrag,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1), ':', 1)) END AS host,
+    regexp_replace(regexp_extract(nofrag,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+(/[^?]*)?', 1), '/+$', '') AS path,
+    regexp_extract(nofrag, '\\?(.*)$', 1) AS q
+  FROM p
+), sig AS (
+  SELECT host,
+    len(list_filter(str_split(path, '/'), s -> s <> '')) AS depth,
+    len(list_filter(str_split(path, '/'), s -> s <> ''))
+      - len(list_distinct(list_filter(str_split(path, '/'),
+            s -> s <> ''))) AS repeat_excess,
+    regexp_matches(path,
+      '/[0-9]{{4}}/[0-9]{{1,2}}/[0-9]{{1,2}}(/|$)') AS has_calendar,
+    len(list_filter(str_split(q, '&'), x -> x <> '')) AS n_params,
+    regexp_matches(u,
+      '([?&](jsessionid|phpsessid|sessionid|sid)=[0-9a-f]{{8,}}'
+      || '|;jsessionid=[0-9a-f]{{8,}})') AS has_session
+  FROM parsed
+), flagged AS (
+  SELECT *,
+    (depth >= 8 OR repeat_excess >= 2
+     OR (has_calendar AND depth >= 4)
+     OR has_session OR n_params >= 6) AS is_trap
+  FROM sig
+), roll AS (
+  SELECT host,
+    count(*)::BIGINT AS n_urls,
+    sum(CASE WHEN is_trap THEN 1 ELSE 0 END)::BIGINT AS n_trap,
+    sum(CASE WHEN depth >= 8 THEN 1 ELSE 0 END)::BIGINT AS n_deep,
+    sum(CASE WHEN repeat_excess >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_repeat,
+    sum(CASE WHEN has_calendar AND depth >= 4 THEN 1 ELSE 0 END)::BIGINT
+      AS n_calendar,
+    sum(CASE WHEN has_session THEN 1 ELSE 0 END)::BIGINT AS n_session,
+    sum(CASE WHEN n_params >= 6 THEN 1 ELSE 0 END)::BIGINT AS n_paramexp
+  FROM flagged WHERE host IS NOT NULL GROUP BY host
+)
+SELECT host, n_urls, n_trap, n_deep, n_repeat, n_calendar, n_session,
+       n_paramexp,
+       CAST((n_trap * 1000000) // n_urls AS BIGINT) AS trap_micro,
+       ((n_trap * 1000000) // n_urls) >= 500000 AS flagged
+FROM roll ORDER BY host
+"""
+
+
+def _idn_homographs_sql() -> str:
+    """Pinned decoded/flag/skeleton rows per constant host arm
+    (punycode is not SQL-expressible; tests/test_idn.py pins the same
+    values against the kernel).  Skeleton of пример.рф folds only the
+    mapped confusables (р→p, и kept, м→m, е→e) — the literal below is
+    the exact operator output."""
+    return """
+WITH arms AS (
+  SELECT DISTINCT CAST(doc_id % 8 AS INT) AS arm FROM documents
+), e AS (
+  SELECT * FROM (VALUES
+    (0, 'xn--mnchen-3ya.de', 'münchen.de', TRUE, FALSE,
+        'münchen.de', CAST(NULL AS VARCHAR)),
+    (1, 'xn--80ak6aa92e.com', 'аррӏе.com', TRUE, FALSE,
+        'apple.com', 'apple.com'),
+    (2, 'xn--pple-43d.com', 'аpple.com', TRUE, TRUE,
+        'apple.com', 'apple.com'),
+    (3, 'xn--e1afmkfd.xn--p1ai', 'пример.рф', TRUE, FALSE,
+        'пpиmep.pф', CAST(NULL AS VARCHAR)),
+    (4, 'apple.com', 'apple.com', FALSE, FALSE,
+        'apple.com', CAST(NULL AS VARCHAR)),
+    (5, 'munchen.de', 'munchen.de', FALSE, FALSE,
+        'munchen.de', CAST(NULL AS VARCHAR)),
+    (6, 'example.org', 'example.org', FALSE, FALSE,
+        'example.org', CAST(NULL AS VARCHAR)),
+    (7, 'xn--!!!.com', 'xn--!!!.com', TRUE, FALSE,
+        'xn--!!!.com', CAST(NULL AS VARCHAR))
+  ) AS t(arm, host, unicode_host, is_idn, mixed_script, skeleton,
+         homograph_of)
+)
+SELECT host, unicode_host, is_idn, mixed_script, skeleton, homograph_of
+FROM arms JOIN e USING (arm) ORDER BY host
+"""
+
+
 def _lang_guess_expr() -> str:
     """Mirror of functions.text.lang_guess as a single SQL expression:
     script vote (explicit BMP ranges, character-identical classes), then
@@ -7588,6 +7800,8 @@ ORDER BY stem, src_lang, tgt_lang
         "revisit_records": _revisit_records_sql(),
         "rake_keywords": _rake_keywords_sql(),
         "char_coverage": _char_coverage_sql(),
+        "crawler_traps": _crawler_traps_sql(),
+        "idn_homographs": _idn_homographs_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

@@ -315,6 +315,9 @@ def main() -> None:
         # twenty-first wave: RAKE keywords, character coverage
         "rake_keywords",
         "char_coverage",
+        # twenty-second wave: crawler traps, IDN homographs
+        "crawler_traps",
+        "idn_homographs",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -364,6 +367,7 @@ def main() -> None:
         "mirror_pairs", "kwic",
         "citations", "vocab_growth", "revisit_records",
         "rake_keywords", "char_coverage",
+        "crawler_traps", "idn_homographs",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
