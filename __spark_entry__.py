@@ -2871,6 +2871,39 @@ def q_idn_homographs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 query set — terms drawn from the synthetic documents vocabulary,
+# shared verbatim with the oracle's VALUES list.
+_BM25_QUERIES = (
+    "sort merge join",
+    "window agg",
+    "spark stream batch",
+    "customer data table scan",
+)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the corpus (Lucene's
+    non-negative idf variant) — the scoring stage on top of the
+    inverted-index artifact: four constant queries against every
+    document, top-10 each.  The corpus-sized token stream is pruned by
+    a BROADCAST semi-join against the query vocabulary BEFORE the one
+    real shuffle (the (doc, term) tf aggregation, localCheckpoint-
+    pinned so the df count reuses it instead of re-exploding the
+    corpus); idf is micro-quantized int64 immediately after the only
+    ``ln``, and per-term contributions floor to int64 micro BEFORE the
+    score sum, so aggregation order cannot move the result.  The
+    oracle replays the FULL computation — tokenize, tf, df, the exact
+    parenthesization of the tf-normalization double arithmetic, floor/
+    micro discipline, (score DESC, doc_id) row_number — in DuckDB."""
+    from doctor_spark.operators.ranking import bm25_topk
+
+    queries = spark.createDataFrame(
+        list(enumerate(_BM25_QUERIES)), "query_id long, query_text string"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return bm25_topk(d, queries, k=10).orderBy("query_id", "rank")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4446,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_coverage": q_char_coverage,
         "crawler_traps": q_crawler_traps,
         "idn_homographs": q_idn_homographs,
+        "bm25_topk": q_bm25_topk,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6353,6 +6387,71 @@ ORDER BY term, doc_id
 """
 
 
+def _bm25_topk_sql() -> str:
+    """FULL replay of operators/ranking.py: tokenize, broadcast-pruned
+    tf, df from tf, micro-quantized ln idf, the EXACT parenthesization
+    of the tf-normalization double arithmetic ((tf*(k1+1)) / (tf + k1*
+    ((1-b) + b*(dl/avgdl)))), per-term floor to int64 micro BEFORE the
+    integer score sum, (score DESC, doc_id) row_number, k=10."""
+    values = ", ".join(
+        f"(CAST({i} AS BIGINT), '{q}')" for i, q in enumerate(_BM25_QUERIES)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id, {_TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS sum_dl
+  FROM t
+),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (
+  SELECT query_id,
+         unnest(list_distinct(regexp_split_to_array(
+           trim(lower(qtext)), '{_JAVA_WS_CLASS}+'))) AS term
+  FROM q
+),
+qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, len(tk)::BIGINT AS dl, unnest(tk) AS term FROM t) x
+  WHERE term IN (SELECT DISTINCT term FROM qt2)
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+c AS (
+  SELECT qt2.query_id, tf.doc_id,
+    CAST(floor(
+      CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                 * 1000000 + 0.5) AS BIGINT)
+      * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+           (CAST(tf.dl AS DOUBLE) /
+            (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      + 0.5) AS BIGINT) AS contrib_micro
+  FROM tf JOIN qt2 USING (term) JOIN dfs USING (term), stats
+),
+s AS (
+  SELECT query_id, doc_id, CAST(sum(contrib_micro) AS BIGINT) AS score_micro
+  FROM c GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC
+         ) AS rank,
+         doc_id, score_micro
+  FROM s
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro,
+       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score
+FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def _mirror_pairs_sql() -> str:
     """FULL replay of operators/mirrors.py over the shared synthesis:
     (host, fp) distinct, per-host sizes, the host_cap=8 boilerplate
@@ -7802,6 +7901,7 @@ ORDER BY stem, src_lang, tgt_lang
         "char_coverage": _char_coverage_sql(),
         "crawler_traps": _crawler_traps_sql(),
         "idn_homographs": _idn_homographs_sql(),
+        "bm25_topk": _bm25_topk_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

@@ -318,6 +318,8 @@ def main() -> None:
         # twenty-second wave: crawler traps, IDN homographs
         "crawler_traps",
         "idn_homographs",
+        # twenty-third wave: BM25 ranked retrieval
+        "bm25_topk",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -367,7 +369,7 @@ def main() -> None:
         "mirror_pairs", "kwic",
         "citations", "vocab_growth", "revisit_records",
         "rake_keywords", "char_coverage",
-        "crawler_traps", "idn_homographs",
+        "crawler_traps", "idn_homographs", "bm25_topk",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -1,0 +1,170 @@
+"""Okapi BM25 ranked retrieval — the scoring stage on top of the
+inverted-index artifact (operators/postings.py).
+
+A corpus pipeline runs ranked retrieval constantly: decontamination
+probes ("which training docs answer this benchmark question"), quality
+audits ("top documents for this topic"), and retrieval-baseline evals
+all reduce to BM25 over the crawl.  This operator scores a SMALL query
+set against the WHOLE corpus — the shape that must scale to 10^12
+documents on the corpus side while the query side stays driver-tiny.
+
+Definition (Lucene's non-negative variant):
+
+    idf(t)      = ln( (N - df(t) + 0.5) / (df(t) + 0.5) + 1 )
+    tfn(t, D)   = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(Q, D) = sum over distinct t in Q of idf(t) * tfn(t, D)
+
+Engine-portability discipline (same as operators/tfidf.py / lm.py):
+``ln`` is the only transcendental and is quantized IMMEDIATELY to int64
+micro (``floor(ln(..) * 1e6 + 0.5)``).  Every later step is either a
+correctly-rounded IEEE-double op on exactly-representable inputs with a
+FIXED association order (mirrored parenthesis-for-parenthesis in the
+DuckDB oracle) or int64 math; the per-(query, doc, term) contribution
+is floored back to int64 micro BEFORE the score sum, so the final
+``SUM`` is integer and therefore aggregation-order-free — Spark may
+combine partials in any order and still match the oracle bit-for-bit.
+
+100-TB plan: the corpus-sized token stream is pruned by a BROADCAST
+semi-join against the query vocabulary (a handful of terms) BEFORE any
+exchange, so the one real shuffle — the (doc, term) tf aggregation —
+carries only query-matching tokens.  Document frequencies are derived
+FROM that tf aggregate (one row per (doc, matching term) already
+exists there — no second corpus scan), corpus size and total length
+from ONE scalar aggregate; both re-attach by broadcast.
+The final top-k window partitions by query_id — rows per query are
+bounded by matching docs, and k cuts the output; at crawl scale you
+would cap candidates per query with a WHERE on a cheap prefilter, which
+composes trivially in front of this operator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+MICRO = 1_000_000
+
+
+def _toks(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+@F.pandas_udf("long")
+def _bm25_idf_micro(n_docs: pd.Series, df_t: pd.Series) -> pd.Series:
+    import numpy as np
+
+    n = n_docs.to_numpy("float64")
+    d = df_t.to_numpy("float64")
+    return pd.Series(
+        np.floor(np.log((n - d + 0.5) / (d + 0.5) + 1.0) * MICRO + 0.5)
+        .astype("int64")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``queries``: (query_id, query_text) — driver-tiny by contract (it is
+    broadcast twice: once to prune the token stream, once to attach
+    idf).  Output: (query_id, rank, doc_id, score_micro, score) — rank
+    1-based by (score_micro DESC, doc_id ASC); ``score`` is
+    score_micro / 1e6 for human eyes, ``score_micro`` the exact key.
+    """
+    base = docs.where(
+        F.col(text_col).isNotNull()
+        & (F.length(F.trim(F.col(text_col))) > 0)
+    ).select(
+        F.col(doc_col).alias("doc_id"), _toks(F.col(text_col)).alias("tk")
+    )
+
+    # ONE scalar aggregate: corpus size + total token count.
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("tk")).alias("sum_dl"),
+    )
+
+    # per-query DISTINCT terms (classic BM25 ignores query-term
+    # multiplicity); the flat term set is the broadcast prune key.
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(_toks(F.col("query_text")))
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    terms = qterms.select("term").distinct()
+
+    # tf per (doc, term), dl carried through the explode (functionally
+    # dependent on doc_id — no join to re-attach it).  The broadcast
+    # semi-join prunes BEFORE the aggregation exchange — the ONE
+    # corpus-sized shuffle this operator performs.
+    tf = (
+        base.select("doc_id", F.size("tk").alias("dl"),
+                    F.explode("tk").alias("term"))
+        .join(F.broadcast(terms), "term", "left_semi")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        # tf feeds BOTH the df count and the contribution join; without
+        # an explicit materialization Spark recomputes the whole corpus
+        # explode for each branch (column pruning gives the two
+        # subtrees different canonical forms, so ReuseExchange cannot
+        # dedupe them).  localCheckpoint pins the query-matching tf
+        # rows — tiny relative to the corpus — exactly once.
+        .localCheckpoint(eager=True)
+    )
+
+    # df per term derived FROM tf (one row per (doc, term-with-tf>0)
+    # already exists there) — no second corpus scan, and the keyed
+    # count is map-side combined over query-matching docs only.
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    # contribution per (query, doc, term): fixed association order —
+    # idf_micro * ((tf*(k1+1)) / (tf + k1*(1 - b + b*(dl/avgdl)))) —
+    # mirrored exactly in the oracle; floored to int64 micro so the
+    # score SUM below is integer (aggregation-order-free).  stats and
+    # dfs attach via broadcast; idf is quantized inline (the pandas UDF
+    # evaluates per contrib row — df repeats per term, which is cheap,
+    # and saves a separate stats crossJoin subtree).
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    tfn = (tfd * (F.lit(k1) + F.lit(1.0))) / (
+        tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (dld / avgdl))
+    )
+    idf_micro = _bm25_idf_micro(F.col("n_docs"), F.col("df"))
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(idf_micro * tfn + F.lit(0.5))
+            .cast("long")
+            .alias("contrib_micro"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_micro").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "score_micro",
+            F.round(F.col("score_micro") / MICRO, 6).alias("score"),
+        )
+    )
