@@ -2904,6 +2904,44 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, queries, k=10).orderBy("query_id", "rank")
 
 
+# HITS edge generators — a different affine family than _PR_EDGE_GENS so
+# the two graph queries do not share a fixture.
+_HITS_EDGE_GENS = ((29, 5), (83, 13), (157, 17))
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS hubs & authorities (int64 micro scores, L-inf
+    normalization via the truncating DIV both engines share) over a
+    deterministic affine link graph on doc_ids — the query-independent
+    hub/authority table webgraph toolkits ship next to PageRank.  The
+    ITERATIVE distributed operator (edge table checkpointed twice,
+    partitioned by src and by dst, so per-iteration joins never
+    re-shuffle edges) is hash-checked against a 3-iteration unrolled
+    CTE oracle."""
+    from doctor_spark.operators.graph import hits
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    ids = docs.select(F.col("doc_id").alias("src"))
+    parts = [
+        ids.select(
+            "src",
+            ((F.col("src") * F.lit(m) + F.lit(c)) % F.lit(n)).alias("dst"),
+        )
+        for m, c in _HITS_EDGE_GENS
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.join(docs.select(F.col("doc_id").alias("dst")), "dst")
+    out = hits(edges, n_iter=3)
+    return out.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("hub_micro").cast("bigint").alias("hub_micro"),
+        F.col("auth_micro").cast("bigint").alias("auth_micro"),
+    ).orderBy("doc_id")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4480,6 +4518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawler_traps": q_crawler_traps,
         "idn_homographs": q_idn_homographs,
         "bm25_topk": q_bm25_topk,
+        "hits_scores": q_hits_scores,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6452,6 +6491,55 @@ ORDER BY query_id, rank
 """
 
 
+def _hits_sql(n_iter: int = 3) -> str:
+    """Unrolled integer HITS oracle: same affine edge generators, same
+    int64 micro scores, L-inf normalization with // (== Spark's div on
+    non-negatives), LEFT JOIN zero-fill for sources/sinks."""
+    gens = " UNION ALL ".join(
+        f"SELECT d.doc_id AS src, (d.doc_id * {m} + {c}) % nn.n AS dst "
+        f"FROM documents d, nn"
+        for m, c in _HITS_EDGE_GENS
+    )
+    cte = [f"""nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT ed.src, ed.dst
+  FROM ({gens}) ed JOIN documents dd ON dd.doc_id = ed.dst
+  WHERE ed.src <> ed.dst
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, 1000000::BIGINT AS hub FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        cte.append(f"""a{i}r AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h{i - 1}.hub) AS raw
+  FROM h{i - 1} JOIN e ON h{i - 1}.node = e.src GROUP BY 1
+),
+a{i}m AS (SELECT greatest(max(raw), 1) AS mx FROM a{i}r),
+a{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST((coalesce(raw, 0) * 1000000) // mx AS BIGINT) AS auth
+  FROM nodes LEFT JOIN a{i}r USING (node), a{i}m
+),
+h{i}r AS MATERIALIZED (
+  SELECT e.src AS node, sum(a{i}.auth) AS raw
+  FROM a{i} JOIN e ON a{i}.node = e.dst GROUP BY 1
+),
+h{i}m AS (SELECT greatest(max(raw), 1) AS mx FROM h{i}r),
+h{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST((coalesce(raw, 0) * 1000000) // mx AS BIGINT) AS hub
+  FROM nodes LEFT JOIN h{i}r USING (node), h{i}m
+)""")
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+SELECT h{n_iter}.node::BIGINT AS doc_id, h{n_iter}.hub::BIGINT AS hub_micro,
+       a{n_iter}.auth::BIGINT AS auth_micro
+FROM h{n_iter} JOIN a{n_iter} USING (node)
+ORDER BY doc_id
+"""
+    )
+
+
 def _mirror_pairs_sql() -> str:
     """FULL replay of operators/mirrors.py over the shared synthesis:
     (host, fp) distinct, per-host sizes, the host_cap=8 boilerplate
@@ -7902,6 +7990,7 @@ ORDER BY stem, src_lang, tgt_lang
         "crawler_traps": _crawler_traps_sql(),
         "idn_homographs": _idn_homographs_sql(),
         "bm25_topk": _bm25_topk_sql(),
+        "hits_scores": _hits_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

@@ -320,6 +320,8 @@ def main() -> None:
         "idn_homographs",
         # twenty-third wave: BM25 ranked retrieval
         "bm25_topk",
+        # twenty-fourth wave: HITS hubs/authorities
+        "hits_scores",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -369,7 +371,7 @@ def main() -> None:
         "mirror_pairs", "kwic",
         "citations", "vocab_growth", "revisit_records",
         "rake_keywords", "char_coverage",
-        "crawler_traps", "idn_homographs", "bm25_topk",
+        "crawler_traps", "idn_homographs", "bm25_topk", "hits_scores",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -249,3 +249,82 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
         .select(F.lit("in").alias("side"), "deg", "n_nodes")
     )
     return out_h.unionByName(in_h)
+
+
+def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Integer-exact HITS (Kleinberg hubs & authorities) over an edge
+    DataFrame (src, dst) — the query-independent variant webgraph
+    toolkits ship next to PageRank: authorities collect hub mass over
+    in-links, hubs collect authority mass over out-links, renormalized
+    each half-step.
+
+    Engine-portability: scores live in int64 micro-units and the
+    normalization is L-infinity with truncating division —
+
+        a_raw(v) = sum over u->v of h(u)
+        a(v)     = (a_raw(v) * 1_000_000) DIV max_v a_raw(v)
+
+    (and symmetrically for hubs) — every operation is integer, so the
+    ITERATIVE distributed run hash-matches the unrolled-CTE oracle
+    exactly.  L-inf (not the classical L2) keeps the fixed point of
+    power iteration while staying in integer arithmetic; the top of
+    the ranking — the artifact anybody consumes — is preserved.
+    Headroom bound: a_raw <= 1e6 * indeg, and the scale-up multiplies
+    by 1e6 again, so per-node degree must stay below ~9·10^6 for int64
+    — beyond that a real deployment pre-caps degree (the same hot-key
+    cap the postings/df discipline applies) or widens to decimal.
+
+    Scale shape (pagerank discipline): the self-loop-free distinct
+    edge table is materialized TWICE, hash-partitioned by src and by
+    dst (eager localCheckpoint), so each half-step's equi-join reuses
+    a co-located build side instead of re-shuffling edges every
+    iteration; score state is checkpointed per iteration to bound
+    lineage.  Each half-step is one keyed agg (map-side combined,
+    hub-skew absorbed) plus one scalar max.
+
+    Returns (node, hub_micro, auth_micro) for every node.
+    """
+    e0 = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    e_src = e0.repartition(F.col("src")).localCheckpoint()
+    e_dst = e_src.repartition(F.col("dst")).localCheckpoint()
+    nodes = (
+        e_src.select(F.col("src").alias("node"))
+        .unionByName(e_src.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.select("node", F.lit(START_MICRO).alias("hub_micro"))
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    "(coalesce(raw, 0) * 1000000) div greatest(mx, 1)"
+                ).cast("long").alias(col),
+            )
+            .localCheckpoint()
+        )
+
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            hub.join(e_src, hub["node"] == e_src["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_micro").alias("raw"))
+        )
+        auth = _norm(a_raw, "auth_micro")
+        h_raw = (
+            auth.join(e_dst, auth["node"] == e_dst["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_micro").alias("raw"))
+        )
+        hub = _norm(h_raw, "hub_micro")
+    return hub.join(auth, "node")
