@@ -2942,6 +2942,47 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# TrustRank edge generators + seed rule — distinct affine family from
+# _PR_EDGE_GENS/_HITS_EDGE_GENS; seeds are every 97th doc_id (a curated
+# trusted list is tiny by contract, and 97 is coprime to the generators'
+# moduli so seeds scatter across the graph).
+_TR_EDGE_GENS = ((41, 3), (127, 19), (211, 23))
+_TR_SEED_MOD = 97
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact TrustRank (Gyongyi et al., VLDB 2004): personalized
+    PageRank whose teleport lands only on a trusted seed set — the
+    link-spam demotion stage.  Same int64-micro/truncating-DIV
+    discipline as link_pagerank, seed-weighted teleport; ITERATIVE
+    distributed operator hash-checked against a 4-level unrolled CTE
+    oracle.  Pages unreachable from any seed settle at exactly 0."""
+    from doctor_spark.operators.graph import trustrank
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    ids = docs.select(F.col("doc_id").alias("src"))
+    parts = [
+        ids.select(
+            "src",
+            ((F.col("src") * F.lit(m) + F.lit(c)) % F.lit(n)).alias("dst"),
+        )
+        for m, c in _TR_EDGE_GENS
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.join(docs.select(F.col("doc_id").alias("dst")), "dst")
+    seeds = docs.where(
+        F.col("doc_id") % F.lit(_TR_SEED_MOD) == 0
+    ).select(F.col("doc_id").alias("node"))
+    out = trustrank(edges, seeds, n_iter=4)
+    return out.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("trust_micro").cast("bigint").alias("trust_micro"),
+    ).orderBy("doc_id")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4519,6 +4560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idn_homographs": q_idn_homographs,
         "bm25_topk": q_bm25_topk,
         "hits_scores": q_hits_scores,
+        "trustrank": q_trustrank,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6540,6 +6582,54 @@ ORDER BY doc_id
     )
 
 
+def _trustrank_sql(n_iter: int = 4) -> str:
+    """Unrolled integer TrustRank oracle: same affine edge generators,
+    same seed rule, same int64 micro updates with seed-only teleport
+    ((15 * seed * 1e6) // 100 + (85 * inflow) // 100)."""
+    gens = " UNION ALL ".join(
+        f"SELECT d.doc_id AS src, (d.doc_id * {m} + {c}) % nn.n AS dst "
+        f"FROM documents d, nn"
+        for m, c in _TR_EDGE_GENS
+    )
+    cte = [f"""nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT ed.src, ed.dst
+  FROM ({gens}) ed JOIN documents dd ON dd.doc_id = ed.dst
+  WHERE ed.src <> ed.dst
+),
+deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+e AS MATERIALIZED (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+seeds AS (
+  SELECT doc_id AS node FROM documents WHERE doc_id % {_TR_SEED_MOD} = 0
+),
+base AS MATERIALIZED (
+  SELECT nodes.node,
+         CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS seed
+  FROM nodes LEFT JOIN seeds s USING (node)
+),
+t0 AS (SELECT node, (seed * 1000000)::BIGINT AS trust FROM base)"""]
+    for i in range(1, n_iter + 1):
+        cte.append(f"""t{i} AS MATERIALIZED (
+  SELECT base.node,
+         ((15 * base.seed * 1000000) // 100
+          + (85 * coalesce(inf.inflow, 0)) // 100)::BIGINT AS trust
+  FROM base LEFT JOIN (
+    SELECT e.dst AS node, sum(t{i - 1}.trust // e.deg) AS inflow
+    FROM t{i - 1} JOIN e ON t{i - 1}.node = e.src
+    GROUP BY e.dst
+  ) inf USING (node)
+)""")
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+SELECT node::BIGINT AS doc_id, trust::BIGINT AS trust_micro
+FROM t{n_iter}
+ORDER BY doc_id
+"""
+    )
+
+
 def _mirror_pairs_sql() -> str:
     """FULL replay of operators/mirrors.py over the shared synthesis:
     (host, fp) distinct, per-host sizes, the host_cap=8 boilerplate
@@ -7991,6 +8081,7 @@ ORDER BY stem, src_lang, tgt_lang
         "idn_homographs": _idn_homographs_sql(),
         "bm25_topk": _bm25_topk_sql(),
         "hits_scores": _hits_sql(),
+        "trustrank": _trustrank_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

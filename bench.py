@@ -322,6 +322,8 @@ def main() -> None:
         "bm25_topk",
         # twenty-fourth wave: HITS hubs/authorities
         "hits_scores",
+        # twenty-fifth wave: TrustRank
+        "trustrank",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -372,6 +374,7 @@ def main() -> None:
         "citations", "vocab_growth", "revisit_records",
         "rake_keywords", "char_coverage",
         "crawler_traps", "idn_homographs", "bm25_topk", "hits_scores",
+        "trustrank",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
