@@ -2983,6 +2983,104 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Porter-stemming synthesis arms — a word inventory exercising every
+# step of the 1980 algorithm (plural strip, -eed/-ed/-ing with the
+# recoding rules, y->i, the step-2/3 suffix tables, step-4 removal,
+# step-5 e-drop / ll-single).  Constant per residue class so the
+# (term -> stem) map is a pinned literal table; _STEM_MAP is asserted
+# against the kernel in tests/test_stemming.py (the RAKE/IDN
+# discipline: the oracle stays honest because the literals are pinned).
+_STEM_ARMS = (
+    "caresses ponies ties caress cats connect connected",
+    "feed agreed plastered motoring sing connecting connection",
+    "conflated troubled sized hopping tanned falling hissing",
+    "happy sky relational conditional rational connections",
+    "digitizer operator feudalism decisiveness hopefulness",
+    "formative formalize electrical electriciti hopeful goodness",
+    "revival allowance inference airliner gyroscopic adjustable defensible",
+    "probate rate cease controll roll running runs argument arguments",
+)
+
+_STEM_MAP = {
+    "adjustable": "adjust",
+    "agreed": "agre",
+    "airliner": "airlin",
+    "allowance": "allow",
+    "argument": "argument",
+    "arguments": "argument",
+    "caress": "caress",
+    "caresses": "caress",
+    "cats": "cat",
+    "cease": "ceas",
+    "conditional": "condit",
+    "conflated": "conflat",
+    "connect": "connect",
+    "connected": "connect",
+    "connecting": "connect",
+    "connection": "connect",
+    "connections": "connect",
+    "controll": "control",
+    "decisiveness": "decis",
+    "defensible": "defens",
+    "digitizer": "digit",
+    "electrical": "electr",
+    "electriciti": "electr",
+    "falling": "fall",
+    "feed": "feed",
+    "feudalism": "feudal",
+    "formalize": "formal",
+    "formative": "form",
+    "goodness": "good",
+    "gyroscopic": "gyroscop",
+    "happy": "happi",
+    "hissing": "hiss",
+    "hopeful": "hope",
+    "hopefulness": "hope",
+    "hopping": "hop",
+    "inference": "infer",
+    "motoring": "motor",
+    "operator": "oper",
+    "plastered": "plaster",
+    "ponies": "poni",
+    "probate": "probat",
+    "rate": "rate",
+    "rational": "ration",
+    "relational": "relat",
+    "revival": "reviv",
+    "roll": "roll",
+    "running": "run",
+    "runs": "run",
+    "sing": "sing",
+    "sized": "size",
+    "sky": "sky",
+    "tanned": "tan",
+    "ties": "ti",
+    "troubled": "troubl",
+}
+
+_STEM_SYNTH_SQL = "CASE CAST(doc_id % 8 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{arm}'" for i, arm in enumerate(_STEM_ARMS[:-1])
+) + f" ELSE '{_STEM_ARMS[-1]}' END"
+
+
+def q_stem_conflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Porter stem-conflation rollup (M. F. Porter 1980, clean-room
+    kernels/porter.py): the index-normalization stage between
+    tokenization and postings/BM25.  The Python stemmer runs over the
+    DISTINCT vocabulary only (IDN distinct-host discipline — cost on
+    vocab cardinality, never token count) and the (term, stem) map
+    re-attaches by keyed join; the conflation aggregate is bounded by
+    inflection-family size.  Oracle: pinned literal CASE map over the
+    synthesis arms, asserted against the kernel in
+    tests/test_stemming.py."""
+    from doctor_spark.operators.stemming import stem_conflation
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        F.expr(_STEM_SYNTH_SQL).alias("text")
+    )
+    return stem_conflation(d).orderBy("stem")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4561,6 +4659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "hits_scores": q_hits_scores,
         "trustrank": q_trustrank,
+        "stem_conflation": q_stem_conflation,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6630,6 +6729,32 @@ ORDER BY doc_id
     )
 
 
+def _stem_conflation_sql() -> str:
+    """Replay of operators/stemming.py over the shared synthesis: token
+    split, the PINNED literal (term -> stem) CASE map (asserted against
+    the kernel in tests/test_stemming.py), and the same conflation
+    rollup (count, distinct forms, sorted comma-joined form list)."""
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{s}'" for w, s in sorted(_STEM_MAP.items())
+    )
+    return f"""
+WITH p AS (
+  SELECT ({_STEM_SYNTH_SQL}) AS text FROM documents
+  WHERE text IS NOT NULL
+),
+x AS (
+  SELECT unnest(regexp_split_to_array(
+    trim(lower(text)), '{_JAVA_WS_CLASS}+')) AS term
+  FROM p
+),
+m AS (SELECT term, CASE term {whens} END AS stem FROM x)
+SELECT stem, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT term)::INT AS n_forms,
+       array_to_string(list_sort(list(DISTINCT term)), ',') AS forms
+FROM m GROUP BY stem ORDER BY stem
+"""
+
+
 def _mirror_pairs_sql() -> str:
     """FULL replay of operators/mirrors.py over the shared synthesis:
     (host, fp) distinct, per-host sizes, the host_cap=8 boilerplate
@@ -8082,6 +8207,7 @@ ORDER BY stem, src_lang, tgt_lang
         "bm25_topk": _bm25_topk_sql(),
         "hits_scores": _hits_sql(),
         "trustrank": _trustrank_sql(),
+        "stem_conflation": _stem_conflation_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

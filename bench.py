@@ -324,6 +324,8 @@ def main() -> None:
         "hits_scores",
         # twenty-fifth wave: TrustRank
         "trustrank",
+        # twenty-sixth wave: Porter stem conflation
+        "stem_conflation",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -374,7 +376,7 @@ def main() -> None:
         "citations", "vocab_growth", "revisit_records",
         "rake_keywords", "char_coverage",
         "crawler_traps", "idn_homographs", "bm25_topk", "hits_scores",
-        "trustrank",
+        "trustrank", "stem_conflation",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
