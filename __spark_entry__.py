@@ -3081,6 +3081,40 @@ def q_stem_conflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stem_conflation(d).orderBy("stem")
 
 
+# Host synthesis for the split query — arms exercise the registrable-
+# domain rule: plain eTLD+1, second-level registries (.co.uk/.com.au,
+# needing the 3-label form), mixed case, a dotless single label, and a
+# deep subdomain chain.
+_SPLIT_HOST_SQL = """
+CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN 'www.news' || CAST(doc_id % 23 AS VARCHAR(4)) || '.example.com'
+  WHEN 1 THEN 'a.b.site' || CAST(doc_id % 17 AS VARCHAR(4)) || '.co.uk'
+  WHEN 2 THEN 'cdn.shop' || CAST(doc_id % 13 AS VARCHAR(4)) || '.com.au'
+  WHEN 3 THEN 'Blog' || CAST(doc_id % 11 AS VARCHAR(4)) || '.Example.ORG'
+  WHEN 4 THEN 'host' || CAST(doc_id % 7 AS VARCHAR(4)) || 'nodots'
+  ELSE 'deep.x.y.site' || CAST(doc_id % 19 AS VARCHAR(4)) || '.net'
+END
+"""
+
+
+def q_host_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-disjoint train/val/test split audit — the leakage gate:
+    every page of a registrable domain (eTLD+1 approximation, known
+    second-level registries handled) lands in exactly one split via
+    md5-bucket thresholds (no RNG — reproducible on any cluster size /
+    engine / retry).  Assignment is a pure projection (zero shuffles
+    over 10^12 rows); the audit rollup pre-combines on (split, domain)
+    so hot sites collapse map-side.  The oracle replays the FULL
+    computation — domain regexes + suffix list, md5 bucketing,
+    thresholds, two-level rollup — in DuckDB."""
+    from doctor_spark.operators.splits import assign_split, split_summary
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        F.expr(_SPLIT_HOST_SQL).alias("host")
+    )
+    return split_summary(assign_split(d)).orderBy("split")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4660,6 +4694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "trustrank": q_trustrank,
         "stem_conflation": q_stem_conflation,
+        "host_split": q_host_split,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6755,6 +6790,47 @@ FROM m GROUP BY stem ORDER BY stem
 """
 
 
+def _host_split_sql() -> str:
+    """FULL replay of operators/splits.py over the shared host
+    synthesis: registrable-domain regexes + second-level suffix list,
+    md5 4-hex bucket vs the (0.8, 0.1, 0.1) boundaries, and the
+    two-level (split, domain) -> split rollup."""
+    from doctor_spark.operators.splits import (
+        SECOND_LEVEL_TLDS,
+        split_boundaries,
+    )
+
+    train_hi, val_hi = split_boundaries((0.8, 0.1, 0.1))
+    suffixes = ", ".join(f"'{s}'" for s in SECOND_LEVEL_TLDS)
+    two = r"regexp_extract(lower(host), '([^.]+\.[^.]+)$', 1)"
+    three = r"regexp_extract(lower(host), '([^.]+\.[^.]+\.[^.]+)$', 1)"
+    return f"""
+WITH p AS (
+  SELECT ({_SPLIT_HOST_SQL}) AS host FROM documents WHERE text IS NOT NULL
+),
+d AS (
+  SELECT CASE
+    WHEN {three} <> '' AND {two} IN ({suffixes}) THEN {three}
+    WHEN {two} <> '' THEN {two}
+    ELSE lower(host) END AS domain
+  FROM p
+),
+a AS (
+  SELECT domain,
+    CASE WHEN substr(md5('split' || domain), 1, 4) < '{train_hi}'
+         THEN 'train'
+         WHEN substr(md5('split' || domain), 1, 4) < '{val_hi}'
+         THEN 'val'
+         ELSE 'test' END AS split
+  FROM d
+),
+pd AS (SELECT split, domain, count(*)::BIGINT AS n_pages FROM a GROUP BY 1, 2)
+SELECT split, CAST(sum(n_pages) AS BIGINT) AS n_pages,
+       count(*)::BIGINT AS n_domains
+FROM pd GROUP BY split ORDER BY split
+"""
+
+
 def _mirror_pairs_sql() -> str:
     """FULL replay of operators/mirrors.py over the shared synthesis:
     (host, fp) distinct, per-host sizes, the host_cap=8 boilerplate
@@ -8208,6 +8284,7 @@ ORDER BY stem, src_lang, tgt_lang
         "hits_scores": _hits_sql(),
         "trustrank": _trustrank_sql(),
         "stem_conflation": _stem_conflation_sql(),
+        "host_split": _host_split_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

@@ -326,6 +326,8 @@ def main() -> None:
         "trustrank",
         # twenty-sixth wave: Porter stem conflation
         "stem_conflation",
+        # twenty-seventh wave: host-disjoint split audit
+        "host_split",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -376,7 +378,7 @@ def main() -> None:
         "citations", "vocab_growth", "revisit_records",
         "rake_keywords", "char_coverage",
         "crawler_traps", "idn_homographs", "bm25_topk", "hits_scores",
-        "trustrank", "stem_conflation",
+        "trustrank", "stem_conflation", "host_split",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
