@@ -3115,6 +3115,30 @@ def q_host_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_summary(assign_split(d)).orderBy("split")
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary — OLS of
+    ln(freq) on ln(rank), top-1000 ranks (the statistically honest
+    HEAD fit, and the int64 overflow bound).  ln is micro-quantized
+    immediately; moment sums are int64 (order-free); only the final
+    slope/intercept ratios are doubles with a fixed association order
+    the oracle mirrors parenthesis-for-parenthesis.  ONE corpus-sized
+    exchange (tf agg); ranking window runs on the vocabulary-sized
+    aggregate."""
+    from doctor_spark.operators.zipf import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir))
+
+
+def q_freq_of_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count-of-counts: how many vocabulary terms occur
+    exactly ``freq`` times — the unseen-mass input to Good-Turing /
+    Katz smoothing.  Two stacked keyed aggregates, the second over a
+    frequency-histogram-sized table."""
+    from doctor_spark.operators.zipf import freq_of_freqs
+
+    return freq_of_freqs(_docs(spark, sf_dir)).orderBy("freq")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4695,6 +4719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "stem_conflation": q_stem_conflation,
         "host_split": q_host_split,
+        "zipf_fit": q_zipf_fit,
+        "freq_of_freqs": q_freq_of_freqs,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6831,6 +6857,62 @@ FROM pd GROUP BY split ORDER BY split
 """
 
 
+def _zipf_fit_sql(top_k: int = 1000) -> str:
+    """FULL replay of operators/zipf.py zipf_fit: tf, (freq DESC, term)
+    row_number, micro-quantized ln, int64 moment sums, and the EXACT
+    double parenthesization of the OLS ratios."""
+    slope = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    )
+    return f"""
+WITH tf AS (
+  SELECT term, count(*)::BIGINT AS freq FROM (
+    SELECT unnest({_TOKS}) AS term FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0
+  ) GROUP BY 1
+),
+r AS (
+  SELECT row_number() OVER (ORDER BY freq DESC, term ASC) AS rank, freq
+  FROM tf
+),
+q AS (
+  SELECT
+    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM r WHERE rank <= {top_k}
+),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM q
+)
+SELECT n AS n_ranks,
+  CAST(floor({slope} * 1000000.0 + 0.5) AS BIGINT) AS slope_micro,
+  CAST(floor((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS intercept_micro
+FROM m
+"""
+
+
+def _freq_of_freqs_sql() -> str:
+    """Replay of freq_of_freqs: tf re-keyed by frequency."""
+    return f"""
+WITH tf AS (
+  SELECT term, count(*)::BIGINT AS freq FROM (
+    SELECT unnest({_TOKS}) AS term FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0
+  ) GROUP BY 1
+)
+SELECT freq, count(*)::BIGINT AS n_terms
+FROM tf GROUP BY freq ORDER BY freq
+"""
+
+
 def _mirror_pairs_sql() -> str:
     """FULL replay of operators/mirrors.py over the shared synthesis:
     (host, fp) distinct, per-host sizes, the host_cap=8 boilerplate
@@ -8285,6 +8367,8 @@ ORDER BY stem, src_lang, tgt_lang
         "trustrank": _trustrank_sql(),
         "stem_conflation": _stem_conflation_sql(),
         "host_split": _host_split_sql(),
+        "zipf_fit": _zipf_fit_sql(),
+        "freq_of_freqs": _freq_of_freqs_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

@@ -328,6 +328,9 @@ def main() -> None:
         "stem_conflation",
         # twenty-seventh wave: host-disjoint split audit
         "host_split",
+        # twenty-eighth wave: rank-frequency statistics
+        "zipf_fit",
+        "freq_of_freqs",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -378,7 +381,8 @@ def main() -> None:
         "citations", "vocab_growth", "revisit_records",
         "rake_keywords", "char_coverage",
         "crawler_traps", "idn_homographs", "bm25_topk", "hits_scores",
-        "trustrank", "stem_conflation", "host_split",
+        "trustrank", "stem_conflation", "host_split", "zipf_fit",
+        "freq_of_freqs",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
