@@ -3139,6 +3139,78 @@ def q_freq_of_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq_of_freqs(_docs(spark, sf_dir)).orderBy("freq")
 
 
+# Content-defined-chunking synthesis — 8 constant payload arms built
+# from shared blocks (B1/B2/B3) plus unique prefixes/suffixes, so the
+# chunk table exercises: shared 192-byte prefix chunks across arms
+# (0/1 and 3/4), intra-arm repeated chunks (the period-62 B3 block),
+# forced max-size cuts, natural gear cuts, and a singleton payload.
+# _CDC_CHUNKS pins the kernel's exact output per arm; asserted in
+# tests/test_cdc.py (the pinned-literal oracle discipline).
+_CDC_B1 = ("the quick brown fox jumps over the lazy dog and runs far "
+           "away. " * 4).strip()
+_CDC_B2 = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+           "do eiusmod. " * 4).strip()
+_CDC_B3 = ("header nav footer sidebar template chrome banner widget "
+           "menu. " * 3).strip()
+_CDC_ARMS = (
+    _CDC_B1,
+    _CDC_B1 + " " + "unique-zero-suffix-0123456789abcdef",
+    "unique-one-prefix-fedcba9876543210 " + _CDC_B1,
+    _CDC_B2,
+    _CDC_B2 + " " + _CDC_B3,
+    _CDC_B3 + " tail-five-aaaaaaaaaaaaaaaa",
+    "solo-six-payload " + "x" * 150 + " end-of-six",
+    _CDC_B1[:120] + " spliced " + _CDC_B2[:120],
+)
+
+_CDC_CHUNKS = (
+    (0, 0, 192, "d3455b55f699107f465ebe048144b630"),
+    (0, 192, 59, "71e6fd09d4626cad297da9cdba4fbc48"),
+    (1, 0, 192, "d3455b55f699107f465ebe048144b630"),
+    (1, 192, 95, "475b519e6014a3b507bf6b130b42e4af"),
+    (2, 0, 192, "07b3bd245013f9bcb1eb79f30887e6cf"),
+    (2, 192, 94, "d4b23b817cd235c75e081b9790394360"),
+    (3, 0, 192, "5ba5cba0b4f89d36958a5e400d5862e2"),
+    (3, 192, 91, "c13ec9a0cd933e78340b85bb3f9de686"),
+    (4, 0, 192, "5ba5cba0b4f89d36958a5e400d5862e2"),
+    (4, 192, 147, "cbb351ae4708fb85dd4210038841e58e"),
+    (4, 339, 62, "ef45dc67735884c7d697206d829b3cd5"),
+    (4, 401, 62, "ef45dc67735884c7d697206d829b3cd5"),
+    (4, 463, 6, "e4b80fa15c7f04feb0e6a4062da9c578"),
+    (5, 0, 55, "abdad92c28ffd66e31b43aa57a844016"),
+    (5, 55, 62, "ef45dc67735884c7d697206d829b3cd5"),
+    (5, 117, 62, "ef45dc67735884c7d697206d829b3cd5"),
+    (5, 179, 33, "ad872440c21c683b401b6077c405732a"),
+    (6, 0, 178, "308900d556faf2236c70cd63b56b55d1"),
+    (7, 0, 192, "37516dea36cfbbeaeec76df86849bbfb"),
+    (7, 192, 57, "697124197c63b55f97ee6c3ecaf07424"),
+)
+
+_CDC_SYNTH_SQL = "CASE CAST(doc_id % 8 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{arm}'" for i, arm in enumerate(_CDC_ARMS[:-1])
+) + f" ELSE '{_CDC_ARMS[-1]}' END"
+
+
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup accounting (gear-CDC, the FastCDC
+    core loop, kernels/cdc.py): chunk every payload on content-defined
+    boundaries, store each distinct chunk once, report the byte-level
+    dedup ratio — the sub-payload complement to WARC revisit dedup.
+    ONE Arrow chunking pass + ONE chunk-hash keyed aggregate (map-side
+    combine absorbs hot chunks).  Oracle: per-arm chunk tables as
+    pinned VALUES literals (asserted against the kernel in
+    tests/test_cdc.py) joined to arm counts — pure closed-form
+    arithmetic."""
+    from doctor_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        F.encode(F.expr(_CDC_SYNTH_SQL), "UTF-8").alias("payload")
+    )
+    ch = cdc_chunks(d, min_size=24, max_size=192, mask=0x3F)
+    np = d.agg(F.count("*").alias("n_payloads"))
+    return cdc_dedup_stats(ch, np)
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4721,6 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_split": q_host_split,
         "zipf_fit": q_zipf_fit,
         "freq_of_freqs": q_freq_of_freqs,
+        "cdc_dedup": q_cdc_dedup,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6913,6 +6986,42 @@ FROM tf GROUP BY freq ORDER BY freq
 """
 
 
+def _cdc_dedup_sql() -> str:
+    """Closed-form replay of q_cdc_dedup: the pinned per-arm chunk
+    VALUES table (tests/test_cdc.py asserts it equals the kernel)
+    joined to arm counts; totals and the distinct-hash rollup are plain
+    SQL arithmetic."""
+    values = ", ".join(
+        f"({a}, {o}, {ln}, '{h}')" for a, o, ln, h in _CDC_CHUNKS
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id % 8 AS INT) AS arm FROM documents
+  WHERE text IS NOT NULL
+),
+counts AS (SELECT arm, count(*)::BIGINT AS n FROM d GROUP BY arm),
+ch(arm, off, len, hash) AS (VALUES {values}),
+per AS (SELECT counts.n, ch.len, ch.hash FROM counts JOIN ch USING (arm)),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+         CAST(sum(n * len) AS BIGINT) AS bytes_total
+  FROM per
+),
+dist AS (SELECT hash, min(len) AS len FROM per GROUP BY hash),
+ds AS (
+  SELECT count(*)::BIGINT AS n_distinct_chunks,
+         CAST(sum(len) AS BIGINT) AS bytes_distinct
+  FROM dist
+),
+np AS (SELECT count(*)::BIGINT AS n_payloads FROM d)
+SELECT np.n_payloads, tot.n_chunks, ds.n_distinct_chunks,
+       tot.bytes_total, ds.bytes_distinct,
+       CAST((ds.bytes_distinct * 1000000) // tot.bytes_total AS BIGINT)
+         AS dedup_ratio_micro
+FROM np, tot, ds
+"""
+
+
 def _mirror_pairs_sql() -> str:
     """FULL replay of operators/mirrors.py over the shared synthesis:
     (host, fp) distinct, per-host sizes, the host_cap=8 boilerplate
@@ -8369,6 +8478,7 @@ ORDER BY stem, src_lang, tgt_lang
         "host_split": _host_split_sql(),
         "zipf_fit": _zipf_fit_sql(),
         "freq_of_freqs": _freq_of_freqs_sql(),
+        "cdc_dedup": _cdc_dedup_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (
