@@ -255,6 +255,15 @@ ADVERSARIAL_QUERIES = [
     # meets hostile whitespace classes and planted-dup token streams)
     # and boundary-aware chunking (doc_id-only synthesis arms)
     "collocations", "chunk_spans",
+    # round-5 waves 23-29 (this session): BM25 (tokenizer + micro-idf
+    # arithmetic meets hostile whitespace/tie corpora), rank-frequency
+    # statistics (tie-heavy degenerate corpora stress the (freq, term)
+    # rank order and the OLS double mirror), stem conflation /
+    # host split / CDC dedup (doc_id-only constant arms on degenerate
+    # populations), HITS + TrustRank (affine graphs over whatever
+    # doc_id population the nasty corpus provides)
+    "bm25_topk", "zipf_fit", "freq_of_freqs", "stem_conflation",
+    "host_split", "cdc_dedup", "hits_scores", "trustrank",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
