@@ -3211,6 +3211,57 @@ def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_stats(ch, np)
 
 
+# Layout-fingerprint synthesis — arm 0 and 1 share a template with
+# different copy (SAME fingerprint: the operator's point), arms 2-4 are
+# distinct structures incl. a tag-soup arm.  Note the arms avoid single
+# quotes so they splice into both engines' CASE literals verbatim.
+# _LAYOUT_FPS pins the kernel's fingerprints (tests/test_layout.py).
+_LAYOUT_ARMS = (
+    "<html><body><div class=art-x><h1>First story</h1><p>alpha beta"
+    "</p><p>gamma</p></div></body></html>",
+    "<html><body><div class=art-y><h1>Second story</h1><p>delta epsilon"
+    " zeta</p><p>eta</p></div></body></html>",
+    "<html><body><div><div class=inner><h1>Nested</h1><p>copy</p></div>"
+    "</div></body></html>",
+    "<html><body><table><tr><td>cell</td><td>cell2</td></tr></table>"
+    "</body></html>",
+    "<div><p>unclosed<li>stray</div></td><span>tail</span>",
+)
+_LAYOUT_FPS = (
+    "93d0acdf3f3f25a2a940b500e096a998",
+    "93d0acdf3f3f25a2a940b500e096a998",
+    "a170a67b72e48d6bd302cf95a49b4472",
+    "09c5915179cf4ad381961e875fca82ac",
+    "4eaeefc0a2f3b74ca01d78c911f5fa2f",
+)
+
+_LAYOUT_SYNTH_SQL = "CASE CAST(doc_id % 5 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{arm}'" for i, arm in enumerate(_LAYOUT_ARMS[:-1])
+) + f" ELSE '{_LAYOUT_ARMS[-1]}' END"
+
+_LAYOUT_HOST_SQL = (
+    "'site' || CAST(doc_id % 7 AS VARCHAR(4)) || '.example.org'"
+)
+
+
+def q_layout_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-family clustering by DOM tag-path fingerprint
+    (kernels/layout.py — structural twin of content fingerprinting:
+    same template + different copy = same family).  ONE Arrow pass +
+    ONE map-side-combined keyed agg; per-family host lists capped (the
+    mirror-operator bounded-collect discipline), counts exact.
+    Oracle: pinned per-arm fingerprints (asserted against the kernel
+    in tests/test_layout.py) + closed-form host-set arithmetic over
+    the shared synthesis."""
+    from doctor_spark.operators.layout import layout_clusters
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        F.expr(_LAYOUT_SYNTH_SQL).alias("html"),
+        F.expr(_LAYOUT_HOST_SQL).alias("host"),
+    )
+    return layout_clusters(d).orderBy("layout_fp")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4794,6 +4845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "freq_of_freqs": q_freq_of_freqs,
         "cdc_dedup": q_cdc_dedup,
+        "layout_clusters": q_layout_clusters,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -7022,6 +7074,27 @@ FROM np, tot, ds
 """
 
 
+def _layout_clusters_sql() -> str:
+    """Replay of q_layout_clusters with the fingerprint as a pinned
+    per-arm literal (tests/test_layout.py asserts kernel equality);
+    host-set arithmetic replayed in full on the shared synthesis."""
+    fps = " ".join(
+        f"WHEN {i} THEN '{fp}'" for i, fp in enumerate(_LAYOUT_FPS[:-1])
+    )
+    return f"""
+WITH d AS (
+  SELECT CASE CAST(doc_id % 5 AS INT) {fps}
+         ELSE '{_LAYOUT_FPS[-1]}' END AS layout_fp,
+         ({_LAYOUT_HOST_SQL}) AS host
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT layout_fp, count(*)::BIGINT AS n_pages,
+       count(DISTINCT host)::INT AS n_hosts,
+       array_to_string(list_sort(list(DISTINCT host))[1:8], ',') AS hosts
+FROM d GROUP BY layout_fp ORDER BY layout_fp
+"""
+
+
 def _mirror_pairs_sql() -> str:
     """FULL replay of operators/mirrors.py over the shared synthesis:
     (host, fp) distinct, per-host sizes, the host_cap=8 boilerplate
@@ -8479,6 +8552,7 @@ ORDER BY stem, src_lang, tgt_lang
         "zipf_fit": _zipf_fit_sql(),
         "freq_of_freqs": _freq_of_freqs_sql(),
         "cdc_dedup": _cdc_dedup_sql(),
+        "layout_clusters": _layout_clusters_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

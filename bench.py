@@ -333,6 +333,8 @@ def main() -> None:
         "freq_of_freqs",
         # twenty-ninth wave: content-defined chunking dedup
         "cdc_dedup",
+        # thirtieth wave: DOM layout template clustering
+        "layout_clusters",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -384,7 +386,7 @@ def main() -> None:
         "rake_keywords", "char_coverage",
         "crawler_traps", "idn_homographs", "bm25_topk", "hits_scores",
         "trustrank", "stem_conflation", "host_split", "zipf_fit",
-        "freq_of_freqs", "cdc_dedup",
+        "freq_of_freqs", "cdc_dedup", "layout_clusters",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3
