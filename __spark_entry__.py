@@ -3262,6 +3262,30 @@ def q_layout_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_clusters(d).orderBy("layout_fp")
 
 
+def q_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate->verify rung of production near-dup dedup: MinHash
+    LSH proposes pairs (banding = cheap recall + band-collision false
+    positives), exact Levenshtein similarity verifies each candidate —
+    sketch to propose, exact-verify to decide, never all-pairs.  The
+    verify stage is pure JVM codegen (F.levenshtein); the only Python
+    is the band-signature UDF the minhash family already pays.  Oracle:
+    the minhash replay wrapped as a subquery, then DuckDB levenshtein +
+    the same integer similarity arithmetic (engines agree exactly on
+    ASCII; the byte-vs-codepoint divergence on non-ASCII is documented
+    on the operator)."""
+    from doctor_spark.operators.dedup import verified_neardup_pairs
+
+    out = verified_neardup_pairs(
+        _docs(spark, sf_dir), sim_threshold_micro=600_000
+    )
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "lev",
+        "sim_micro",
+    ).orderBy("id_a", "id_b")
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4846,6 +4870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_of_freqs": q_freq_of_freqs,
         "cdc_dedup": q_cdc_dedup,
         "layout_clusters": q_layout_clusters,
+        "verified_neardup": q_verified_neardup,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -7095,6 +7120,32 @@ FROM d GROUP BY layout_fp ORDER BY layout_fp
 """
 
 
+def _verified_neardup_sql(threshold: int = 600_000) -> str:
+    """The demo-width minhash replay as a subquery, then DuckDB
+    levenshtein + the exact ((maxlen-lev)*1e6) DIV maxlen integer
+    similarity and the threshold filter."""
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         levenshtein(da.text, db.text)::BIGINT AS lev,
+         greatest(length(da.text), length(db.text))::BIGINT AS mx
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+),
+sim AS (
+  SELECT id_a, id_b, lev,
+         CASE WHEN mx = 0 THEN 1000000
+              ELSE ((mx - lev) * 1000000) // mx END::BIGINT AS sim_micro
+  FROM scored
+)
+SELECT id_a, id_b, lev, sim_micro FROM sim
+WHERE sim_micro >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def _mirror_pairs_sql() -> str:
     """FULL replay of operators/mirrors.py over the shared synthesis:
     (host, fp) distinct, per-host sizes, the host_cap=8 boilerplate
@@ -8553,6 +8604,7 @@ ORDER BY stem, src_lang, tgt_lang
         "freq_of_freqs": _freq_of_freqs_sql(),
         "cdc_dedup": _cdc_dedup_sql(),
         "layout_clusters": _layout_clusters_sql(),
+        "verified_neardup": _verified_neardup_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

@@ -1407,3 +1407,64 @@ def host_template_lines(
         )
         .select("host", "line", "n_docs", "host_docs")
     )
+
+
+def verified_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sim_threshold_micro: int = 600_000,
+    **minhash_kwargs,
+) -> DataFrame:
+    """The candidate→verify rung of production near-dup dedup: MinHash
+    LSH proposes pairs (:func:`minhash_candidate_pairs` — banding makes
+    recall cheap but admits band-collision false positives), then every
+    candidate is VERIFIED with an exact edit-distance similarity
+
+        sim_micro = ((maxlen - levenshtein) * 1e6) DIV maxlen
+
+    and only pairs at or above ``sim_threshold_micro`` survive.  This
+    is the shape Lee et al./Dolma-style pipelines run: sketch to
+    propose, exact-verify to decide, never all-pairs.
+
+    Everything is JVM built-ins: ``F.levenshtein`` runs codegen-side
+    (no Python in the verify loop), and the two text-attach joins are
+    keyed equi-joins on the id — candidates are sketch-output-sized,
+    so at crawl scale both joins shuffle on the id key and AQE picks
+    broadcast when the candidate set is small.  Engine note for the
+    oracle: Spark's levenshtein counts CODE POINTS while DuckDB's
+    counts BYTES on non-ASCII input — the driver corpus is ASCII where
+    the two agree exactly; non-ASCII corpora need a byte-cast mirror.
+
+    Output: (id_a, id_b, lev, sim_micro), id_a < id_b.
+    """
+    pairs = minhash_candidate_pairs(
+        df, text_col=text_col, id_col=id_col, **minhash_kwargs
+    )
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+    )
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__ta", "__tb").cast("bigint").alias("lev"),
+            F.greatest(F.length("__ta"), F.length("__tb"))
+            .cast("bigint").alias("__mx"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "lev",
+            F.when(F.col("__mx") == 0, F.lit(1_000_000))
+            .otherwise(
+                F.expr("((__mx - lev) * 1000000) div __mx")
+            ).cast("bigint").alias("sim_micro"),
+        )
+    )
+    return scored.where(F.col("sim_micro") >= sim_threshold_micro)
