@@ -3286,6 +3286,29 @@ def q_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_temporal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-cutoff contamination audit: verified near-dup pairs
+    (the minhash->levenshtein rung) crossing a train/test time
+    boundary — re-crawls and syndication duplicate content across
+    time, so a temporal split leaks where a host-disjoint split cannot;
+    this query MEASURES that residual.  Partition arm is deterministic
+    (crawl day = doc_id % 30, cutoff at day 15 — the timestamp-free
+    stand-in the shared synthesis discipline allows).  Oracle: the
+    verified-neardup replay as a subquery + the same crossing-count
+    arithmetic."""
+    from doctor_spark.operators.dedup import verified_neardup_pairs
+    from doctor_spark.operators.splits import cross_split_leakage
+
+    d = _docs(spark, sf_dir)
+    pairs = verified_neardup_pairs(d, sim_threshold_micro=600_000)
+    assign = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 30 < 15, "train")
+        .otherwise("test").alias("part"),
+    )
+    return cross_split_leakage(pairs, assign)
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4871,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "layout_clusters": q_layout_clusters,
         "verified_neardup": q_verified_neardup,
+        "temporal_leakage": q_temporal_leakage,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -7146,6 +7170,36 @@ ORDER BY id_a, id_b
 """
 
 
+def _temporal_leakage_sql() -> str:
+    """The verified-neardup replay as a subquery, the doc_id%30<15
+    partition arm on both sides, and the crossing-count/micro-fraction
+    arithmetic."""
+    return f"""
+WITH pairs AS ({_verified_neardup_sql()}),
+parts AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 30 < 15 THEN 'train' ELSE 'test' END AS part
+  FROM documents
+),
+j AS (
+  SELECT pa.part AS p_a, pb.part AS p_b
+  FROM pairs
+  JOIN parts pa ON pa.id = pairs.id_a
+  JOIN parts pb ON pb.id = pairs.id_b
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         coalesce(sum(CASE WHEN p_a <> p_b THEN 1 ELSE 0 END), 0)::BIGINT
+           AS n_cross
+  FROM j
+)
+SELECT n_pairs, n_cross,
+       CASE WHEN n_pairs = 0 THEN 0
+            ELSE (n_cross * 1000000) // n_pairs END::BIGINT AS leak_micro
+FROM agg
+"""
+
+
 def _mirror_pairs_sql() -> str:
     """FULL replay of operators/mirrors.py over the shared synthesis:
     (host, fp) distinct, per-host sizes, the host_cap=8 boilerplate
@@ -8605,6 +8659,7 @@ ORDER BY stem, src_lang, tgt_lang
         "cdc_dedup": _cdc_dedup_sql(),
         "layout_clusters": _layout_clusters_sql(),
         "verified_neardup": _verified_neardup_sql(),
+        "temporal_leakage": _temporal_leakage_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

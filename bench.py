@@ -337,6 +337,8 @@ def main() -> None:
         "layout_clusters",
         # thirty-first wave: minhash->levenshtein verify rung
         "verified_neardup",
+        # thirty-second wave: temporal leakage audit
+        "temporal_leakage",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -389,7 +391,7 @@ def main() -> None:
         "crawler_traps", "idn_homographs", "bm25_topk", "hits_scores",
         "trustrank", "stem_conflation", "host_split", "zipf_fit",
         "freq_of_freqs", "cdc_dedup", "layout_clusters",
-        "verified_neardup",
+        "verified_neardup", "temporal_leakage",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -88,3 +88,45 @@ def split_summary(assigned: DataFrame) -> DataFrame:
         F.sum("n_pages").alias("n_pages"),
         F.count("*").alias("n_domains"),
     )
+
+
+def cross_split_leakage(
+    pairs: DataFrame,
+    assign: DataFrame,
+    id_col: str = "id",
+    part_col: str = "part",
+) -> DataFrame:
+    """Leakage audit for ANY partitioning: given near-duplicate pairs
+    (id_a, id_b) and a per-document partition assignment, count how
+    many pairs CROSS partitions — each crossing pair is an eval-set
+    contamination path (test doc nearly identical to a train doc).
+    Host-disjoint splits drive this to zero by construction; temporal
+    cutoffs (train on the past, eval on the future) do NOT, because
+    re-crawls and syndication duplicate content across time — this
+    audit is how a pipeline measures that residual risk.
+
+    One row: (n_pairs, n_cross, leak_micro) with leak_micro the
+    crossing fraction in int64 micro (0 when there are no pairs).
+    Two keyed equi-joins (pairs are sketch-output-sized; AQE
+    broadcasts the assignment when small) + ONE scalar aggregate."""
+    a = assign.select(
+        F.col(id_col).alias("id_a"), F.col(part_col).alias("__pa")
+    )
+    b = assign.select(
+        F.col(id_col).alias("id_b"), F.col(part_col).alias("__pb")
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    return j.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            (F.col("__pa") != F.col("__pb")).cast("long")
+        ).alias("n_cross"),
+    ).select(
+        F.col("n_pairs").cast("bigint"),
+        F.coalesce(F.col("n_cross"), F.lit(0)).cast("bigint")
+        .alias("n_cross"),
+        F.when(F.col("n_pairs") == 0, F.lit(0))
+        .otherwise(
+            F.expr("(coalesce(n_cross, 0) * 1000000) div n_pairs")
+        ).cast("bigint").alias("leak_micro"),
+    )

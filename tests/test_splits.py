@@ -80,3 +80,62 @@ class TestAssignSplit:
         q = assign_split(df)
         assert_jvm_only(q)
         assert count_exchanges(q) == 0
+
+
+class TestCrossSplitLeakage:
+    def test_counts(self, spark):
+        from doctor_spark.operators.splits import cross_split_leakage
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        assign = spark.createDataFrame(
+            [(1, "train"), (2, "train"), (3, "test"), (4, "test"),
+             (5, "train")],
+            "id long, part string",
+        )
+        out = cross_split_leakage(pairs, assign).collect()[0]
+        # crossing: (1,3), (2,3), (4,5) -> 3 of 4
+        assert (out["n_pairs"], out["n_cross"]) == (4, 3)
+        assert out["leak_micro"] == (3 * 1_000_000) // 4
+
+    def test_empty_pairs_zero(self, spark):
+        from doctor_spark.operators.splits import cross_split_leakage
+
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assign = spark.createDataFrame([(1, "a")], "id long, part string")
+        out = cross_split_leakage(pairs, assign).collect()[0]
+        assert (out["n_pairs"], out["n_cross"], out["leak_micro"]) == (
+            0, 0, 0,
+        )
+
+    def test_host_disjoint_split_leaks_nothing(self, spark):
+        """The audit composes with assign_split: pairs WITHIN a domain
+        never cross a host-disjoint split."""
+        from doctor_spark.operators.splits import (
+            assign_split,
+            cross_split_leakage,
+        )
+        from pyspark.sql import functions as F
+
+        hosts = spark.createDataFrame(
+            [(i, f"sub{i}.example{i % 5}.com") for i in range(20)],
+            "id long, host string",
+        )
+        assigned = assign_split(hosts).select(
+            "id", F.col("split").alias("part"), "domain"
+        )
+        # near-dup pairs only between pages of the SAME domain
+        a = assigned.alias("a")
+        b = assigned.alias("b")
+        pairs = (
+            a.join(b, F.col("a.domain") == F.col("b.domain"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+        )
+        out = cross_split_leakage(
+            pairs, assigned.select("id", "part")
+        ).collect()[0]
+        assert out["n_pairs"] > 0 and out["n_cross"] == 0
