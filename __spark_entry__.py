@@ -3309,6 +3309,26 @@ def q_temporal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_split_leakage(pairs, assign)
 
 
+def q_best_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage/snippet extraction over the BM25 top-5: the densest
+    12-token window of query-term hits per winning document, earliest
+    window on ties — the snippet rung of the retrieval stack (postings
+    -> BM25 -> passages).  Corpus cost is bm25_topk's; the sliding-
+    window arithmetic (pure integer higher-order Column exprs, zero
+    Python) touches only the k-times-|Q| winners attached by one keyed
+    text join.  Oracle: the BM25 replay as a subquery + the same list
+    arithmetic (list_sum over clamped slices, list_position argmax)."""
+    from doctor_spark.operators.ranking import best_passages
+
+    queries = spark.createDataFrame(
+        list(enumerate(_BM25_QUERIES)), "query_id long, query_text string"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return best_passages(d, queries, k=5, window=12).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4895,6 +4915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_clusters": q_layout_clusters,
         "verified_neardup": q_verified_neardup,
         "temporal_leakage": q_temporal_leakage,
+        "best_passages": q_best_passages,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -6802,7 +6823,7 @@ ORDER BY term, doc_id
 """
 
 
-def _bm25_topk_sql() -> str:
+def _bm25_topk_sql(k: int = 10) -> str:
     """FULL replay of operators/ranking.py: tokenize, broadcast-pruned
     tf, df from tf, micro-quantized ln idf, the EXACT parenthesization
     of the tf-normalization double arithmetic ((tf*(k1+1)) / (tf + k1*
@@ -6862,7 +6883,7 @@ r AS (
 )
 SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro,
        round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score
-FROM r WHERE rank <= 10
+FROM r WHERE rank <= {k}
 ORDER BY query_id, rank
 """
 
@@ -7197,6 +7218,50 @@ SELECT n_pairs, n_cross,
        CASE WHEN n_pairs = 0 THEN 0
             ELSE (n_cross * 1000000) // n_pairs END::BIGINT AS leak_micro
 FROM agg
+"""
+
+
+def _best_passages_sql(k: int = 5, window: int = 12) -> str:
+    """The BM25 replay (top-k) as a subquery, then the EXACT sliding-
+    window replay: per-offset hit counts via list_sum over 1-based
+    clamped slices, argmax via list_position (first maximal window —
+    Spark's array_position semantics), snippet via the same slice."""
+    values = ", ".join(
+        f"(CAST({i} AS BIGINT), '{q}')" for i, q in enumerate(_BM25_QUERIES)
+    )
+    return f"""
+WITH top AS ({_bm25_topk_sql(k)}),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (
+  SELECT query_id,
+         list_distinct(regexp_split_to_array(
+           trim(lower(qtext)), '{_JAVA_WS_CLASS}+')) AS qt
+  FROM q
+),
+t AS (
+  SELECT doc_id::BIGINT AS doc_id, {_TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+j AS (
+  SELECT top.query_id, top.rank, top.doc_id, qt.qt, t.tk,
+         greatest(1, len(t.tk) - {window} + 1) AS nwin
+  FROM top JOIN qt USING (query_id) JOIN t USING (doc_id)
+),
+c AS (
+  SELECT query_id, rank, doc_id, tk,
+         list_transform(range(0, nwin), i ->
+           list_sum(list_transform(tk[i + 1:i + {window}], t2 ->
+             CASE WHEN list_contains(qt, t2) THEN 1 ELSE 0 END))) AS cnts
+  FROM j
+)
+SELECT query_id, rank, doc_id,
+       CAST(list_position(cnts, list_max(cnts)) - 1 AS INT) AS best_off,
+       CAST(list_max(cnts) AS INT) AS n_hits,
+       array_to_string(
+         tk[list_position(cnts, list_max(cnts))
+            :list_position(cnts, list_max(cnts)) + {window} - 1], ' ')
+         AS snippet
+FROM c ORDER BY query_id, rank
 """
 
 
@@ -8660,6 +8725,7 @@ ORDER BY stem, src_lang, tgt_lang
         "layout_clusters": _layout_clusters_sql(),
         "verified_neardup": _verified_neardup_sql(),
         "temporal_leakage": _temporal_leakage_sql(),
+        "best_passages": _best_passages_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

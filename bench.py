@@ -339,6 +339,8 @@ def main() -> None:
         "verified_neardup",
         # thirty-second wave: temporal leakage audit
         "temporal_leakage",
+        # thirty-third wave: passage extraction over BM25
+        "best_passages",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -391,7 +393,7 @@ def main() -> None:
         "crawler_traps", "idn_homographs", "bm25_topk", "hits_scores",
         "trustrank", "stem_conflation", "host_split", "zipf_fit",
         "freq_of_freqs", "cdc_dedup", "layout_clusters",
-        "verified_neardup", "temporal_leakage",
+        "verified_neardup", "temporal_leakage", "best_passages",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -168,3 +168,63 @@ def bm25_topk(
             F.round(F.col("score_micro") / MICRO, 6).alias("score"),
         )
     )
+
+
+def best_passages(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 12,
+) -> DataFrame:
+    """Passage (snippet) extraction over the BM25 top-k: for each
+    (query, top-document) pair, the ``window``-token span with the most
+    query-term hits, earliest span winning ties — the snippet rung of
+    the retrieval stack (postings → BM25 → passages).
+
+    Scale shape: the expensive part (corpus scoring) is
+    :func:`bm25_topk`; passage scanning then touches ONLY the k·|Q|
+    winning documents, so the sliding-window arithmetic — pure
+    higher-order Column expressions, no Python — runs on a driver-tiny
+    row set attached by one keyed text join.  All window counts are
+    integers; the argmax tie-break (first maximal window) is
+    array_position semantics on BOTH engines.
+
+    Output: (query_id, rank, doc_id, best_off, n_hits, snippet).
+    """
+    top = bm25_topk(
+        docs, queries, doc_col=doc_col, text_col=text_col, k=k
+    ).select("query_id", "rank", "doc_id")
+    qt = queries.select(
+        "query_id",
+        F.array_distinct(_toks(F.col("query_text"))).alias("__qt"),
+    )
+    txt = docs.select(
+        F.col(doc_col).alias("doc_id"), _toks(F.col(text_col)).alias("__tk")
+    )
+    j = top.join(F.broadcast(qt), "query_id").join(txt, "doc_id")
+    n = F.size("__tk")
+    nwin = F.greatest(F.lit(1), n - F.lit(window) + F.lit(1))
+    counts = F.transform(
+        F.sequence(F.lit(0), nwin - F.lit(1)),
+        lambda i: F.aggregate(
+            F.slice(F.col("__tk"), i + F.lit(1), F.lit(window)),
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.array_contains(F.col("__qt"), t), 1).otherwise(0),
+        ),
+    )
+    j = j.withColumn("__c", counts)
+    best_pos = F.array_position(F.col("__c"), F.array_max("__c"))
+    return j.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        (best_pos - F.lit(1)).cast("int").alias("best_off"),
+        F.array_max("__c").cast("int").alias("n_hits"),
+        F.array_join(
+            F.slice(F.col("__tk"), best_pos.cast("int"), F.lit(window)),
+            " ",
+        ).alias("snippet"),
+    )
