@@ -3329,6 +3329,48 @@ def q_best_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder (1997) shingle CONTAINMENT c(A->B) = |S(A)∩S(B)| / |S(A)|
+    — the asymmetric dedup rung Jaccard misses: a syndicated article
+    pasted into a longer page has low resemblance but containment ≈ 1
+    in one direction.  DIRECTED output (src contained in dst); same
+    inverted-index cost envelope as dedup_ngram_jaccard (one shingle
+    exchange reused by DF-cap window + self-join), directed rows
+    projected from the undirected aggregate so the join pays a<b only.
+    Oracle: the jaccard oracle's shingle/hash/cap CTEs + a two-way
+    directed projection."""
+    from doctor_spark.operators.dedup import containment_pairs
+
+    p = containment_pairs(
+        _docs(spark, sf_dir), threshold=0.5, max_shingle_df=100,
+        min_shingles=5,
+    )
+    return p.select(
+        F.col("src_id").cast("bigint").alias("src_id"),
+        F.col("dst_id").cast("bigint").alias("dst_id"),
+        F.col("containment").cast("double").alias("containment"),
+    )
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) corpus keywords: integer-exact
+    PageRank over the word co-occurrence graph (adjacent kept-token
+    pairs, undirected/unweighted, 0.15/0.85 teleport/damping).  Token
+    gate: ^[a-z]{3,}$ minus the shared 'en' stopword inventory (the
+    single source of truth the lang_id oracle also splices).  Pair
+    generation is row-local array work; the graph is vocabulary-sized;
+    top-50 by (rank_micro DESC, word) via TakeOrderedAndProject.
+    Oracle: list_transform pair synthesis + the unrolled integer
+    PageRank CTE of link_pagerank."""
+    from doctor_spark.operators.graph import textrank_keywords
+
+    return textrank_keywords(
+        _docs(spark, sf_dir),
+        stopwords=tuple(sorted(_LANG_STOPWORDS["en"])),
+        min_len=3, k=50, n_iter=4,
+    )
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization cleanup (the ftfy/NFC rung of a C4/Dolma
     cleaning recipe): NFC composition + explicit space-like /
@@ -4916,6 +4958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verified_neardup": q_verified_neardup,
         "temporal_leakage": q_temporal_leakage,
         "best_passages": q_best_passages,
+        "containment_pairs": q_containment_pairs,
+        "textrank_keywords": q_textrank_keywords,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -5167,6 +5211,104 @@ SELECT id_a, id_b, jaccard FROM (
   GROUP BY a.doc_id, b.doc_id
 ) WHERE jaccard >= {threshold}
 """
+
+
+def _containment_sql(
+    n: int = 3, threshold: float = 0.5, max_df: int = 100,
+    min_shingles: int = 5,
+) -> str:
+    """Directed Broder containment over the jaccard oracle's shingle /
+    60-bit-hash / DF-cap CTEs: undirected (a<b) intersection counts,
+    then a two-way projection gated on the SOURCE set-size floor."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk) - {n - 2}),
+           i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS shl
+  FROM toks WHERE len(tk) >= {n}
+), ex0 AS (
+  SELECT doc_id, len(shl) AS n_sh,
+         ('0x' || substr(md5(unnest(shl)), 1, 15))::BIGINT AS shingle
+  FROM sh
+), ex AS (
+  SELECT doc_id, n_sh, shingle FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ex0
+  ) WHERE df <= {max_df}
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), d AS (
+  SELECT id_a::BIGINT AS src_id, id_b::BIGINT AS dst_id,
+         n_a AS n_src, inter FROM p
+  UNION ALL
+  SELECT id_b::BIGINT, id_a::BIGINT, n_b, inter FROM p
+)
+SELECT src_id, dst_id,
+       round(inter::DOUBLE / n_src, 4) AS containment
+FROM d
+WHERE n_src >= {min_shingles}
+  AND round(inter::DOUBLE / n_src, 4) >= {threshold}
+"""
+
+
+def _textrank_sql(k: int = 50, n_iter: int = 4, min_len: int = 3) -> str:
+    """TextRank oracle: list_transform adjacent-pair synthesis over the
+    shared tokenizer + en-stopword gate, then the unrolled integer
+    PageRank CTE (same 150000/85 micro-mass arithmetic as
+    _pagerank_sql) over VARCHAR word nodes."""
+    sw = ", ".join(f"'{s}'" for s in sorted(_LANG_STOPWORDS["en"]))
+    cte = [f"""toks AS (
+  SELECT {_TOKS} AS tk FROM documents
+),
+kept AS (
+  SELECT list_filter(tk, t -> regexp_matches(t, '^[a-z]{{{min_len},}}$')
+           AND NOT list_contains([{sw}], t)) AS kt
+  FROM toks
+),
+pairs0 AS (
+  SELECT unnest(list_transform(range(1, len(kt)),
+    i -> {{'u': least(kt[i], kt[i+1]), 'v': greatest(kt[i], kt[i+1])}})) AS p
+  FROM kept WHERE len(kt) >= 2
+),
+e0 AS (
+  SELECT DISTINCT p.u AS u, p.v AS v FROM pairs0 WHERE p.u <> p.v
+),
+eb AS (
+  SELECT u AS src, v AS dst FROM e0
+  UNION ALL
+  SELECT v AS src, u AS dst FROM e0
+),
+deg AS (SELECT src, count(*) AS deg FROM eb GROUP BY src),
+e AS (SELECT eb.src, eb.dst, deg.deg FROM eb JOIN deg USING (src)),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node, 1000000::BIGINT AS rank_micro FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        cte.append(f"""r{i} AS (
+  SELECT nodes.node,
+         (150000 + (85 * coalesce(inf.inflow, 0)) // 100)::BIGINT
+           AS rank_micro
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r{i - 1}.rank_micro // e.deg) AS inflow
+    FROM r{i - 1} JOIN e ON r{i - 1}.node = e.src
+    GROUP BY e.dst
+  ) inf USING (node)
+)""")
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+SELECT rank, word, rank_micro FROM (
+  SELECT row_number() OVER (ORDER BY rank_micro DESC, node ASC)::INT
+           AS rank,
+         node AS word, rank_micro::BIGINT AS rank_micro
+  FROM r{n_iter}
+) WHERE rank <= {k}
+"""
+    )
 
 
 # ---- LSH / IVF oracle builders: the hyperplanes and centroids are
@@ -8726,6 +8868,8 @@ ORDER BY stem, src_lang, tgt_lang
         "verified_neardup": _verified_neardup_sql(),
         "temporal_leakage": _temporal_leakage_sql(),
         "best_passages": _best_passages_sql(),
+        "containment_pairs": _containment_sql(),
+        "textrank_keywords": _textrank_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

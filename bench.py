@@ -341,6 +341,9 @@ def main() -> None:
         "temporal_leakage",
         # thirty-third wave: passage extraction over BM25
         "best_passages",
+        # thirty-fourth wave: directed Broder containment + TextRank
+        "containment_pairs",
+        "textrank_keywords",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -394,6 +397,7 @@ def main() -> None:
         "trustrank", "stem_conflation", "host_split", "zipf_fit",
         "freq_of_freqs", "cdc_dedup", "layout_clusters",
         "verified_neardup", "temporal_leakage", "best_passages",
+        "containment_pairs", "textrank_keywords",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -831,6 +831,104 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """Broder (1997) shingle CONTAINMENT — the asymmetric companion to
+    :func:`ngram_jaccard_pairs`'s resemblance.
+
+        c(A -> B) = |S(A) ∩ S(B)| / |S(A)|
+
+    Resemblance (Jaccard) misses inclusion: a syndicated article pasted
+    into a much longer page, a pull-quote document fully contained in
+    its source, a page embedded in an archive hub all have LOW Jaccard
+    (the union is dominated by the big doc) but containment ≈ 1 in one
+    direction.  Web-corpus dedup policies (Broder's original AltaVista
+    dedup; syndication detection in news crawls) therefore test BOTH
+    metrics.  Output is DIRECTED: (src_id, dst_id, containment) meaning
+    src's shingle set is contained in dst's to that degree; both
+    directions of a pair are emitted when both clear the threshold.
+
+    ``min_shingles`` drops sources with fewer distinct shingles than the
+    floor before thresholding — a 1-shingle stub is "fully contained" in
+    everything that shares its one shingle, which is noise, not
+    syndication.  (Set sizes stay exact; the floor only gates OUTPUT.)
+
+    Plan shape — identical cost envelope to Jaccard, zero extra passes:
+    ONE Arrow shingle kernel, ONE exchange on the 60-bit md5 shingle key
+    reused by the optional DF-cap window AND the inverted-index
+    self-join, then the per-(a<b) intersection aggregate.  The two
+    directed rows are projected FROM the undirected aggregate (explode
+    of a 2-struct array), so the join/agg cost is half of what a
+    directed a≠b join would pay.  ``max_shingle_df`` has the same
+    boilerplate-hot-shingle contract as ngram_jaccard_pairs — at web
+    scale, pass a finite cap.
+    """
+    shingle_udf = _shingles_udf(n, hashed=False)
+    base = df.select(
+        F.col(id_col).alias("id"), shingle_udf(F.col(text_col)).alias("r")
+    )
+    exploded = base.select(
+        "id", F.col("r.n_sh").alias("n_sh"),
+        F.explode("r.sh").alias("shingle_str"),
+    ).select(
+        "id", "n_sh",
+        F.conv(F.substring(F.md5("shingle_str"), 1, 15), 16, 10)
+        .cast("long").alias("shingle"),
+    ).repartition(F.col("shingle"))
+    if max_shingle_df is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        exploded = exploded.withColumn("df", F.count("*").over(w)).where(
+            F.col("df") <= max_shingle_df
+        ).drop("df")
+    a = exploded.select(
+        "shingle", F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    b = exploded.select(
+        "shingle", F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    undirected = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    directed = undirected.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    F.col("n_a").alias("n_src"),
+                    F.col("inter"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    F.col("n_b").alias("n_src"),
+                    F.col("inter"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    return (
+        directed.where(F.col("n_src") >= min_shingles)
+        .withColumn(
+            "containment", F.round(F.col("inter") / F.col("n_src"), 4)
+        )
+        .where(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "containment")
+    )
+
+
 def strip_common_lines(
     df: DataFrame,
     text_col: str = "text",

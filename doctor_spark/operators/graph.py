@@ -408,3 +408,85 @@ def trustrank(
             .localCheckpoint()
         )
     return trust
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = (),
+    min_len: int = 3,
+    k: int = 50,
+    n_iter: int = 4,
+) -> DataFrame:
+    """TextRank (Mihalcea & Tarau, EMNLP 2004) corpus keywords:
+    PageRank over the word co-occurrence graph.
+
+    Clean-room spec over the shared whitespace tokenizer: lower-cased
+    tokens are kept when purely ``[a-z]{min_len,}`` and not stopwords;
+    an undirected edge joins each ADJACENT pair of kept tokens (window
+    w=2 on the filtered sequence, the paper's default); the graph is
+    unweighted (distinct edges) and scored by the engine's integer-exact
+    :func:`pagerank` (int64 micro-mass, truncating DIV), teleport/
+    damping as published (0.15/0.85).  Output: the top-``k`` words by
+    ``(rank_micro DESC, word ASC)`` with their dense ordering rank —
+    fully deterministic, no transcendentals beyond the int64 discipline.
+
+    Corpus-level rather than per-document: one global salient-vocabulary
+    table (the crawl-audit shape — "what is this corpus about"), so the
+    graph has vocabulary-many nodes and distinct-adjacent-pair-many
+    edges regardless of corpus row count.
+
+    100-TB plan: tokenize/filter/pair generation is ROW-LOCAL array
+    work (zero shuffles), the edge ``distinct`` is one exchange on a
+    vocabulary-bounded key set, and each PageRank iteration is the same
+    keyed join/agg as :func:`pagerank` on a graph whose size is set by
+    VOCABULARY, not corpus rows — the corpus-sized stage is the map-only
+    scan.  Top-k is a TakeOrderedAndProject, not a global sort.
+    """
+    from doctor_spark.functions.text import tokens
+
+    sw = F.array(*[F.lit(s) for s in stopwords]) if stopwords else None
+
+    def _kept(t):
+        cond = t.rlike(f"^[a-z]{{{min_len},}}$")
+        if sw is not None:
+            cond = cond & ~F.array_contains(sw, t)
+        return cond
+
+    kept = F.filter(tokens(F.col(text_col)), _kept)
+    # adjacent pairs: zip the kept sequence with its own tail; the final
+    # element zips against NULL -> least/greatest collapse to (a, a),
+    # which the self-loop filter drops along with repeated-token runs
+    tail = F.slice(
+        kept, 2, F.greatest(F.size(kept) - F.lit(1), F.lit(0))
+    )
+    pair = F.zip_with(
+        kept,
+        tail,
+        lambda a, b: F.struct(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        ),
+    )
+    edges_u = (
+        df.select(F.explode(pair).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = edges_u.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        edges_u.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    pr = pagerank(edges, n_iter=n_iter)
+    from pyspark.sql import Window
+
+    # TakeOrderedAndProject cuts to k rows BEFORE the row_number window,
+    # so the single-partition window only ever sees k rows
+    top = pr.orderBy(F.col("rank_micro").desc(), F.col("node").asc()).limit(k)
+    w = Window.orderBy(F.col("rank_micro").desc(), F.col("node").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("node").alias("word"),
+        F.col("rank_micro").cast("bigint").alias("rank_micro"),
+    )

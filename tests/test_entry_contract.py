@@ -264,6 +264,11 @@ ADVERSARIAL_QUERIES = [
     # doc_id population the nasty corpus provides)
     "bm25_topk", "zipf_fit", "freq_of_freqs", "stem_conflation",
     "host_split", "cdc_dedup", "hits_scores", "trustrank",
+    # round-5 wave 34: directed Broder containment (the jaccard shingle
+    # machinery meets planted inclusion/whitespace variants) and
+    # TextRank keywords (ASCII-gated co-occurrence graph + integer
+    # PageRank on whatever vocabulary the hostile corpus yields)
+    "containment_pairs", "textrank_keywords",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
