@@ -3329,6 +3329,41 @@ def q_best_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_para_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level language segmentation (CCNet's processing unit,
+    Wenzek et al. 2020): newline paragraphs, the shared 27-language
+    identifier per paragraph (same single source of truth as lang_id),
+    rolled up to a per-doc profile — plurality language (ties by lang
+    asc), int64-micro plurality fraction, mixed flag.  Row-local Arrow
+    vote + one (doc_id, lang) map-side-combined aggregate; the doc_id
+    window and final rollup reuse the partitioning.  Oracle: unnest on
+    chr(10) + the parameterized lang_guess SQL mirror per paragraph +
+    identical integer rollup."""
+    from doctor_spark.operators.paralang import paragraph_langs
+
+    return paragraph_langs(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_paras", "n_langs", "major_lang", "major_frac_micro", "mixed",
+    )
+
+
+def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion (Rocchio/Robertson term
+    selection): BM25 top-5 docs per query as assumed-relevant, candidate
+    terms scored sum-tf × micro-idf (int64, order-free), query terms
+    excluded, top-5 per query by (weight DESC, term ASC).  Both
+    corpus-sized token streams broadcast-pruned before their exchanges
+    (winning doc_ids / candidate vocabulary).  Oracle: the BM25 replay's
+    CTEs + identical integer weight arithmetic."""
+    from doctor_spark.operators.ranking import prf_expansion
+
+    queries = spark.createDataFrame(
+        list(enumerate(_BM25_QUERIES)), "query_id long, query_text string"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return prf_expansion(d, queries, k_fb=5, m=5)
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder (1997) shingle CONTAINMENT c(A->B) = |S(A)∩S(B)| / |S(A)|
     — the asymmetric dedup rung Jaccard misses: a syndicated article
@@ -4960,6 +4995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_passages": q_best_passages,
         "containment_pairs": q_containment_pairs,
         "textrank_keywords": q_textrank_keywords,
+        "para_lang": q_para_lang,
+        "prf_expansion": q_prf_expansion,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -5210,6 +5247,97 @@ SELECT id_a, id_b, jaccard FROM (
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ) WHERE jaccard >= {threshold}
+"""
+
+
+def _para_lang_sql() -> str:
+    """Paragraph-level lang segmentation oracle: unnest on chr(10),
+    ASCII-space trim, the parameterized lang_guess mirror per paragraph,
+    then the identical plurality/int64-micro rollup."""
+    return f"""
+WITH paras AS (
+  SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS para
+  FROM documents WHERE text IS NOT NULL
+), pl AS (
+  SELECT doc_id, {_lang_guess_expr('para')} AS plang
+  FROM paras WHERE len(para) > 0
+), counts AS (
+  SELECT doc_id, plang, count(*)::BIGINT AS n FROM pl GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY n DESC, plang ASC
+  ) AS rn FROM counts
+)
+SELECT doc_id::BIGINT AS doc_id,
+       sum(n)::BIGINT AS n_paras,
+       count(*)::BIGINT AS n_langs,
+       max(CASE WHEN rn = 1 THEN plang END) AS major_lang,
+       ((max(CASE WHEN rn = 1 THEN n END) * 1000000) // sum(n))::BIGINT
+         AS major_frac_micro,
+       (count(*) > 1) AS mixed
+FROM ranked GROUP BY doc_id
+"""
+
+
+def _prf_sql(k_fb: int = 5, m: int = 5) -> str:
+    """PRF expansion oracle: the BM25 replay (top-k_fb) as a subquery,
+    feedback-doc tf, query-term anti-join, corpus df restricted to the
+    candidate vocabulary, weight = tf * micro-idf (identical integer
+    quantization), (weight DESC, term ASC) row_number, m per query."""
+    return f"""
+WITH top AS ({_bm25_topk_sql(k_fb)}),
+t AS (
+  SELECT doc_id::BIGINT AS doc_id, {_TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs FROM t),
+x AS (SELECT doc_id, unnest(tk) AS term FROM t),
+fb AS (SELECT query_id, doc_id FROM top),
+fb_tf AS (
+  SELECT fb.query_id, x.term, count(*)::BIGINT AS tf
+  FROM fb JOIN x USING (doc_id)
+  GROUP BY 1, 2
+),
+q(query_id, qtext) AS (VALUES {", ".join(
+    f"(CAST({i} AS BIGINT), '{q}')" for i, q in enumerate(_BM25_QUERIES)
+)}),
+qt2 AS (
+  SELECT query_id, term FROM (
+    SELECT query_id,
+           unnest(list_distinct(regexp_split_to_array(
+             trim(lower(qtext)), '{_JAVA_WS_CLASS}+'))) AS term
+    FROM q
+  ) WHERE term <> ''
+),
+cand AS (
+  SELECT fb_tf.query_id, fb_tf.term, fb_tf.tf FROM fb_tf
+  LEFT JOIN qt2 ON fb_tf.query_id = qt2.query_id
+              AND fb_tf.term = qt2.term
+  WHERE qt2.term IS NULL AND fb_tf.term <> ''
+),
+cdf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM x WHERE term IN (SELECT DISTINCT term FROM cand)
+  GROUP BY 1
+),
+wgt AS (
+  SELECT query_id, cand.term,
+         (cand.tf * CAST(floor(
+            ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+               / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000 + 0.5
+          ) AS BIGINT))::BIGINT AS weight_micro
+  FROM cand JOIN cdf USING (term), stats
+),
+rw AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY weight_micro DESC, term ASC
+         ) AS rank,
+         term, weight_micro
+  FROM wgt
+)
+SELECT query_id, CAST(rank AS INT) AS rank, term, weight_micro
+FROM rw WHERE rank <= {m}
 """
 
 
@@ -7744,21 +7872,25 @@ FROM arms JOIN e USING (arm) ORDER BY host
 """
 
 
-def _lang_guess_expr() -> str:
-    """Mirror of functions.text.lang_guess as a single SQL expression:
-    script vote (explicit BMP ranges, character-identical classes), then
-    the 18-language Latin stopword argmax; both tie-break orders are the
-    dict orders."""
+def _lang_guess_expr(col: str = "text") -> str:
+    """Mirror of functions.text.lang_guess as a single SQL expression
+    over ``col`` (default the document text; para_lang passes the
+    unnested paragraph): script vote (explicit BMP ranges,
+    character-identical classes), then the 18-language Latin stopword
+    argmax; both tie-break orders are the dict orders."""
+    toks = (
+        f"regexp_split_to_array(trim(lower({col})), '{_JAVA_WS_CLASS}+')"
+    )
     s_cnt = {
-        s: f"len(regexp_extract_all(text, '{_SCRIPT_RANGES[s]}'))"
+        s: f"len(regexp_extract_all({col}, '{_SCRIPT_RANGES[s]}'))"
         for s in _SCRIPT_RANGES
     }
-    latin = f"len(regexp_extract_all(text, '{_LATIN_CLASS}'))"
+    latin = f"len(regexp_extract_all({col}, '{_LATIN_CLASS}'))"
     best_script = (
         "greatest(" + ", ".join([latin] + list(s_cnt.values())) + ")"
     )
     hits = {
-        lg: f"len(list_filter({_TOKS}, tk -> tk IN {_STOPS[lg]}))"
+        lg: f"len(list_filter({toks}, tk -> tk IN {_STOPS[lg]}))"
         for lg in _STOPS
     }
     best_stop = "greatest(" + ", ".join(hits.values()) + ")"
@@ -8870,6 +9002,8 @@ ORDER BY stem, src_lang, tgt_lang
         "best_passages": _best_passages_sql(),
         "containment_pairs": _containment_sql(),
         "textrank_keywords": _textrank_sql(),
+        "para_lang": _para_lang_sql(),
+        "prf_expansion": _prf_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

@@ -344,6 +344,9 @@ def main() -> None:
         # thirty-fourth wave: directed Broder containment + TextRank
         "containment_pairs",
         "textrank_keywords",
+        # thirty-fifth wave: CCNet paragraph-lang profile + PRF expansion
+        "para_lang",
+        "prf_expansion",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -398,6 +401,7 @@ def main() -> None:
         "freq_of_freqs", "cdc_dedup", "layout_clusters",
         "verified_neardup", "temporal_leakage", "best_passages",
         "containment_pairs", "textrank_keywords",
+        "para_lang", "prf_expansion",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

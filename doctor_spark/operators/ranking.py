@@ -228,3 +228,100 @@ def best_passages(
             " ",
         ).alias("snippet"),
     )
+
+
+def prf_expansion(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k_fb: int = 5,
+    m: int = 5,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    Robertson's term-selection form): take each query's BM25 top-``k_fb``
+    documents as assumed-relevant, score every term they contain by
+
+        weight(t) = (Σ over feedback docs of tf(t, d)) * idf_micro(t)
+
+    with the SAME Lucene-variant micro-quantized idf as
+    :func:`bm25_topk` (one ln per term, floored to int64 immediately, so
+    the weight is pure int64 and aggregation-order-free), drop the
+    original query terms, and keep the top-``m`` expansion terms per
+    query by ``(weight DESC, term ASC)`` — the classic second-pass
+    retrieval rung (decontamination probes and topic audits re-query
+    with these).
+
+    Output: (query_id, rank, term, weight_micro).
+
+    100-TB plan: two corpus-sized token streams, both pruned BEFORE
+    their exchange by a BROADCAST semi-join — the feedback tf stream by
+    the k_fb·|Q| winning doc_ids, the document-frequency stream by the
+    candidate term vocabulary (terms appearing in feedback docs).  The
+    corpus-wide df aggregate therefore only ever carries
+    candidate-vocabulary tokens; everything downstream of the two
+    aggregates is feedback-sized.  Top-m is a per-query window over
+    ≤ vocabulary-of-k-docs rows.
+    """
+    top = bm25_topk(
+        docs, queries, doc_col=doc_col, text_col=text_col, k=k_fb
+    ).select("query_id", "doc_id")
+    t = docs.where(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    ).select(
+        F.col(doc_col).alias("doc_id"), _toks(F.col(text_col)).alias("tk")
+    )
+    exploded = t.select("doc_id", F.explode("tk").alias("term"))
+    n_docs = t.agg(F.count("*").alias("n_docs"))
+
+    # feedback tf: corpus stream pruned to the winning docs (broadcast)
+    fb_tf = (
+        exploded.join(F.broadcast(top), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    qt = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(_toks(F.col("query_text")))
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    cand = fb_tf.join(qt, ["query_id", "term"], "left_anti").where(
+        F.col("term") != ""
+    )
+    cand_terms = cand.select("term").distinct()
+
+    # corpus df restricted to candidate vocabulary (broadcast prune
+    # BEFORE the distinct/agg exchange)
+    cdf = (
+        exploded.join(F.broadcast(cand_terms), "term")
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    weighted = (
+        cand.join(cdf, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf_micro", _bm25_idf_micro(F.col("n_docs"), F.col("df")))
+        .select(
+            "query_id",
+            "term",
+            (F.col("tf") * F.col("idf_micro"))
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("weight_micro").desc(), F.col("term").asc()
+    )
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= m)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            "weight_micro",
+        )
+    )

@@ -269,6 +269,11 @@ ADVERSARIAL_QUERIES = [
     # TextRank keywords (ASCII-gated co-occurrence graph + integer
     # PageRank on whatever vocabulary the hostile corpus yields)
     "containment_pairs", "textrank_keywords",
+    # round-5 wave 35: paragraph-level lang segmentation (hostile ws
+    # classes hit the split/trim rules, unicode paragraphs hit the
+    # script router per paragraph) and PRF expansion (the BM25 replay
+    # composes with candidate-term arithmetic on degenerate corpora)
+    "para_lang", "prf_expansion",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
