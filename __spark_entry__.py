@@ -3329,6 +3329,56 @@ def q_best_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# clean-split summarization synthesis: every '. ' is a real boundary
+# (uppercase opener, no abbreviations/decimals/quotes), so the kernel
+# splitter and the oracle's split-and-reappend provably agree — the
+# agreement is pinned per arm in tests/test_summary.py.  Arm 0 has a
+# 3-sentence chain + an isolated sentence; arm 1 a triangle; arm 2 a
+# single edge; arm 3 no edges (emits no rows).
+_SUMM_SYNTH_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'The court granted the motion today. The motion cited three prior rulings. Those rulings shaped the court docket. Unrelated weather news follows here.'
+  WHEN 1 THEN 'Counsel filed the appeal brief. The appeal brief raised two claims. Judges reviewed the appeal brief.'
+  WHEN 2 THEN 'Spark executes the query plan. The query plan shuffles data.'
+  ELSE 'Alpha beta gamma. Delta epsilon zeta. Eta theta iota.'
+END
+"""
+
+
+def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document extractive summarization (TextRank §4): integer
+    PageRank over each doc's sentence graph (edge = >= 2 shared distinct
+    [a-z]+ words), top-2 sentences per doc.  Sentences come from the
+    REAL kernel splitter; the synthesis arms are clean-split by
+    construction so the oracle's split-and-reappend replay is provably
+    identical (pinned in tests/test_summary.py).  Edge build is a
+    doc_id-keyed self-join (sentences² per doc, never corpus-sized);
+    ranking reuses the link-graph integer PageRank on encoded
+    (doc_id*1024+sidx) nodes."""
+    from doctor_spark.operators.graph import textrank_summary
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SUMM_SYNTH_SQL).alias("text")
+    )
+    return textrank_summary(d, k=2).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "sidx", "rank", "rank_micro", "sentence",
+    )
+
+
+def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index storage accounting: per-term VByte posting-list size from
+    delta-encoded doc ids (first gap = doc_id+1, then diffs; 1 byte per
+    started 7-bit group) vs the 8-byte fixed baseline, ratio in int64
+    micro.  One exchange on term feeds both the lag window and the
+    per-term aggregate.  Oracle: identical lag/CASE arithmetic."""
+    from doctor_spark.operators.postings import postings_compression
+
+    return postings_compression(_docs(spark, sf_dir)).select(
+        "term", "df", "vbyte_bytes", "fixed_bytes", "ratio_micro",
+    )
+
+
 def q_para_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level language segmentation (CCNet's processing unit,
     Wenzek et al. 2020): newline paragraphs, the shared 27-language
@@ -4997,6 +5047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "para_lang": q_para_lang,
         "prf_expansion": q_prf_expansion,
+        "textrank_summary": q_textrank_summary,
+        "postings_compression": q_postings_compression,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -5248,6 +5300,106 @@ SELECT id_a, id_b, jaccard FROM (
   GROUP BY a.doc_id, b.doc_id
 ) WHERE jaccard >= {threshold}
 """
+
+
+def _postings_compression_sql() -> str:
+    """VByte accounting oracle: per-doc distinct terms, lag-window
+    gaps (first = doc_id + 1), the identical started-7-bit-group CASE
+    sum, int64-micro ratio."""
+    return f"""
+WITH pres AS (
+  SELECT doc_id::BIGINT AS doc_id, unnest(list_distinct({_TOKS})) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), gaps AS (
+  SELECT term,
+         coalesce(doc_id - lag(doc_id) OVER (
+           PARTITION BY term ORDER BY doc_id), doc_id + 1) AS gap
+  FROM pres
+), v AS (
+  SELECT term,
+         1 + (gap >= 128)::BIGINT + (gap >= 16384)::BIGINT
+           + (gap >= 2097152)::BIGINT + (gap >= 268435456)::BIGINT AS vlen
+  FROM gaps
+)
+SELECT term, count(*)::BIGINT AS df, sum(vlen)::BIGINT AS vbyte_bytes,
+       (count(*) * 8)::BIGINT AS fixed_bytes,
+       ((sum(vlen) * 1000000) // (count(*) * 8))::BIGINT AS ratio_micro
+FROM v GROUP BY term
+"""
+
+
+def _textrank_summary_sql(
+    k: int = 2, n_iter: int = 4, min_shared: int = 2, enc: int = 1024,
+) -> str:
+    """Summarization oracle: split-and-reappend sentence replay (exact
+    on the clean-split synthesis by construction), [a-z]+ word sets,
+    >= min_shared intersection edges within doc, the unrolled integer
+    PageRank CTE over encoded (doc_id*enc+sidx) nodes, top-k per doc."""
+    cte = [f"""t AS (
+  SELECT doc_id::BIGINT AS doc_id, {_SUMM_SYNTH_SQL.strip()} AS text
+  FROM documents
+),
+ss AS (SELECT doc_id, string_split(text, '. ') AS p FROM t),
+sl AS (
+  SELECT doc_id,
+         list_transform(range(1, len(p) + 1),
+           i -> CASE WHEN i < len(p) THEN p[i] || '.' ELSE p[i] END) AS s
+  FROM ss
+),
+sn AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(s) + 1),
+           i -> {{'sidx': i - 1, 'sent': s[i]}})) AS r
+  FROM sl
+),
+sent_nodes AS (
+  SELECT doc_id, r.sidx::INT AS sidx, r.sent AS sent,
+         (doc_id * {enc} + r.sidx)::BIGINT AS node,
+         list_distinct(regexp_extract_all(lower(r.sent), '[a-z]+')) AS wset
+  FROM sn
+),
+und AS (
+  SELECT a.node AS src, b.node AS dst
+  FROM sent_nodes a JOIN sent_nodes b
+    ON a.doc_id = b.doc_id AND a.sidx < b.sidx
+  WHERE len(list_intersect(a.wset, b.wset)) >= {min_shared}
+),
+eb AS (
+  SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und
+),
+deg AS (SELECT src, count(*) AS deg FROM eb GROUP BY src),
+e AS (SELECT eb.src, eb.dst, deg.deg FROM eb JOIN deg USING (src)),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node, 1000000::BIGINT AS rank_micro FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        cte.append(f"""r{i} AS (
+  SELECT nodes.node,
+         (150000 + (85 * coalesce(inf.inflow, 0)) // 100)::BIGINT
+           AS rank_micro
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r{i - 1}.rank_micro // e.deg) AS inflow
+    FROM r{i - 1} JOIN e ON r{i - 1}.node = e.src
+    GROUP BY e.dst
+  ) inf USING (node)
+)""")
+    return (
+        "WITH " + ",\n".join(cte)
+        + f""",
+scored AS (
+  SELECT (node // {enc})::BIGINT AS doc_id, (node % {enc})::INT AS sidx,
+         rank_micro::BIGINT AS rank_micro,
+         row_number() OVER (
+           PARTITION BY (node // {enc})
+           ORDER BY rank_micro DESC, (node % {enc}) ASC
+         )::INT AS rank
+  FROM r{n_iter}
+)
+SELECT s.doc_id, s.sidx, s.rank, s.rank_micro, sent_nodes.sent AS sentence
+FROM scored s JOIN sent_nodes
+  ON s.doc_id = sent_nodes.doc_id AND s.sidx = sent_nodes.sidx
+WHERE s.rank <= {k}
+"""
+    )
 
 
 def _para_lang_sql() -> str:
@@ -9004,6 +9156,8 @@ ORDER BY stem, src_lang, tgt_lang
         "textrank_keywords": _textrank_sql(),
         "para_lang": _para_lang_sql(),
         "prf_expansion": _prf_sql(),
+        "textrank_summary": _textrank_summary_sql(),
+        "postings_compression": _postings_compression_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

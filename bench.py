@@ -347,6 +347,9 @@ def main() -> None:
         # thirty-fifth wave: CCNet paragraph-lang profile + PRF expansion
         "para_lang",
         "prf_expansion",
+        # thirty-sixth wave: TextRank summaries + VByte postings bytes
+        "textrank_summary",
+        "postings_compression",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -402,6 +405,7 @@ def main() -> None:
         "verified_neardup", "temporal_leakage", "best_passages",
         "containment_pairs", "textrank_keywords",
         "para_lang", "prf_expansion",
+        "textrank_summary", "postings_compression",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

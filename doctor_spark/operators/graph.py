@@ -490,3 +490,114 @@ def textrank_keywords(
         F.col("node").alias("word"),
         F.col("rank_micro").cast("bigint").alias("rank_micro"),
     )
+
+
+def textrank_summary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    n_iter: int = 4,
+    min_shared: int = 2,
+    max_sents: int = 1024,
+) -> DataFrame:
+    """Per-document extractive summarization — TextRank's second use
+    (Mihalcea & Tarau 2004 §4): PageRank over each document's SENTENCE
+    graph, keep the top-``k`` sentences.
+
+    Clean-room spec: sentences from the engine's deterministic splitter
+    (kernels/sentences.py — the same spec sentence_stats and bitext
+    share); a sentence's word set is ``list_distinct`` of its
+    ``[a-z]+`` runs lower-cased; an undirected unweighted edge joins two
+    sentences of the SAME document sharing ``>= min_shared`` distinct
+    words (the unweighted threshold form of the paper's
+    overlap-normalized weight — documented simplification, exact to
+    test); ranking is the engine's integer-exact :func:`pagerank` over
+    nodes encoded ``doc_id * max_sents + sentence_idx`` (int64-safe for
+    doc_id < 2^53/max_sents; sentence index bounded by contract).
+    Output: (doc_id, sidx, rank, rank_micro, sentence) — top-k per doc
+    by ``(rank_micro DESC, sidx ASC)``.  A document whose sentence
+    graph has no edges (every pair shares < min_shared words) emits no
+    rows, mirroring the paper's connected-node scoring.
+
+    100-TB plan: splitting and word-set extraction are row-local (one
+    Arrow pass + codegen'd regexp); the edge build is a self-join KEYED
+    ON doc_id — per-partition work is sentences², bounded by document
+    length, never corpus size; PageRank iterations shuffle on the node
+    key exactly as the link-graph form.  Top-k is a doc_id-partitioned
+    window over graph-connected sentences only.
+    """
+    import pandas as pd
+
+    @F.pandas_udf("array<string>")
+    def _sents(texts: pd.Series) -> pd.Series:
+        from ..kernels.sentences import split_sentences
+
+        return texts.map(split_sentences)
+
+    nodes = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(_sents(F.col(text_col))).alias("sidx", "sent"),
+        )
+        .where(F.col("sidx") < max_sents)
+        .withColumn(
+            "wset",
+            F.array_distinct(
+                F.expr("regexp_extract_all(lower(sent), '[a-z]+', 0)")
+            ),
+        )
+        .withColumn(
+            "node",
+            (F.col("doc_id") * max_sents + F.col("sidx")).cast("long"),
+        )
+    )
+    a = nodes.select(
+        "doc_id",
+        F.col("sidx").alias("sidx_a"),
+        F.col("node").alias("node_a"),
+        F.col("wset").alias("wset_a"),
+    )
+    b = nodes.select(
+        "doc_id",
+        F.col("sidx").alias("sidx_b"),
+        F.col("node").alias("node_b"),
+        F.col("wset").alias("wset_b"),
+    )
+    und = (
+        a.join(b, "doc_id")
+        .where(
+            (F.col("sidx_a") < F.col("sidx_b"))
+            & (
+                F.size(F.array_intersect("wset_a", "wset_b"))
+                >= F.lit(min_shared)
+            )
+        )
+        .select(F.col("node_a").alias("src"), F.col("node_b").alias("dst"))
+    )
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, n_iter=n_iter)
+    from pyspark.sql import Window
+
+    scored = pr.select(
+        F.expr(f"node div {max_sents}").cast("long").alias("doc_id"),
+        (F.col("node") % max_sents).cast("int").alias("sidx"),
+        F.col("rank_micro").cast("bigint").alias("rank_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("rank_micro").desc(), F.col("sidx").asc()
+    )
+    top = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    return top.join(
+        nodes.select("doc_id", "sidx", "sent"), ["doc_id", "sidx"]
+    ).select(
+        "doc_id",
+        "sidx",
+        F.col("rank").cast("int").alias("rank"),
+        "rank_micro",
+        F.col("sent").alias("sentence"),
+    )

@@ -274,6 +274,11 @@ ADVERSARIAL_QUERIES = [
     # script router per paragraph) and PRF expansion (the BM25 replay
     # composes with candidate-term arithmetic on degenerate corpora)
     "para_lang", "prf_expansion",
+    # round-5 wave 36: per-doc TextRank summaries (doc_id-only clean
+    # synthesis arms; degenerate doc populations vary the graph mix)
+    # and VByte postings accounting (hostile ws classes hit the token
+    # stream, irregular doc_id gaps hit the byte-boundary CASEs)
+    "textrank_summary", "postings_compression",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
