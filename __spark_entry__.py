@@ -3379,6 +3379,37 @@ def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl depth from a trusted seed set: multi-source BFS (unrolled
+    integer Bellman-Ford, 4 rounds) over the shared affine link graph,
+    seeds = doc_id % 100 == 0 (the TrustRank-style deterministic seed
+    rule).  Nodes within 4 hops carry exact depth; farther nodes are
+    absent.  Each round is one keyed join + one order-free min
+    aggregate.  Oracle: the identical 4-level min-relaxation CTE."""
+    from doctor_spark.operators.graph import seed_distances
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    ids = docs.select(F.col("doc_id").alias("src"))
+    parts = [
+        ids.select(
+            "src",
+            ((F.col("src") * F.lit(m) + F.lit(c)) % F.lit(n)).alias("dst"),
+        )
+        for m, c in _PR_EDGE_GENS
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.join(docs.select(F.col("doc_id").alias("dst")), "dst")
+    seeds = docs.where(F.col("doc_id") % 100 == 0).select("doc_id")
+    d = seed_distances(edges, seeds, n_iter=4)
+    return d.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("depth").cast("bigint").alias("depth"),
+    )
+
+
 def q_para_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level language segmentation (CCNet's processing unit,
     Wenzek et al. 2020): newline paragraphs, the shared 27-language
@@ -5049,6 +5080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_expansion": q_prf_expansion,
         "textrank_summary": q_textrank_summary,
         "postings_compression": q_postings_compression,
+        "crawl_depth": q_crawl_depth,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -5300,6 +5332,41 @@ SELECT id_a, id_b, jaccard FROM (
   GROUP BY a.doc_id, b.doc_id
 ) WHERE jaccard >= {threshold}
 """
+
+
+def _crawl_depth_sql(n_iter: int = 4) -> str:
+    """Multi-source BFS oracle: the affine edge generators, seed rule
+    doc_id % 100 == 0, and an unrolled min-relaxation ladder."""
+    gens = " UNION ALL ".join(
+        f"SELECT d.doc_id AS src, (d.doc_id * {m} + {c}) % nn.n AS dst "
+        f"FROM documents d, nn"
+        for m, c in _PR_EDGE_GENS
+    )
+    cte = [f"""nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+e AS (
+  SELECT DISTINCT ed.src, ed.dst
+  FROM ({gens}) ed JOIN documents dd ON dd.doc_id = ed.dst
+  WHERE ed.src <> ed.dst
+),
+d0 AS (
+  SELECT doc_id AS node, 0::BIGINT AS dist FROM documents
+  WHERE doc_id % 100 = 0
+)"""]
+    for i in range(1, n_iter + 1):
+        cte.append(f"""d{i} AS (
+  SELECT node, min(dist)::BIGINT AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d{i - 1}.dist + 1 AS dist
+    FROM d{i - 1} JOIN e ON d{i - 1}.node = e.src
+  ) GROUP BY node
+)""")
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+SELECT node::BIGINT AS doc_id, dist::BIGINT AS depth FROM d{n_iter}
+"""
+    )
 
 
 def _postings_compression_sql() -> str:
@@ -9158,6 +9225,7 @@ ORDER BY stem, src_lang, tgt_lang
         "prf_expansion": _prf_sql(),
         "textrank_summary": _textrank_summary_sql(),
         "postings_compression": _postings_compression_sql(),
+        "crawl_depth": _crawl_depth_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

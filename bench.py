@@ -347,9 +347,8 @@ def main() -> None:
         # thirty-fifth wave: CCNet paragraph-lang profile + PRF expansion
         "para_lang",
         "prf_expansion",
-        # thirty-sixth wave: TextRank summaries + VByte postings bytes
-        "textrank_summary",
-        "postings_compression",
+        # thirty-seventh wave: multi-source BFS crawl depth
+        "crawl_depth",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -358,6 +357,13 @@ def main() -> None:
         "image_dup_clusters",
         "audio_dup_clusters",
         "video_dup_clusters",
+        # thirty-sixth wave, single rep: the sentence-graph summary and
+        # the uncapped postings accounting both run tens of seconds on
+        # the 31-term synthetic vocabulary (window parallelism == vocab
+        # size here, not at web scale) — one honest run each keeps the
+        # bench wall bounded
+        "textrank_summary",
+        "postings_compression",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect(), reps=1)
 
@@ -405,7 +411,7 @@ def main() -> None:
         "verified_neardup", "temporal_leakage", "best_passages",
         "containment_pairs", "textrank_keywords",
         "para_lang", "prf_expansion",
-        "textrank_summary", "postings_compression",
+        "textrank_summary", "postings_compression", "crawl_depth",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

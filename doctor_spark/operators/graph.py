@@ -601,3 +601,61 @@ def textrank_summary(
         "rank_micro",
         F.col("sent").alias("sentence"),
     )
+
+
+def seed_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Multi-source BFS depth — crawl depth from a seed set, the
+    frontier feature every crawl scheduler and spam study keys on
+    (pages far from any trusted seed are fetched later and weighted
+    down; TrustRank's teleport set is exactly such a seed set).
+
+    Unrolled Bellman-Ford relaxation with unit edge weights:
+
+        d_0(v)     = 0 if v ∈ seeds
+        d_{k+1}(v) = min(d_k(v), 1 + min over edges u→v of d_k(u))
+
+    After ``n_iter`` rounds every node within ``n_iter`` hops of a seed
+    carries its EXACT hop distance; farther nodes are absent from the
+    output (a bounded walker cannot distinguish depth n_iter+1 from
+    unreachable — same contract as resolve_redirects' hop cap).  All
+    arithmetic is int64; min-aggregation is order-free, so the
+    distributed iteration hash-matches the unrolled-CTE oracle.
+
+    Scale shape: the edge table is degree-free (no prep beyond one
+    repartition+checkpoint on src); each round is ONE keyed equi-join
+    state⋈edges plus ONE min-aggregate — the Pregel step pagerank and
+    the components iteration already use, lineage bounded per round by
+    localCheckpoint.  State size is monotone in reached nodes only,
+    so early rounds are seed-sized, not graph-sized — the fan-out a
+    real frontier has.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(F.col("src"))
+        .localCheckpoint()
+    )
+    state = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct()
+    for _ in range(n_iter):
+        contribs = (
+            state.join(e, state["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.lit(1)).alias("dist"),
+            )
+        )
+        state = (
+            state.unionByName(contribs)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return state.select("node", F.col("dist").cast("long").alias("depth"))

@@ -279,6 +279,9 @@ ADVERSARIAL_QUERIES = [
     # and VByte postings accounting (hostile ws classes hit the token
     # stream, irregular doc_id gaps hit the byte-boundary CASEs)
     "textrank_summary", "postings_compression",
+    # round-5 wave 37: multi-source BFS crawl depth (affine graph +
+    # seed rule over whatever doc_id population the corpus provides)
+    "crawl_depth",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
