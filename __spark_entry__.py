@@ -3379,6 +3379,28 @@ def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-ESTIMATED directed containment — the sketch path for
+    containment_pairs at web scale: production-width signatures (128
+    perms / 16 bands) generate candidates through the single-exchange
+    band join, then c_est = m·(|A|+|B|)·1e6 DIV ((128+m)·|A|) from the
+    signature-agreement count m and the EXACT shingle counts — pure
+    int64, so the estimator is bit-exact across engines while only
+    approximating the true containment (quality bounded vs the exact
+    operator in tests/test_containment_est.py)."""
+    from doctor_spark.operators.dedup import containment_est_pairs
+
+    p = containment_est_pairs(
+        _docs(spark, sf_dir), threshold=0.5, min_shingles=5,
+    )
+    return p.select(
+        F.col("src_id").cast("bigint").alias("src_id"),
+        F.col("dst_id").cast("bigint").alias("dst_id"),
+        F.col("m").cast("bigint").alias("m"),
+        F.col("c_est_micro").cast("bigint").alias("c_est_micro"),
+    )
+
+
 def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl depth from a trusted seed set: multi-source BFS (unrolled
     integer Bellman-Ford, 4 rounds) over the shared affine link graph,
@@ -5081,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_summary": q_textrank_summary,
         "postings_compression": q_postings_compression,
         "crawl_depth": q_crawl_depth,
+        "containment_est": q_containment_est,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
@@ -5331,6 +5354,84 @@ SELECT id_a, id_b, jaccard FROM (
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ) WHERE jaccard >= {threshold}
+"""
+
+
+def _containment_est_sql(
+    n_perms: int = 128, rows_per_band: int = 8, n: int = 3,
+    threshold: float = 0.5, min_shingles: int = 5,
+) -> str:
+    """Estimator oracle: the w128 signature replay (hex-prefix→BIGINT,
+    affine mod, list min) + per-pair agreement count over the 128
+    signature columns + the identical int64 c_est arithmetic."""
+    from doctor_spark.operators.dedup import _affine_params
+
+    a, b = _affine_params(n_perms)
+    shingle = (
+        f"list_distinct(list_transform(range(1, len({_TOKS}) - {n - 2}), "
+        f"i -> array_to_string(({_TOKS})[i:i+{n - 1}], ' ')))"
+    )
+    mh_cols = ", ".join(
+        "list_aggregate(list_transform(h32, "
+        f"h -> (h * {a[i]} + {b[i]}) % 4294967296), 'min') AS mh{i}"
+        for i in range(n_perms)
+    )
+    n_bands = n_perms // rows_per_band
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_no, md5({key}) AS band_key FROM sigs".format(
+            b=bi,
+            key=" || '|' || ".join(
+                f"mh{i}::VARCHAR"
+                for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)
+            ),
+        )
+        for bi in range(n_bands)
+    )
+    # chunked parenthesization: a flat 128-term `+` chain binds as a
+    # 128-deep left-assoc tree and trips DuckDB's recursion limit; 16
+    # groups of 8 keep every subtree shallow (integer addition is
+    # associative, so the grouping cannot change the value)
+    m_terms = [f"(sa.mh{i} = sb.mh{i})::BIGINT" for i in range(n_perms)]
+    m_sum = " + ".join(
+        "(" + " + ".join(m_terms[g:g + 8]) + ")"
+        for g in range(0, n_perms, 8)
+    )
+    thr_micro = int(round(threshold * 1_000_000))
+    return f"""
+WITH sh_t AS (
+  SELECT doc_id, {shingle} AS sh FROM documents WHERE len({_TOKS}) >= {n}
+), h_t AS (
+  SELECT doc_id, len(sh) AS n_sh,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h32
+  FROM sh_t
+), sigs AS (
+  SELECT doc_id, n_sh, {mh_cols} FROM h_t
+), banded AS (
+  {band_selects}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT p.id_a, p.id_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         ({m_sum}) AS m
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b
+), d AS (
+  SELECT id_a::BIGINT AS src_id, id_b::BIGINT AS dst_id,
+         n_a AS n_src, n_b AS n_dst, m FROM scored
+  UNION ALL
+  SELECT id_b::BIGINT, id_a::BIGINT, n_b, n_a, m FROM scored
+)
+SELECT src_id, dst_id, m::BIGINT AS m,
+       ((m * (n_src + n_dst) * 1000000)
+        // (({n_perms} + m) * n_src))::BIGINT AS c_est_micro
+FROM d
+WHERE n_src >= {min_shingles}
+  AND (m * (n_src + n_dst) * 1000000)
+      // (({n_perms} + m) * n_src) >= {thr_micro}
 """
 
 
@@ -9226,6 +9327,7 @@ ORDER BY stem, src_lang, tgt_lang
         "textrank_summary": _textrank_summary_sql(),
         "postings_compression": _postings_compression_sql(),
         "crawl_depth": _crawl_depth_sql(),
+        "containment_est": _containment_est_sql(),
         # quote spans: constant-string arms, expected spans as literals
         "quote_spans": """
 WITH p AS (

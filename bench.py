@@ -349,6 +349,8 @@ def main() -> None:
         "prf_expansion",
         # thirty-seventh wave: multi-source BFS crawl depth
         "crawl_depth",
+        # thirty-eighth wave: MinHash-estimated containment
+        "containment_est",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
     for name in (
@@ -412,6 +414,7 @@ def main() -> None:
         "containment_pairs", "textrank_keywords",
         "para_lang", "prf_expansion",
         "textrank_summary", "postings_compression", "crawl_depth",
+        "containment_est",
     }
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 3

@@ -1566,3 +1566,177 @@ def verified_neardup_pairs(
         )
     )
     return scored.where(F.col("sim_micro") >= sim_threshold_micro)
+
+
+def _minhash_sig_affine_udf(n_perms: int, rows_per_band: int, n: int = 3):
+    """Signature-AND-bands variant of :func:`_minhash_bands_affine_udf`:
+    one kernel evaluation yields the distinct-shingle count, the full
+    ``n_perms`` min-signature (for estimator math) and the LSH band keys
+    (for candidate generation) — so the signature table is computed
+    once, the way a production dedup materializes it."""
+    import hashlib
+
+    import numpy as np
+
+    a_l, b_l = _affine_params(n_perms)
+    a = np.asarray(a_l, dtype=np.int64)
+    b = np.asarray(b_l, dtype=np.int64)
+    n_bands = n_perms // rows_per_band
+
+    @F.pandas_udf(
+        "struct<n_sh: int, sig: array<long>, bands: array<string>>"
+    )
+    def sig_bands(texts: pd.Series) -> pd.DataFrame:
+        ns, sigs_out, bands_out = [], [], []
+        for text in texts:
+            toks = _java_ws_tokens(text or "")
+            if len(toks) < n:
+                ns.append(0)
+                sigs_out.append([])
+                bands_out.append([])
+                continue
+            sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+            h32 = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    for s in sh
+                ),
+                dtype=np.int64, count=len(sh),
+            )
+            sig = ((h32[:, None] * a[None, :]) + b[None, :]) % 4294967296
+            mins = sig.min(axis=0)
+            ns.append(len(sh))
+            sigs_out.append([int(v) for v in mins])
+            bands_out.append(
+                [
+                    hashlib.md5(
+                        "|".join(
+                            str(int(v))
+                            for v in mins[
+                                bi * rows_per_band:(bi + 1) * rows_per_band
+                            ]
+                        ).encode("utf-8")
+                    ).hexdigest()
+                    for bi in range(n_bands)
+                ]
+            )
+        return pd.DataFrame({"n_sh": ns, "sig": sigs_out, "bands": bands_out})
+
+    return sig_bands
+
+
+def containment_est_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 128,
+    rows_per_band: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """MinHash-ESTIMATED directed containment — the sketch path for
+    :func:`containment_pairs` at web scale, where the exact
+    inverted-index self-join is the expensive term.
+
+    From the identity c(A→B) = |A∩B| / |A| and Jaccard J = m/n_perms
+    (m = matching signature positions — an unbiased MinHash estimate),
+    with EXACT distinct-shingle counts carried on the signature row:
+
+        inter ≈ J·(|A|+|B|) / (1+J)  =  m·(|A|+|B|) / (n_perms+m)
+        c_est(A→B)_micro = (m·(|A|+|B|)·1e6) DIV ((n_perms+m)·|A|)
+
+    — pure int64 end to end (m ≤ n_perms, products < 2^62 for corpus
+    documents), so the estimator is bit-exact across engines even
+    though it only APPROXIMATES the true containment (the quality
+    pytest bounds the estimation error against the exact operator).
+
+    Plan shape: ONE Arrow kernel evaluation produces n_sh + signature +
+    band keys together; the signature table is localCheckpoint-pinned
+    (≈ n_perms·8 bytes/doc — the artifact a production dedup would
+    write to storage); candidates come from the same single-exchange
+    band join as production MinHash; the estimator is then a keyed
+    signature attach + one JVM zip_with/aggregate per candidate pair —
+    candidate-bounded, never corpus².  Output: (src_id, dst_id, m,
+    c_est_micro), both directions emitted independently when they clear
+    the threshold; sources under ``min_shingles`` suppressed like the
+    exact form.
+    """
+    udf = _minhash_sig_affine_udf(n_perms, rows_per_band, n)
+    sigs = (
+        df.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("r"))
+        .select(
+            "id", F.col("r.n_sh").alias("n_sh"), F.col("r.sig").alias("sig"),
+            F.col("r.bands").alias("bands"),
+        )
+        .where(F.col("n_sh") > 0)
+        .localCheckpoint()
+    )
+    banded = sigs.select(
+        "id", F.posexplode("bands").alias("band_no", "band_key")
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    m = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"), F.col("sig_b"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("m", m.cast("long"))
+    )
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    F.col("n_a").alias("n_src"),
+                    F.col("n_b").alias("n_dst"),
+                    F.col("m"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    F.col("n_b").alias("n_src"),
+                    F.col("n_a").alias("n_dst"),
+                    F.col("m"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    thr_micro = int(round(threshold * 1_000_000))
+    return (
+        directed.where(F.col("n_src") >= min_shingles)
+        .withColumn(
+            "c_est_micro",
+            F.expr(
+                f"(m * (n_src + n_dst) * 1000000) div "
+                f"(({n_perms} + m) * n_src)"
+            ).cast("long"),
+        )
+        .where(F.col("c_est_micro") >= thr_micro)
+        .select("src_id", "dst_id", "m", "c_est_micro")
+    )

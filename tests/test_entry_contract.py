@@ -282,6 +282,10 @@ ADVERSARIAL_QUERIES = [
     # round-5 wave 37: multi-source BFS crawl depth (affine graph +
     # seed rule over whatever doc_id population the corpus provides)
     "crawl_depth",
+    # round-5 wave 38: MinHash-estimated containment (the w128
+    # signature machinery + int64 estimator arithmetic on the planted
+    # dup/near-dup/whitespace-variant families)
+    "containment_est",
     # (lang_id and doc_metrics_by_lang need the full table schema — they
     # run on the sf tables in the main matrix above)
 ]
