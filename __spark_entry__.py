@@ -69,15 +69,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for narrow scans (guide §2.5 "input
+    skew", §6).  The driver tables arrive as ONE small parquet file with one
+    row group, so the scan yields a single split and every Arrow/Python map
+    stage downstream runs on ONE core — at sf0.1 that was the entire wall of
+    the converter queries (32 s for ~17 s of single-core kernel CPU).  A
+    round-robin repartition to 2×defaultParallelism spreads the rows; the
+    exchange moves the full table exactly once (≤ a few MB here — the
+    converter queries additionally project to doc_id first, so they spread
+    8 bytes/row).  Conditional on the scan's split count so it is a NO-OP at
+    cluster scale, where the input already has more splits than cores: this
+    is a floor, not a tuned constant."""
+    target = spark.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+# scan-width decisions per (app, table path): df.rdd.getNumPartitions()
+# costs ~0.1 s of physical planning per call, and a bench session asks the
+# same question about the same three files ~400 times
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+
+def _spread_scan(
+    spark: SparkSession, path: str, cols: list[str] | None = None
+) -> DataFrame:
+    """:func:`_spread` for a parquet scan, with the split count memoized
+    per (session, file) — the file's layout cannot change mid-session.
+    ``cols`` projects before the exchange so only those columns shuffle
+    (guide §2.3: project before the exchange)."""
+    df = spark.read.parquet(path)
+    if cols is not None:
+        df = df.select(*cols)
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _SCAN_PARTS:
+        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism * 2
+    if _SCAN_PARTS[key] >= target:
+        return df
+    return df.repartition(target)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain documents scan — the default.  Spreading is OPT-IN per query
+    (``_docs_spread``): full-matrix A/B at sf0.1 showed the spread exchange
+    wins ≥0.4 s only on single-pass queries whose wall is per-row
+    Python/Arrow kernel work, while iterative/multi-job queries (BPE,
+    PageRank, k-means — which re-execute the scan subtree every job) and
+    light JVM queries regress by the exchange + 64-task stage cost."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spread documents scan for single-pass Python-kernel-heavy queries
+    (measured allowlist, OPTIMIZATION_r06.md): the one-split file
+    otherwise pins the whole Arrow map stage to one core."""
+    return _spread_scan(spark, f"{sf_dir}/documents.parquet")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread: every events query is a pure-JVM aggregation where the
+    # single-split scan is already fast under codegen — measured +0.5 s per
+    # query from the extra exchange, zero benefit (no Python stage)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread: similarity queries score in the JVM (zero-shuffle plans);
+    # spreading the embedding arrays measured as a small regression
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -406,7 +467,7 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import minhash_candidate_pairs
 
-    p = minhash_candidate_pairs(_docs(spark, sf_dir))
+    p = minhash_candidate_pairs(_docs_spread(spark, sf_dir))
     return p.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
@@ -429,7 +490,7 @@ def q_dedup_minhash_pairs_w128(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import minhash_candidate_pairs
 
     p = minhash_candidate_pairs(
-        _docs(spark, sf_dir),
+        _docs_spread(spark, sf_dir),
         affine_perms=MINHASH_PROD_PERMS,
         rows_per_band=MINHASH_PROD_ROWS_PER_BAND,
     )
@@ -442,7 +503,7 @@ def q_dedup_minhash_pairs_w128(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import with_simhash
 
-    return with_simhash(_docs(spark, sf_dir)).select(
+    return with_simhash(_docs_spread(spark, sf_dir)).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("simhash").cast("bigint").alias("simhash"),
     )
@@ -471,7 +532,7 @@ def q_dedup_simhash_near_w48(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import simhash_near_pairs
 
     p = simhash_near_pairs(
-        _docs(spark, sf_dir), bits=48, max_hamming=3, n_bands=4
+        _docs_spread(spark, sf_dir), bits=48, max_hamming=3, n_bands=4
     )
     return p.select(
         F.col("id_a").cast("bigint").alias("id_a"),
@@ -545,7 +606,7 @@ def q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, one job (verdict r3 item 5)."""
     from doctor_spark.operators.dedup import dedup_filtered_corpus
 
-    kept = dedup_filtered_corpus(_docs(spark, sf_dir))
+    kept = dedup_filtered_corpus(_docs_spread(spark, sf_dir))
     return kept.select(F.col("doc_id").cast("bigint").alias("doc_id"))
 
 
@@ -553,7 +614,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import ngram_jaccard_pairs
 
     p = ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.3, max_shingle_df=100
+        _docs_spread(spark, sf_dir), threshold=0.3, max_shingle_df=100
     )
     return p.select(
         F.col("id_a").cast("bigint").alias("id_a"),
@@ -736,7 +797,7 @@ def q_para_dedup_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter → array_join), no explode, no window, no shuffle."""
     from doctor_spark.operators.dedup import dedup_paragraphs_within
 
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = _docs_spread(spark, sf_dir).where(F.col("text").isNotNull())
     bar = "Connect with us on social media."
     body = F.regexp_replace(F.col("text"), r"\. ", ".\n\n")
     aug = d.select(
@@ -862,7 +923,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.functions.text import quality_classifier
 
     return (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .where(F.col("text").isNotNull())
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -898,7 +959,7 @@ def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from doctor_spark.operators.sampling import hash_sample
 
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     ref = hash_sample(d, key_col="doc_id", rate=0.5, salt="lm")
     model, n_tokens = train_ngram_lm(ref, order=3, min_count=2)
     scores = score_perplexity(
@@ -930,7 +991,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from doctor_spark.operators.sampling import sample_bucket
 
-    d = _docs(spark, sf_dir).where(
+    d = _docs_spread(spark, sf_dir).where(
         F.col("text").isNotNull()
         & (F.length(F.trim(F.col("text"))) > 0)
     )
@@ -1172,7 +1233,7 @@ def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = repetition_metrics_udf()
     return (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                 k(F.col("text")).alias("r"))
         .select("doc_id", "r.*")
@@ -1248,7 +1309,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly in the oracle), then scrubs it."""
     from doctor_spark.functions.text import pii_counts, scrub_pii
 
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = _docs_spread(spark, sf_dir).where(F.col("text").isNotNull())
     planted = F.concat(
         F.col("text"),
         F.lit(" Contact user"), F.col("doc_id").cast("string"),
@@ -1421,7 +1482,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl scale, not to approximate the answer."""
     from doctor_spark.operators.sketches import heavy_hitters
 
-    hh = heavy_hitters(_docs(spark, sf_dir), threshold=200, width=2048)
+    hh = heavy_hitters(_docs_spread(spark, sf_dir), threshold=200, width=2048)
     return hh.select(
         F.col("token"),
         F.col("cnt").cast("bigint").alias("cnt"),
@@ -1631,7 +1692,7 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.robots import robots_gate
 
     pages = (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .where(F.col("text").isNotNull())
         .select(F.expr(_ROBOTS_URL_SQL).alias("url"))
     )
@@ -1679,7 +1740,7 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.blocklist import domain_blocklist_mark
 
     pages = (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .where(F.col("text").isNotNull())
         .select(F.expr(_BL_URL_SQL).alias("url"))
     )
@@ -1757,7 +1818,7 @@ def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.imagedup import image_dup_clusters
 
     imgs = (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .where(F.col("text").isNotNull())
         .select("doc_id", _synth_png_udf()(F.col("doc_id")).alias("payload"))
     )
@@ -1874,7 +1935,7 @@ def q_video_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.videodup import video_dup_clusters
 
     clips = (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .where(F.col("text").isNotNull())
         .select("doc_id", _synth_video_udf()(F.col("doc_id")).alias("payload"))
     )
@@ -2347,7 +2408,7 @@ def q_bitext_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the four expected pairs per doc closed-form."""
     from doctor_spark.operators.bitext import bitext_url_pairs
 
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = _docs_spread(spark, sf_dir).where(F.col("text").isNotNull())
     i = F.col("doc_id").cast("string")
     site = F.concat(F.lit("https://w.site"), i, F.lit(".example"))
     pages = d.select(
@@ -2382,7 +2443,7 @@ def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic."""
     from doctor_spark.operators.hostgate import host_quality_gate
 
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = _docs_spread(spark, sf_dir).where(F.col("text").isNotNull())
     host = F.when(
         F.col("doc_id") % 25 == 0,
         F.concat(F.lit("t"), F.col("doc_id").cast("string"),
@@ -2411,7 +2472,7 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only, zero Python, zero shuffles."""
     from doctor_spark.functions.text import readability_metrics
 
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = _docs_spread(spark, sf_dir).where(F.col("text").isNotNull())
     m = readability_metrics(F.col("text"))
     return d.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -3742,7 +3803,7 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.graph import resolve_redirects
 
     src, dst = _redirect_edges_expr("div")
-    edges = _docs(spark, sf_dir).select(
+    edges = _docs_spread(spark, sf_dir).select(
         F.expr(src).alias("src"), F.expr(dst).alias("dst")
     )
     r = resolve_redirects(edges, max_hops=16)
@@ -4638,16 +4699,24 @@ def q_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic PNG rasters → one multi-page PDF via the from-scratch
     writer (kernels/pdfwrite.pdf_from_png_bytes), re-parsed with the
     independent reader.  The oracle is the page-tree structure the
-    writer must produce: page_count == n_images, one image per page."""
-    from doctor_spark.operators.multimodal import images_to_pdf_stats
+    writer must produce: page_count == n_images, one image per page.
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    Plan note (guide §4.1): generation and conversion are FUSED into one
+    ``mapInPandas`` (sharing the operator's per-row core) so the generated
+    PNG bytes never cross the JVM↔Python boundary — only doc_id in, four
+    stat columns out."""
+    from doctor_spark.operators.multimodal import IMAGES_TO_PDF_DDL
+
+    docs = _spread_scan(
+        spark, f"{sf_dir}/documents.parquet", cols=["doc_id"]
+    )
 
     def gen(batches):
         import numpy as np
         import pandas as pd
 
         from doctor_spark.kernels.png import encode_png
+        from doctor_spark.operators.multimodal import images_to_pdf_row
 
         for pdf in batches:
             rows = []
@@ -4662,11 +4731,12 @@ def q_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (np.arange(h * w) * (did + 7 + k)) % 256
                     ).astype(np.uint8).reshape(h, w)
                     pngs.append(encode_png(arr))
-                rows.append((did, pngs))
-            yield pd.DataFrame(rows, columns=["doc_id", "pngs"])
+                rows.append(images_to_pdf_row(did, pngs))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_images", "page_count", "parse_ok"]
+            )
 
-    media = docs.mapInPandas(gen, schema="doc_id long, pngs array<binary>")
-    return images_to_pdf_stats(media).orderBy("doc_id")
+    return docs.mapInPandas(gen, schema=IMAGES_TO_PDF_DDL).orderBy("doc_id")
 
 
 def q_fetch_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4677,7 +4747,9 @@ def q_fetch_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one page per image by the V1 writer, metadata-stripped (V3), and
     re-parsed by the independent reader.  Oracle: the page tree matches
     the URL count for every document."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _spread_scan(
+        spark, f"{sf_dir}/documents.parquet", cols=["doc_id"]
+    )
 
     def gen(batches):
         import numpy as np
@@ -4731,16 +4803,23 @@ def q_audio_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     retag round-trip.  Oracle: the resampler's closed-form output
     lengths ((n−1)·out//in + 1), rates, channel policy (mp3 keeps,
     voip folds to mono), duration, and tag equality — all recomputed
-    arithmetically in SQL."""
-    from doctor_spark.operators.multimodal import audio_transcode_stats
+    arithmetically in SQL.
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    Plan note (guide §4.1): generation and transcode are FUSED into one
+    ``mapInPandas`` (sharing the operator's per-row core) so the WAV
+    bytes never cross the JVM↔Python boundary."""
+    from doctor_spark.operators.multimodal import AUDIO_TRANSCODE_DDL
+
+    docs = _spread_scan(
+        spark, f"{sf_dir}/documents.parquet", cols=["doc_id"]
+    )
 
     def gen(batches):
         import numpy as np
         import pandas as pd
 
         from doctor_spark.kernels.audio import write_wav
+        from doctor_spark.operators.multimodal import audio_transcode_row
 
         for pdf in batches:
             rows = []
@@ -4753,11 +4832,19 @@ def q_audio_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 samples = ((t * (did % 97 + 3)) % 24001 - 12000).astype(
                     np.int16
                 )
-                rows.append((did, write_wav(rate, samples)))
-            yield pd.DataFrame(rows, columns=["media_id", "wav"])
+                rows.append(audio_transcode_row(did, write_wav(rate, samples)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "mp3_rate", "mp3_n", "mp3_ch",
+                    "voip_rate", "voip_n", "voip_ch", "duration_sec",
+                    "tag_ok",
+                ],
+            )
 
-    media = docs.mapInPandas(gen, schema="media_id long, wav binary")
-    return audio_transcode_stats(media).orderBy("media_id")
+    return docs.mapInPandas(gen, schema=AUDIO_TRANSCODE_DDL).orderBy(
+        "media_id"
+    )
 
 
 def q_pdf_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4767,26 +4854,35 @@ def q_pdf_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_dimension=350 via the from-scratch layout rasterizer + PNG
     codec.  Oracle: pdftoppm's -scale-to geometry (350 tall,
     round(350·612/792)=270 wide) and a decodable, non-blank raster for
-    every document."""
-    from doctor_spark.operators.multimodal import pdf_thumbnail_stats
+    every document.
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    Plan note (guide §4.1): generation and rasterization are FUSED into
+    one ``mapInPandas`` (sharing the operator's per-row core) so the PDF
+    bytes never cross the JVM↔Python boundary."""
+    from doctor_spark.operators.multimodal import THUMBNAIL_DDL
+
+    docs = _spread_scan(
+        spark, f"{sf_dir}/documents.parquet", cols=["doc_id"]
+    )
 
     def gen(batches):
         import pandas as pd
 
         from doctor_spark.corpus import _build_text_pdf, _rng
+        from doctor_spark.operators.multimodal import pdf_thumbnail_row
 
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 data, _golden = _build_text_pdf(did, _rng(did))
-                rows.append((did, data))
-            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+                rows.append(pdf_thumbnail_row(did, data))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "thumb_w", "thumb_h", "png_ok", "has_ink"],
+            )
 
-    media = docs.mapInPandas(gen, schema="doc_id long, pdf binary")
-    return pdf_thumbnail_stats(media).orderBy("doc_id")
+    return docs.mapInPandas(gen, schema=THUMBNAIL_DDL).orderBy("doc_id")
 
 
 def q_embed_text_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4798,25 +4894,33 @@ def q_embed_text_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the word table in raster reading order.  Oracle: every
     document round-trips (1 page, words present, tokens exact, both
     invisibility mechanisms in the output bytes)."""
-    from doctor_spark.operators.multimodal import embed_text_overlay_stats
+    from doctor_spark.operators.multimodal import EMBED_OVERLAY_DDL
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _spread_scan(
+        spark, f"{sf_dir}/documents.parquet", cols=["doc_id"]
+    )
 
     def gen(batches):
         import pandas as pd
 
         from doctor_spark.corpus import _build_image_pdf, _rng
+        from doctor_spark.operators.multimodal import embed_text_overlay_row
 
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 data, _golden = _build_image_pdf(did, _rng(did))
-                rows.append((did, data))
-            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+                rows.append(embed_text_overlay_row(did, data))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "page_count", "has_words", "tokens_match",
+                    "overlay_invisible",
+                ],
+            )
 
-    media = docs.mapInPandas(gen, schema="doc_id long, pdf binary")
-    return embed_text_overlay_stats(media).orderBy("doc_id")
+    return docs.mapInPandas(gen, schema=EMBED_OVERLAY_DDL).orderBy("doc_id")
 
 
 def q_pdf_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4825,25 +4929,32 @@ def q_pdf_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from-scratch re-serializer → round-trip properties: layout text
     unchanged, strip idempotent, size sane.  Oracle: all three hold for
     every document."""
-    from doctor_spark.operators.multimodal import pdf_strip_roundtrip
+    from doctor_spark.operators.multimodal import STRIP_ROUNDTRIP_DDL
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _spread_scan(
+        spark, f"{sf_dir}/documents.parquet", cols=["doc_id"]
+    )
 
     def gen(batches):
         import pandas as pd
 
         from doctor_spark.corpus import _build_text_pdf, _rng
+        from doctor_spark.operators.multimodal import pdf_strip_roundtrip_row
 
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 data, _golden = _build_text_pdf(did, _rng(did))
-                rows.append((did, data))
-            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+                rows.append(pdf_strip_roundtrip_row(did, data))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "text_equal", "strip_stable", "shrunk_or_equal",
+                ],
+            )
 
-    media = docs.mapInPandas(gen, schema="doc_id long, pdf binary")
-    return pdf_strip_roundtrip(media).orderBy("doc_id")
+    return docs.mapInPandas(gen, schema=STRIP_ROUNDTRIP_DDL).orderBy("doc_id")
 
 
 def q_media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,6 +34,7 @@ deterministically without codec binaries:
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -305,10 +306,14 @@ def best_case_name(audio_dict: dict) -> str:
     )
 
 
+@functools.lru_cache(maxsize=1)
 def _publisher_logo_png() -> bytes:
     """Deterministic 300×300 stand-in for the reference's bundled
     producer-300x300.png (its asset directory does not ship here) —
-    generated once by the from-scratch PNG encoder."""
+    generated once by the from-scratch PNG encoder.  Cached: the bytes are
+    a pure constant, and rebuilding the raster + PNG encode per tagged
+    file was ~half the per-row cost of the transcode pipeline (guide
+    §4.5: heavyweight init once per task, amortized by worker reuse)."""
     from .png import encode_png
 
     yy, xx = np.mgrid[0:300, 0:300]

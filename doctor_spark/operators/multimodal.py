@@ -327,6 +327,24 @@ IMAGES_TO_PDF_DDL = (
 )
 
 
+def images_to_pdf_row(did, blobs: list[bytes]) -> tuple:
+    """Per-row core of :func:`images_to_pdf_stats` — shared with the fused
+    generate+convert query in ``__spark_entry__`` so the generated PNG
+    bytes never cross the JVM↔Python boundary (guide §4.1)."""
+    from ..kernels.pdf import parse_pdf
+    from ..kernels.pdfwrite import PdfWriteError, pdf_from_png_bytes
+
+    try:
+        out = pdf_from_png_bytes(blobs)
+        doc = parse_pdf(out)
+        ok = doc.page_count == len(blobs) and all(
+            len(pg.images) == 1 for pg in doc.pages
+        )
+        return (did, len(blobs), doc.page_count, bool(ok))
+    except (PdfWriteError, ValueError):
+        return (did, len(blobs), 0, False)
+
+
 def images_to_pdf_stats(df: DataFrame) -> DataFrame:
     """(doc_id, pngs array<binary>) → one multi-page PDF per row via the
     V1 writer (``kernels.pdfwrite.pdf_from_png_bytes`` — PNG decode by
@@ -339,22 +357,11 @@ def images_to_pdf_stats(df: DataFrame) -> DataFrame:
     /convert/images/pdf/ endpoint (views.py)."""
 
     def run(batches: Iterator) -> Iterator:
-        from ..kernels.pdf import parse_pdf
-        from ..kernels.pdfwrite import PdfWriteError, pdf_from_png_bytes
-
         for pdf in batches:
-            rows = []
-            for did, pngs in zip(pdf["doc_id"], pdf["pngs"]):
-                blobs = [bytes(p) for p in pngs]
-                try:
-                    out = pdf_from_png_bytes(blobs)
-                    doc = parse_pdf(out)
-                    ok = doc.page_count == len(blobs) and all(
-                        len(pg.images) == 1 for pg in doc.pages
-                    )
-                    rows.append((did, len(blobs), doc.page_count, bool(ok)))
-                except (PdfWriteError, ValueError):
-                    rows.append((did, len(blobs), 0, False))
+            rows = [
+                images_to_pdf_row(did, [bytes(p) for p in pngs])
+                for did, pngs in zip(pdf["doc_id"], pdf["pngs"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "n_images", "page_count", "parse_ok"],
@@ -368,6 +375,52 @@ AUDIO_TRANSCODE_DDL = (
     "voip_rate int, voip_n bigint, voip_ch int, duration_sec double, "
     "tag_ok boolean"
 )
+
+
+AUDIO_TAG_FIXTURE = {
+    "court_full_name": "Testing Supreme Court",
+    "court_short_name": "Testing Supreme Court",
+    "court_pk": "mad", "court_url": "http://www.example.com/",
+    "docket_number": "docket 1", "date_argued": "2020-01-01",
+    "date_argued_year": "2020", "case_name": "A v. B",
+    "case_name_full": "", "case_name_short": "",
+    "download_url": "http://media.example.gov/x.mp3",
+}
+
+
+def audio_transcode_row(mid, blob: bytes) -> tuple:
+    """Per-row core of :func:`audio_transcode_stats` — shared with the
+    fused generate+transcode query in ``__spark_entry__``."""
+    from ..kernels.audio import (
+        WavError,
+        audio_duration_sec,
+        parse_id3v2,
+        parse_wav,
+        set_audio_metadata,
+        transcode_wav,
+        transcode_wav_voip,
+    )
+
+    try:
+        mp3a = transcode_wav(blob)
+        voip = transcode_wav_voip(blob)
+        r1, x1 = parse_wav(mp3a)
+        r2, x2 = parse_wav(voip)
+        tagged = set_audio_metadata(AUDIO_TAG_FIXTURE, mp3a)
+        tags, comments, images = parse_id3v2(tagged)
+        tag_ok = (
+            tags.get("TIT2") == "A v. B"
+            and tags.get("TPUB") == "Free Law Project"
+            and [im[0] for im in images] == [3, 14]
+            and parse_wav(tagged)[1].shape == x1.shape
+        )
+        return (
+            mid, r1, x1.shape[0], x1.shape[1],
+            r2, x2.shape[0], x2.shape[1],
+            audio_duration_sec(mp3a), bool(tag_ok),
+        )
+    except (WavError, ValueError):
+        return (mid, 0, 0, 0, 0, 0, 0, 0.0, False)
 
 
 def audio_transcode_stats(df: DataFrame) -> DataFrame:
@@ -384,48 +437,11 @@ def audio_transcode_stats(df: DataFrame) -> DataFrame:
     ``(n-1)·out//in + 1`` — the oracle recomputes them in SQL."""
 
     def run(batches: Iterator) -> Iterator:
-        from ..kernels.audio import (
-            WavError,
-            audio_duration_sec,
-            parse_id3v2,
-            parse_wav,
-            set_audio_metadata,
-            transcode_wav,
-            transcode_wav_voip,
-        )
-
-        audio_data = {
-            "court_full_name": "Testing Supreme Court",
-            "court_short_name": "Testing Supreme Court",
-            "court_pk": "mad", "court_url": "http://www.example.com/",
-            "docket_number": "docket 1", "date_argued": "2020-01-01",
-            "date_argued_year": "2020", "case_name": "A v. B",
-            "case_name_full": "", "case_name_short": "",
-            "download_url": "http://media.example.gov/x.mp3",
-        }
         for pdf in batches:
-            rows = []
-            for mid, blob in zip(pdf["media_id"], pdf["wav"]):
-                try:
-                    mp3a = transcode_wav(bytes(blob))
-                    voip = transcode_wav_voip(bytes(blob))
-                    r1, x1 = parse_wav(mp3a)
-                    r2, x2 = parse_wav(voip)
-                    tagged = set_audio_metadata(audio_data, mp3a)
-                    tags, comments, images = parse_id3v2(tagged)
-                    tag_ok = (
-                        tags.get("TIT2") == "A v. B"
-                        and tags.get("TPUB") == "Free Law Project"
-                        and [im[0] for im in images] == [3, 14]
-                        and parse_wav(tagged)[1].shape == x1.shape
-                    )
-                    rows.append((
-                        mid, r1, x1.shape[0], x1.shape[1],
-                        r2, x2.shape[0], x2.shape[1],
-                        audio_duration_sec(mp3a), bool(tag_ok),
-                    ))
-                except (WavError, ValueError):
-                    rows.append((mid, 0, 0, 0, 0, 0, 0, 0.0, False))
+            rows = [
+                audio_transcode_row(mid, bytes(blob))
+                for mid, blob in zip(pdf["media_id"], pdf["wav"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -454,27 +470,34 @@ def pdf_thumbnail_stats(df: DataFrame) -> DataFrame:
     actually rendered (non-white pixels present)."""
 
     def run(batches: Iterator) -> Iterator:
-        from ..kernels.png import decode_png
-        from ..kernels.raster import RasterError, pdf_thumbnail
-
         for pdf in batches:
-            rows = []
-            for did, blob in zip(pdf["doc_id"], pdf["pdf"]):
-                try:
-                    png = pdf_thumbnail(bytes(blob), 350)
-                    arr = decode_png(png)
-                    rows.append((
-                        did, int(arr.shape[1]), int(arr.shape[0]), True,
-                        bool((arr < 128).any()),
-                    ))
-                except (RasterError, ValueError):
-                    rows.append((did, 0, 0, False, False))
+            rows = [
+                pdf_thumbnail_row(did, bytes(blob))
+                for did, blob in zip(pdf["doc_id"], pdf["pdf"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "thumb_w", "thumb_h", "png_ok", "has_ink"],
             )
 
     return df.mapInPandas(run, schema=THUMBNAIL_DDL)
+
+
+def pdf_thumbnail_row(did, blob: bytes) -> tuple:
+    """Per-row core of :func:`pdf_thumbnail_stats` — shared with the fused
+    generate+rasterize query in ``__spark_entry__``."""
+    from ..kernels.png import decode_png
+    from ..kernels.raster import RasterError, pdf_thumbnail
+
+    try:
+        png = pdf_thumbnail(blob, 350)
+        arr = decode_png(png)
+        return (
+            did, int(arr.shape[1]), int(arr.shape[0]), True,
+            bool((arr < 128).any()),
+        )
+    except (RasterError, ValueError):
+        return (did, 0, 0, False, False)
 
 
 EMBED_OVERLAY_DDL = (
@@ -497,41 +520,11 @@ def embed_text_overlay_stats(df: DataFrame) -> DataFrame:
     invisibility mechanisms (``3 Tr`` + ``/ca 0``)."""
 
     def run(batches: Iterator) -> Iterator:
-        import re as _re
-
-        from ..kernels.pdf import (
-            extract_pdf_layout_text,
-            parse_pdf,
-            synthetic_ocr_backend,
-        )
-        from ..kernels.pdfwrite import PdfWriteError, embed_text_overlay
-
         for pdf in batches:
-            rows = []
-            for did, blob in zip(pdf["doc_id"], pdf["pdf"]):
-                b = bytes(blob)
-                try:
-                    doc = parse_pdf(b)
-                    tables = []
-                    for page in doc.pages:
-                        try:
-                            tables.append(synthetic_ocr_backend(page, False))
-                        except NotImplementedError:
-                            tables.append(None)
-                    out = embed_text_overlay(b, tables, 1700, 2200)
-                    content = extract_pdf_layout_text(out)[0]
-                    toks = _re.split(r"\s+", content.strip())
-                    exp = [
-                        w["text"] for t in tables if t for w in t
-                        if w.get("text")
-                    ]
-                    rows.append((
-                        did, parse_pdf(out).page_count, bool(exp),
-                        toks == exp if exp else content.strip("\f\n ") == "",
-                        b"3 Tr" in out and b"/ca 0" in out,
-                    ))
-                except (PdfWriteError, ValueError):
-                    rows.append((did, 0, False, False, False))
+            rows = [
+                embed_text_overlay_row(did, bytes(blob))
+                for did, blob in zip(pdf["doc_id"], pdf["pdf"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -541,6 +534,42 @@ def embed_text_overlay_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=EMBED_OVERLAY_DDL)
+
+
+def embed_text_overlay_row(did, b: bytes) -> tuple:
+    """Per-row core of :func:`embed_text_overlay_stats` — shared with the
+    fused generate+overlay query in ``__spark_entry__``."""
+    import re as _re
+
+    from ..kernels.pdf import (
+        extract_pdf_layout_text,
+        parse_pdf,
+        synthetic_ocr_backend,
+    )
+    from ..kernels.pdfwrite import PdfWriteError, embed_text_overlay
+
+    try:
+        doc = parse_pdf(b)
+        tables = []
+        for page in doc.pages:
+            try:
+                tables.append(synthetic_ocr_backend(page, False))
+            except NotImplementedError:
+                tables.append(None)
+        out = embed_text_overlay(b, tables, 1700, 2200)
+        content = extract_pdf_layout_text(out)[0]
+        toks = _re.split(r"\s+", content.strip())
+        exp = [
+            w["text"] for t in tables if t for w in t
+            if w.get("text")
+        ]
+        return (
+            did, parse_pdf(out).page_count, bool(exp),
+            toks == exp if exp else content.strip("\f\n ") == "",
+            b"3 Tr" in out and b"/ca 0" in out,
+        )
+    except (PdfWriteError, ValueError):
+        return (did, 0, False, False, False)
 
 
 STRIP_ROUNDTRIP_DDL = (
@@ -558,26 +587,11 @@ def pdf_strip_roundtrip(df: DataFrame) -> DataFrame:
     should be."""
 
     def run(batches: Iterator) -> Iterator:
-        from ..kernels.pdf import extract_pdf_layout_text
-        from ..kernels.pdfwrite import PdfWriteError, strip_pdf_metadata
-
         for pdf in batches:
-            rows = []
-            for did, blob in zip(pdf["doc_id"], pdf["pdf"]):
-                b = bytes(blob)
-                try:
-                    out = strip_pdf_metadata(b)
-                    text_equal = (
-                        extract_pdf_layout_text(out)[0]
-                        == extract_pdf_layout_text(b)[0]
-                    )
-                    stable = strip_pdf_metadata(out) == out
-                    rows.append(
-                        (did, bool(text_equal), bool(stable),
-                         len(out) <= 2 * len(b) + 4096)
-                    )
-                except (PdfWriteError, ValueError):
-                    rows.append((did, False, False, False))
+            rows = [
+                pdf_strip_roundtrip_row(did, bytes(blob))
+                for did, blob in zip(pdf["doc_id"], pdf["pdf"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -586,3 +600,24 @@ def pdf_strip_roundtrip(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=STRIP_ROUNDTRIP_DDL)
+
+
+def pdf_strip_roundtrip_row(did, b: bytes) -> tuple:
+    """Per-row core of :func:`pdf_strip_roundtrip` — shared with the fused
+    generate+strip query in ``__spark_entry__``."""
+    from ..kernels.pdf import extract_pdf_layout_text
+    from ..kernels.pdfwrite import PdfWriteError, strip_pdf_metadata
+
+    try:
+        out = strip_pdf_metadata(b)
+        text_equal = (
+            extract_pdf_layout_text(out)[0]
+            == extract_pdf_layout_text(b)[0]
+        )
+        stable = strip_pdf_metadata(out) == out
+        return (
+            did, bool(text_equal), bool(stable),
+            len(out) <= 2 * len(b) + 4096,
+        )
+    except (PdfWriteError, ValueError):
+        return (did, False, False, False)
