@@ -112,6 +112,34 @@ def _spread_scan(
     return df.repartition(target)
 
 
+def _spread_scan_sorted(
+    spark: SparkSession, path: str, key: str, cols: list[str] | None = None
+) -> DataFrame:
+    """Input-side global sort for map-only queries that must emit rows in
+    ``key`` order.  A final ``orderBy`` above a mapInPandas executes the
+    Python stage TWICE: the range exchange's bounds-sampling job runs the
+    child lineage once, then the real shuffle map runs it again (measured:
+    a trivial 64-partition map stage costs 2.0–2.5 s under a sort vs 1.0 s
+    without).  Range-partitioning + in-partition sorting the NARROW input
+    column instead keeps the expensive Python stage single-execution and
+    collapses spread+sort into ONE exchange, with the bounds sampled from
+    the cheap scan.  The collected row order is identical because the map
+    is 1-row-per-row and order-preserving: partitions ordered by range,
+    rows sorted within each → global ``key`` order at collect.  Partition
+    count keeps the scan's width at scale (never narrows below the
+    memoized split count)."""
+    df = spark.read.parquet(path)
+    if cols is not None:
+        df = df.select(*cols)
+    pkey = (spark.sparkContext.applicationId, path)
+    if pkey not in _SCAN_PARTS:
+        _SCAN_PARTS[pkey] = df.rdd.getNumPartitions()
+    target = max(
+        spark.sparkContext.defaultParallelism * 2, _SCAN_PARTS[pkey]
+    )
+    return df.repartitionByRange(target, F.col(key)).sortWithinPartitions(key)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain documents scan — the default.  Spreading is OPT-IN per query
     (``_docs_spread``): full-matrix A/B at sf0.1 showed the spread exchange
@@ -4707,8 +4735,8 @@ def q_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat columns out."""
     from doctor_spark.operators.multimodal import IMAGES_TO_PDF_DDL
 
-    docs = _spread_scan(
-        spark, f"{sf_dir}/documents.parquet", cols=["doc_id"]
+    docs = _spread_scan_sorted(
+        spark, f"{sf_dir}/documents.parquet", "doc_id", cols=["doc_id"]
     )
 
     def gen(batches):
@@ -4736,7 +4764,7 @@ def q_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "n_images", "page_count", "parse_ok"]
             )
 
-    return docs.mapInPandas(gen, schema=IMAGES_TO_PDF_DDL).orderBy("doc_id")
+    return docs.mapInPandas(gen, schema=IMAGES_TO_PDF_DDL)
 
 
 def q_fetch_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4747,8 +4775,8 @@ def q_fetch_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one page per image by the V1 writer, metadata-stripped (V3), and
     re-parsed by the independent reader.  Oracle: the page tree matches
     the URL count for every document."""
-    docs = _spread_scan(
-        spark, f"{sf_dir}/documents.parquet", cols=["doc_id"]
+    docs = _spread_scan_sorted(
+        spark, f"{sf_dir}/documents.parquet", "doc_id", cols=["doc_id"]
     )
 
     def gen(batches):
@@ -4792,7 +4820,7 @@ def q_fetch_images_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInPandas(
         gen, schema="doc_id long, n_urls int, page_count int, parse_ok boolean"
-    ).orderBy("doc_id")
+    )
 
 
 def q_audio_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4810,8 +4838,8 @@ def q_audio_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes never cross the JVM↔Python boundary."""
     from doctor_spark.operators.multimodal import AUDIO_TRANSCODE_DDL
 
-    docs = _spread_scan(
-        spark, f"{sf_dir}/documents.parquet", cols=["doc_id"]
+    docs = _spread_scan_sorted(
+        spark, f"{sf_dir}/documents.parquet", "doc_id", cols=["doc_id"]
     )
 
     def gen(batches):
@@ -4842,9 +4870,7 @@ def q_audio_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(gen, schema=AUDIO_TRANSCODE_DDL).orderBy(
-        "media_id"
-    )
+    return docs.mapInPandas(gen, schema=AUDIO_TRANSCODE_DDL)
 
 
 def q_pdf_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4861,8 +4887,8 @@ def q_pdf_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes never cross the JVM↔Python boundary."""
     from doctor_spark.operators.multimodal import THUMBNAIL_DDL
 
-    docs = _spread_scan(
-        spark, f"{sf_dir}/documents.parquet", cols=["doc_id"]
+    docs = _spread_scan_sorted(
+        spark, f"{sf_dir}/documents.parquet", "doc_id", cols=["doc_id"]
     )
 
     def gen(batches):
@@ -4882,7 +4908,7 @@ def q_pdf_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "thumb_w", "thumb_h", "png_ok", "has_ink"],
             )
 
-    return docs.mapInPandas(gen, schema=THUMBNAIL_DDL).orderBy("doc_id")
+    return docs.mapInPandas(gen, schema=THUMBNAIL_DDL)
 
 
 def q_embed_text_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4896,8 +4922,8 @@ def q_embed_text_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisibility mechanisms in the output bytes)."""
     from doctor_spark.operators.multimodal import EMBED_OVERLAY_DDL
 
-    docs = _spread_scan(
-        spark, f"{sf_dir}/documents.parquet", cols=["doc_id"]
+    docs = _spread_scan_sorted(
+        spark, f"{sf_dir}/documents.parquet", "doc_id", cols=["doc_id"]
     )
 
     def gen(batches):
@@ -4920,7 +4946,7 @@ def q_embed_text_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(gen, schema=EMBED_OVERLAY_DDL).orderBy("doc_id")
+    return docs.mapInPandas(gen, schema=EMBED_OVERLAY_DDL)
 
 
 def q_pdf_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4931,8 +4957,8 @@ def q_pdf_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document."""
     from doctor_spark.operators.multimodal import STRIP_ROUNDTRIP_DDL
 
-    docs = _spread_scan(
-        spark, f"{sf_dir}/documents.parquet", cols=["doc_id"]
+    docs = _spread_scan_sorted(
+        spark, f"{sf_dir}/documents.parquet", "doc_id", cols=["doc_id"]
     )
 
     def gen(batches):
@@ -4954,7 +4980,7 @@ def q_pdf_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(gen, schema=STRIP_ROUNDTRIP_DDL).orderBy("doc_id")
+    return docs.mapInPandas(gen, schema=STRIP_ROUNDTRIP_DDL)
 
 
 def q_media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -266,17 +266,22 @@ def prf_expansion(
     top = bm25_topk(
         docs, queries, doc_col=doc_col, text_col=text_col, k=k_fb
     ).select("query_id", "doc_id")
-    t = docs.where(
+    base = docs.where(
         F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
-    ).select(
-        F.col(doc_col).alias("doc_id"), _toks(F.col(text_col)).alias("tk")
-    )
+    ).select(F.col(doc_col).alias("doc_id"), F.col(text_col).alias("__txt"))
+    t = base.select("doc_id", _toks(F.col("__txt")).alias("tk"))
     exploded = t.select("doc_id", F.explode("tk").alias("term"))
-    n_docs = t.agg(F.count("*").alias("n_docs"))
+    n_docs = base.agg(F.count("*").alias("n_docs"))
 
-    # feedback tf: corpus stream pruned to the winning docs (broadcast)
+    # feedback tf: prune to the k_fb·|Q| winning docs BEFORE tokenizing —
+    # the broadcast semi-join moves below the tokenizer, so this pass
+    # tokenizes only the feedback docs instead of the whole corpus
+    # (guide §1.2: the corpus-wide tokenize+explode here was a full
+    # third corpus pass whose output was immediately joined away)
     fb_tf = (
-        exploded.join(F.broadcast(top), "doc_id")
+        base.join(F.broadcast(top), "doc_id")
+        .select("query_id", "doc_id", _toks(F.col("__txt")).alias("tk"))
+        .select("query_id", F.explode("tk").alias("term"))
         .groupBy("query_id", "term")
         .agg(F.count("*").alias("tf"))
     )
