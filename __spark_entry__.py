@@ -5110,6 +5110,14 @@ def q_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order is DELIBERATE: the grading driver's oracle check
+    # covers the first 50 entries, so that window carries one query per
+    # operator family with the newest/riskiest first (round-5 verdict
+    # item 1) - flagship extraction goldens, the V1-V6 converter family,
+    # every dedup rung, similarity/ANN, quality/LM, DSIR/mixing, BPE/NB
+    # trainers, sketches, link graph, web ingest, retrieval,
+    # multilingual.  Entries 51+ keep their historical order.  The SET
+    # of queries and every oracle's SQL text are unchanged.
     return {
         "extract_mismatches": q_extract_mismatches,
         "extract_format_metrics": q_extract_format_metrics,
@@ -5118,58 +5126,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_recap_mismatch": q_extract_recap_mismatch,
         "reference_fixtures": q_reference_fixtures,
         "doc_metrics_by_lang": q_doc_metrics_by_lang,
+        "markdown_goldens": q_markdown_goldens,
+        "images_to_pdf": q_images_to_pdf,
+        "fetch_images_to_pdf": q_fetch_images_to_pdf,
+        "audio_transcode": q_audio_transcode,
+        "pdf_thumbnails": q_pdf_thumbnails,
+        "embed_text_overlay": q_embed_text_overlay,
+        "pdf_strip_roundtrip": q_pdf_strip_roundtrip,
+        "media_features_mismatch": q_media_features_mismatch,
         "dedup_exact": q_dedup_exact,
-        "dedup_stats": q_dedup_stats,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_minhash_pairs_w128": q_dedup_minhash_pairs_w128,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_simhash_near_w48": q_dedup_simhash_near_w48,
         "dedup_components": q_dedup_components,
         "dedup_filtered_corpus": q_dedup_filtered_corpus,
-        "clean_corpus": q_clean_corpus,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_exact_substring": q_dedup_exact_substring,
         "paragraph_dedup": q_paragraph_dedup,
-        "para_dedup_intra": q_para_dedup_intra,
-        "url_canonicalize": q_url_canonicalize,
-        "domain_topk": q_domain_topk,
+        "bloom_dedup": q_bloom_dedup,
+        "decontaminate": q_decontaminate,
+        "cdc_dedup": q_cdc_dedup,
+        "verified_neardup": q_verified_neardup,
+        "containment_est": q_containment_est,
+        "embedding_neardup": q_embedding_neardup,
+        "semdedup": q_semdedup,
+        "lsh_ann_corpus_topk": q_lsh_ann_corpus_topk,
+        "kmeans_clusters": q_kmeans_clusters,
+        "gopher_quality": q_gopher_quality,
+        "repetition_gopher": q_repetition_gopher,
         "quality_classifier": q_quality_classifier,
         "ccnet_perplexity": q_ccnet_perplexity,
         "dsir_select": q_dsir_select,
-        "mix_weights": q_mix_weights,
         "mix_resample": q_mix_resample,
+        "bpe_merges": q_bpe_merges,
+        "nb_confusion": q_nb_confusion,
+        "heavy_hitters": q_heavy_hitters,
+        "hll_host_distinct": q_hll_host_distinct,
+        "link_pagerank": q_link_pagerank,
+        "crawl_depth": q_crawl_depth,
+        "boilerplate_corpus": q_boilerplate_corpus,
+        "page_metadata": q_page_metadata,
+        "structured_data": q_structured_data,
+        "c4_span_dedup": q_c4_span_dedup,
+        "bm25_topk": q_bm25_topk,
+        "para_lang": q_para_lang,
+        "dedup_stats": q_dedup_stats,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_near": q_dedup_simhash_near,
+        "clean_corpus": q_clean_corpus,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "para_dedup_intra": q_para_dedup_intra,
+        "url_canonicalize": q_url_canonicalize,
+        "domain_topk": q_domain_topk,
+        "mix_weights": q_mix_weights,
         "tfidf_top_terms": q_tfidf_top_terms,
         "ngram_novelty": q_ngram_novelty,
         "token_deciles": q_token_deciles,
-        "bloom_dedup": q_bloom_dedup,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "snapshot_diff": q_snapshot_diff,
         "corpus_health": q_corpus_health,
         "text_quality": q_text_quality,
-        "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
-        "repetition_gopher": q_repetition_gopher,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
-        "decontaminate": q_decontaminate,
         "corpus_sample": q_corpus_sample,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
-        "lsh_ann_corpus_topk": q_lsh_ann_corpus_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "semdedup": q_semdedup,
-        "heavy_hitters": q_heavy_hitters,
-        "hll_host_distinct": q_hll_host_distinct,
-        "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
-        "link_pagerank": q_link_pagerank,
         "link_host_rank": q_link_host_rank,
         "robots_gate": q_robots_gate,
         "domain_blocklist": q_domain_blocklist,
@@ -5177,7 +5205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup_clusters": q_audio_dup_clusters,
         "video_dup_clusters": q_video_dup_clusters,
         "url_admission": q_url_admission,
-        "page_metadata": q_page_metadata,
         "anchor_text_topk": q_anchor_text_topk,
         "image_caption_table": q_image_caption_table,
         "redirect_resolve": q_redirect_resolve,
@@ -5194,14 +5221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_admission": q_frontier_admission,
         "date_normalize": q_date_normalize,
         "code_blocks": q_code_blocks,
-        "nb_confusion": q_nb_confusion,
-        "markdown_goldens": q_markdown_goldens,
         "boilerplate_blocks": q_boilerplate_blocks,
-        "boilerplate_corpus": q_boilerplate_corpus,
         "boilerplate_corpus_lang": q_boilerplate_corpus_lang,
         "content_spans": q_content_spans,
         "robots_meta": q_robots_meta,
-        "structured_data": q_structured_data,
         "unicode_clean": q_unicode_clean,
         "hreflang_pairs": q_hreflang_pairs,
         "bitext_align": q_bitext_align,
@@ -5221,43 +5244,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_coverage": q_char_coverage,
         "crawler_traps": q_crawler_traps,
         "idn_homographs": q_idn_homographs,
-        "bm25_topk": q_bm25_topk,
         "hits_scores": q_hits_scores,
         "trustrank": q_trustrank,
         "stem_conflation": q_stem_conflation,
         "host_split": q_host_split,
         "zipf_fit": q_zipf_fit,
         "freq_of_freqs": q_freq_of_freqs,
-        "cdc_dedup": q_cdc_dedup,
         "layout_clusters": q_layout_clusters,
-        "verified_neardup": q_verified_neardup,
         "temporal_leakage": q_temporal_leakage,
         "best_passages": q_best_passages,
         "containment_pairs": q_containment_pairs,
         "textrank_keywords": q_textrank_keywords,
-        "para_lang": q_para_lang,
         "prf_expansion": q_prf_expansion,
         "textrank_summary": q_textrank_summary,
         "postings_compression": q_postings_compression,
-        "crawl_depth": q_crawl_depth,
-        "containment_est": q_containment_est,
         "url_templates": q_url_templates,
         "heading_outline": q_heading_outline,
         "host_template_lines": q_host_template_lines,
         "canonical_clusters": q_canonical_clusters,
         "pagination_chains": q_pagination_chains,
         "c4_clean": q_c4_clean,
-        "c4_span_dedup": q_c4_span_dedup,
         "char_entropy": q_char_entropy,
-        "kmeans_clusters": q_kmeans_clusters,
-        "media_features_mismatch": q_media_features_mismatch,
         "media_kind_stats": q_media_kind_stats,
-        "images_to_pdf": q_images_to_pdf,
-        "fetch_images_to_pdf": q_fetch_images_to_pdf,
-        "audio_transcode": q_audio_transcode,
-        "pdf_thumbnails": q_pdf_thumbnails,
-        "embed_text_overlay": q_embed_text_overlay,
-        "pdf_strip_roundtrip": q_pdf_strip_roundtrip,
         "events_daily": q_events_daily,
         "events_user_topk": q_events_user_topk,
         "events_sessionize": q_events_sessionize,
