@@ -69,24 +69,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Scale-adaptive parallelism floor for narrow scans (guide §2.5 "input
-    skew", §6).  The driver tables arrive as ONE small parquet file with one
-    row group, so the scan yields a single split and every Arrow/Python map
-    stage downstream runs on ONE core — at sf0.1 that was the entire wall of
-    the converter queries (32 s for ~17 s of single-core kernel CPU).  A
-    round-robin repartition to 2×defaultParallelism spreads the rows; the
-    exchange moves the full table exactly once (≤ a few MB here — the
-    converter queries additionally project to doc_id first, so they spread
-    8 bytes/row).  Conditional on the scan's split count so it is a NO-OP at
-    cluster scale, where the input already has more splits than cores: this
-    is a floor, not a tuned constant."""
-    target = spark.sparkContext.defaultParallelism * 2
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
-
-
+# Scale-adaptive parallelism floor for narrow scans (guide §2.5 "input
+# skew", §6).  The driver tables arrive as ONE small parquet file with one
+# row group, so the scan yields a single split and every Arrow/Python map
+# stage downstream runs on ONE core — at sf0.1 that was the entire wall of
+# the converter queries (32 s for ~17 s of single-core kernel CPU).
+# ``_spread_scan`` round-robin-repartitions to 2×defaultParallelism,
+# conditional on the scan's split count so it is a NO-OP at cluster scale
+# (a floor, not a tuned constant); ``_spread_scan_sorted`` is the variant
+# for map-only queries that must emit key-ordered rows.
+#
 # scan-width decisions per (app, table path): df.rdd.getNumPartitions()
 # costs ~0.1 s of physical planning per call, and a bench session asks the
 # same question about the same three files ~400 times

@@ -172,6 +172,25 @@ def _affine_params(n_perms: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _affine_mins_chunked(h32, a, b, chunk: int = 16):
+    """Per-permutation minima of ``(a_i*h + b_i) mod 2^32`` over all
+    shingle hashes, computed ``chunk`` permutations at a time: the naive
+    outer product materializes an (n_shingles x n_perms) int64 matrix —
+    ~100 MB transient for a 100k-shingle web document at width 128 —
+    risking executor memory pressure at scale (round-5 ADVICE item).
+    Chunking bounds the transient at n_shingles x chunk x 8 bytes with
+    bit-identical results (each permutation's min is independent)."""
+    import numpy as np
+
+    n_perms = a.shape[0]
+    mins = np.empty(n_perms, dtype=np.int64)
+    for c0 in range(0, n_perms, chunk):
+        c1 = min(c0 + chunk, n_perms)
+        blk = ((h32[:, None] * a[None, c0:c1]) + b[None, c0:c1]) % 4294967296
+        mins[c0:c1] = blk.min(axis=0)
+    return mins
+
+
 def _minhash_bands_affine_udf(n_perms: int, rows_per_band: int, n: int = 3):
     """Production-width band kernel (the Lee-et-al./Dolma operating
     point): ONE md5 per shingle, then ``n_perms`` affine permutations
@@ -205,8 +224,7 @@ def _minhash_bands_affine_udf(n_perms: int, rows_per_band: int, n: int = 3):
                 ),
                 dtype=np.int64, count=len(sh),
             )
-            sig = ((h32[:, None] * a[None, :]) + b[None, :]) % 4294967296
-            mins = sig.min(axis=0)
+            mins = _affine_mins_chunked(h32, a, b)
             out.append(
                 [
                     hashlib.md5(
@@ -1603,8 +1621,7 @@ def _minhash_sig_affine_udf(n_perms: int, rows_per_band: int, n: int = 3):
                 ),
                 dtype=np.int64, count=len(sh),
             )
-            sig = ((h32[:, None] * a[None, :]) + b[None, :]) % 4294967296
-            mins = sig.min(axis=0)
+            mins = _affine_mins_chunked(h32, a, b)
             ns.append(len(sh))
             sigs_out.append([int(v) for v in mins])
             bands_out.append(
