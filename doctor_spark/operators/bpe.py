@@ -83,26 +83,67 @@ def merge_syms(s: str, left: str, right: str) -> str:
     return SEP.join(acc)
 
 
-def _pairs_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(syms, cnt) rows → (pair, cnt) rows, one output row per adjacent
-    position occurrence (overlapping), pair = left+SEP+right."""
-    for pdf in batches:
-        pairs: list[str] = []
-        cnts: list[int] = []
-        for s, c in zip(pdf["syms"], pdf["cnt"]):
-            syms = s.split(SEP)
-            for i in range(len(syms) - 1):
-                pairs.append(syms[i] + SEP + syms[i + 1])
-                cnts.append(c)
-        yield pd.DataFrame({"pair": pairs, "cnt": cnts})
+def _apply_merges_list(syms: list[str], pending) -> list[str]:
+    """Apply ``pending`` merges in order to a symbol LIST — each pass is
+    the same LTR-greedy fold as :func:`merge_syms`, without the
+    split/join round-trip per merge."""
+    for left, right in pending:
+        target = left + right
+        acc = [syms[0]]
+        for x in syms[1:]:
+            if x == right and acc[-1] == left:
+                acc[-1] = target
+            else:
+                acc.append(x)
+        syms = acc
+    return syms
 
 
-def _merge_udf(left: str, right: str):
-    @F.pandas_udf("string")
-    def apply_merge(syms: pd.Series) -> pd.Series:
-        return syms.map(lambda s: merge_syms(s, left, right))
+def _pairs_after_merges_kernel(pending: tuple[tuple[str, str], ...]):
+    """Fused per-iteration kernel (guide §4.1, §2.3): apply the merges
+    learned since the last checkpoint IN-KERNEL (one Python stage instead
+    of a stack of per-merge ArrowEvalPython nodes, each a separate
+    JVM↔Python crossing of the whole word table), then count adjacent
+    pairs with per-batch partial aggregation — one output row per
+    DISTINCT pair per batch rather than per occurrence, so the Arrow
+    transfer and the exchange carry the pair vocabulary, not the corpus
+    position count."""
 
-    return apply_merge
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            agg: dict[str, int] = {}
+            for s, c in zip(pdf["syms"], pdf["cnt"]):
+                syms = s.split(SEP)
+                if pending:
+                    syms = _apply_merges_list(syms, pending)
+                c = int(c)
+                for i in range(len(syms) - 1):
+                    k = syms[i] + SEP + syms[i + 1]
+                    agg[k] = agg.get(k, 0) + c
+            yield pd.DataFrame(
+                {"pair": list(agg.keys()), "cnt": list(agg.values())}
+            )
+
+    return kernel
+
+
+def _apply_merges_kernel(pending: tuple[tuple[str, str], ...]):
+    """(syms, cnt) → (syms, cnt) with ``pending`` merges applied — the
+    checkpoint-refresh form of the fused kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "syms": [
+                        SEP.join(_apply_merges_list(s.split(SEP), pending))
+                        for s in pdf["syms"]
+                    ],
+                    "cnt": pdf["cnt"],
+                }
+            )
+
+    return kernel
 
 
 def bpe_train(
@@ -115,9 +156,15 @@ def bpe_train(
 
     Returns [(rank, left, right, freq)] — freq is the pair's total
     count at merge time.  One pair-count job + one single-row collect
-    per merge; the word table is localCheckpointed every
-    ``checkpoint_every`` merges to bound lineage (and eagerly at entry,
-    so the corpus-scale word count runs once)."""
+    per merge.  Merges learned since the last checkpoint are applied
+    INSIDE the pair-count kernel (``_pairs_after_merges_kernel``) rather
+    than as stacked per-merge pandas UDFs — iteration k used to re-cross
+    the JVM↔Python boundary k-times-since-checkpoint with the whole word
+    table; now every iteration is exactly ONE Python stage.  The word
+    table is re-materialized (localCheckpoint, with the pending merges
+    applied in one kernel) every ``checkpoint_every`` merges to bound
+    the in-kernel replay work, and eagerly at entry so the corpus-scale
+    word count runs once."""
     words = wc.where(F.col("cnt") >= min_count).select(
         F.concat_ws(
             SEP,
@@ -130,9 +177,13 @@ def bpe_train(
     ).localCheckpoint()
 
     merges: list[tuple[int, str, str, int]] = []
+    pending: list[tuple[str, str]] = []
     for rank in range(1, n_merges + 1):
         best = (
-            words.mapInPandas(_pairs_kernel, "pair string, cnt long")
+            words.mapInPandas(
+                _pairs_after_merges_kernel(tuple(pending)),
+                "pair string, cnt long",
+            )
             .groupBy("pair")
             .agg(F.sum("cnt").alias("total"))
             .orderBy(F.col("total").desc(), F.col("pair").asc())
@@ -144,11 +195,12 @@ def bpe_train(
         pair, freq = best[0]["pair"], int(best[0]["total"])
         left, right = pair.split(SEP)
         merges.append((rank, left, right, freq))
-        words = words.select(
-            _merge_udf(left, right)(F.col("syms")).alias("syms"), "cnt"
-        )
-        if rank % checkpoint_every == 0:
-            words = words.localCheckpoint()
+        pending.append((left, right))
+        if len(pending) >= checkpoint_every and rank < n_merges:
+            words = words.mapInPandas(
+                _apply_merges_kernel(tuple(pending)), "syms string, cnt long"
+            ).localCheckpoint()
+            pending = []
     return merges
 
 
@@ -229,14 +281,25 @@ def bpe_token_counts(
         ).alias("syms"),
         "cnt",
     )
-    for _rank, left, right, _freq in merges:
-        words = words.select(
-            _merge_udf(left, right)(F.col("syms")).alias("syms"), "cnt"
-        )
+    # replay ALL learned merges in ONE fused kernel with per-batch token
+    # aggregation (the stacked per-merge pandas UDFs cost n_merges
+    # JVM↔Python crossings of the word table; the explode of occurrence
+    # rows cost an occurrence-sized exchange)
+    ordered = tuple((left, right) for _rank, left, right, _freq in merges)
+
+    def tok_kernel(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            agg: dict[str, int] = {}
+            for s, c in zip(pdf["syms"], pdf["cnt"]):
+                c = int(c)
+                for t in _apply_merges_list(s.split(SEP), ordered):
+                    agg[t] = agg.get(t, 0) + c
+            yield pd.DataFrame(
+                {"token": list(agg.keys()), "cnt": list(agg.values())}
+            )
+
     return (
-        words.select(
-            F.explode(F.split(F.col("syms"), SEP)).alias("token"), "cnt"
-        )
+        words.mapInPandas(tok_kernel, "token string, cnt long")
         .groupBy("token")
         .agg(F.sum("cnt").alias("cnt"))
     )

@@ -28,8 +28,10 @@ def test_chunked_equals_naive_across_widths_and_sizes():
 
 def test_chunk_transient_is_bounded():
     # the whole point: a pathological 200k-shingle doc at width 128 must
-    # not materialize an (n_sh x n_perms) matrix; chunk=16 keeps the
-    # largest transient to n_sh x 16 int64 (~25 MB here, vs ~200 MB naive)
+    # not materialize an (n_sh x n_perms) matrix; the adaptive chunk
+    # (max_elems // n_sh = 20 perms here) keeps the largest transient to
+    # n_sh x 20 int64 (~32 MB, vs ~200 MB naive), while small documents
+    # take the whole width in one numpy call
     a_l, b_l = _affine_params(128)
     a = np.asarray(a_l, dtype=np.int64)
     b = np.asarray(b_l, dtype=np.int64)
@@ -37,3 +39,5 @@ def test_chunk_transient_is_bounded():
     mins = _affine_mins_chunked(h32, a, b)
     assert mins.shape == (128,)
     assert (mins >= 0).all() and (mins < 2**32).all()
+    # and the chunked result still equals the naive outer product
+    assert (mins == _naive(h32, a, b)).all()
