@@ -3357,7 +3357,7 @@ def q_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import verified_neardup_pairs
 
     out = verified_neardup_pairs(
-        _docs(spark, sf_dir), sim_threshold_micro=600_000
+        _docs_spread(spark, sf_dir), sim_threshold_micro=600_000
     )
     return out.select(
         F.col("id_a").cast("bigint").alias("id_a"),
@@ -3380,7 +3380,7 @@ def q_temporal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import verified_neardup_pairs
     from doctor_spark.operators.splits import cross_split_leakage
 
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     pairs = verified_neardup_pairs(d, sim_threshold_micro=600_000)
     assign = d.select(
         F.col("doc_id").alias("id"),

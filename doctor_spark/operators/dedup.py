@@ -296,14 +296,75 @@ def minhash_candidate_pairs(
     )
 
 
+def _simhash_udf(bits: int):
+    """Arrow-batched SimHash kernel, bit-identical to the expression form
+    (same md5-of-UTF-8 per token, same ±1 bit votes, same low-``bits``
+    signature).  The JVM expression evaluates its higher-order
+    transform/aggregate/zip_with lambdas INTERPRETED — tokens × bits
+    lambda steps per document (the ngram-engine finding), which at width
+    48 was the whole wall of the w48 query.  numpy does the vote matrix
+    in one shot per document, bounded to 64k-token blocks so a
+    pathological 10M-token doc stays ~25 MB transient; the token→hash
+    map is memoized per batch (vocabulary repeats across documents)."""
+
+    @F.pandas_udf("bigint")
+    def sig(texts: pd.Series) -> pd.Series:
+        from hashlib import md5
+
+        import numpy as np
+
+        shift = np.arange(bits, dtype=np.int64)
+        hcache: dict[str, int] = {}
+
+        def th(t: str) -> int:
+            h = hcache.get(t)
+            if h is None:
+                h = int(md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                hcache[t] = h
+            return h
+
+        out = []
+        for text in texts:
+            if text is None:
+                out.append(None)
+                continue
+            toks = _java_ws_tokens(text)
+            hs = np.fromiter(
+                (th(t) for t in toks), dtype=np.int64, count=len(toks)
+            )
+            votes = np.zeros(bits, dtype=np.int64)
+            for c0 in range(0, hs.shape[0], 65536):
+                blk = hs[c0:c0 + 65536]
+                votes += (
+                    2 * ((blk[:, None] >> shift[None, :]) & 1) - 1
+                ).sum(axis=0)
+            out.append(int(((votes >= 0).astype(np.int64) << shift).sum()))
+        return pd.Series(out, dtype="object")
+
+    return sig
+
+
 def with_simhash(
-    df: DataFrame, text_col: str = "text", bits: int = 16
+    df: DataFrame, text_col: str = "text", bits: int = 16,
+    engine: str = "expr",
 ) -> DataFrame:
     """SimHash signature: per-token 60-bit hash (hex→int of md5 prefix),
     each bit majority-voted over the token multiset; ``bits`` low bits kept.
 
-    Pure built-in expression: explode-free (higher-order aggregate over the
-    token array), so it needs no shuffle at all."""
+    Engine choice is a measured split (round 6, sf0.1 interleaved
+    min-of-3): for a SINGLE downstream reference the pure expression
+    wins (0.43 s vs 0.75 s at w48 — no Arrow boundary, and Spark 4
+    evaluates this shape acceptably), so it stays the default; when the
+    signature is referenced by SEVERAL expressions (the band slices in
+    :func:`simhash_near_pairs`), projection collapse re-INLINES the
+    whole simhash expression into every reference (the
+    ``_shingle_structs_expr`` lesson) and the query pays ~n_bands
+    signature evaluations — there the Arrow kernel (``engine="arrow"``),
+    which materializes ONCE in its ArrowEvalPython node, wins 1.65 s vs
+    1.95+ s.  Both engines are bit-identical
+    (tests/test_plans.py::test_simhash_engines_bit_identical)."""
+    if engine == "arrow":
+        return df.withColumn("simhash", _simhash_udf(bits)(F.col(text_col)))
     toks = tokens(F.col(text_col))
     tok_hash = F.transform(
         toks,
@@ -484,7 +545,10 @@ def simhash_near_pairs(
         raise ValueError("completeness needs max_hamming < n_bands")
     band_width = bits // n_bands
     mask = (1 << band_width) - 1
-    sigs = with_simhash(df, text_col, bits).select(
+    # arrow engine: the signature feeds n_bands band-slice expressions
+    # plus the rescore column — the expression form would be re-inlined
+    # into every reference (see with_simhash docstring)
+    sigs = with_simhash(df, text_col, bits, engine="arrow").select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sig")
     )
     stacked = sigs.select(

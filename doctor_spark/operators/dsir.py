@@ -71,6 +71,69 @@ def grams(col: Column) -> Column:
     return F.concat(tk, bi)
 
 
+def _py_grams(text: str) -> list[str]:
+    """Python mirror of :func:`grams` over one document: Java-\\s+ tokens
+    of ``trim(lower(text))`` (``_java_ws_tokens`` — the established
+    cross-engine tokenizer mirror) ++ space-joined bigrams."""
+    from .dedup import _java_ws_tokens
+
+    toks = _java_ws_tokens(text or "")
+    if len(toks) < 2:
+        return toks
+    return toks + [
+        toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+    ]
+
+
+def _fit_kernel(dim: int):
+    """Arrow kernel for the fit pass: (is_t, __txt) batches → per-batch
+    partial (b, c_r, c_t) bucket counts.  Replaces the JVM
+    explode+transform gram build — Catalyst evaluates the higher-order
+    bigram/concat/md5 lambdas INTERPRETED (the ngram-engine finding,
+    BENCH/BASELINE.md), and the explode shipped one row per gram
+    occurrence into the exchange; the kernel ships at most ``dim`` rows
+    per batch.  Bucketing is bit-identical: 60-bit md5 prefix mod dim,
+    the same bytes hashed on every engine.  The gram→bucket map is
+    memoized per task (vocabulary repeats massively across documents)."""
+    import hashlib
+
+    def kernel(batches):
+        bcache: dict[str, int] = {}
+
+        def bucket(g: str) -> int:
+            b = bcache.get(g)
+            if b is None:
+                b = int(
+                    hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16
+                ) % dim
+                bcache[g] = b
+            return b
+
+        for pdf in batches:
+            c_r: dict[int, int] = {}
+            c_t: dict[int, int] = {}
+            for t, is_t in zip(pdf["__txt"], pdf["is_t"]):
+                if is_t:
+                    for g in _py_grams(t):
+                        b = bucket(g)
+                        c_r[b] = c_r.get(b, 0) + 1
+                        c_t[b] = c_t.get(b, 0) + 1
+                else:
+                    for g in _py_grams(t):
+                        b = bucket(g)
+                        c_r[b] = c_r.get(b, 0) + 1
+            bs = list(c_r.keys())
+            yield pd.DataFrame(
+                {
+                    "b": bs,
+                    "c_r": [c_r[b] for b in bs],
+                    "c_t": [c_t.get(b, 0) for b in bs],
+                }
+            )
+
+    return kernel
+
+
 def _lp_micro(c: int, total: int, dim: int) -> int:
     """Laplace-smoothed bucket log-prob in micro-log10: the one place
     log10 runs for the table, driver-side CPython→libm, replayed by
@@ -98,15 +161,11 @@ def dsir_llr_table(
     embeds it as a literal, the plan ships it with the tasks."""
     counts = (
         df.select(
-            target_cond.alias("is_t"),
-            F.explode(grams(F.col(text_col))).alias("g"),
+            target_cond.alias("is_t"), F.col(text_col).alias("__txt")
         )
-        .select("is_t", _hash_bucket(F.col("g"), dim).alias("b"))
+        .mapInPandas(_fit_kernel(dim), "b long, c_r long, c_t long")
         .groupBy("b")
-        .agg(
-            F.count(F.lit(1)).alias("c_r"),
-            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
-        )
+        .agg(F.sum("c_r").alias("c_r"), F.sum("c_t").alias("c_t"))
         .collect()
     )
     c_r = {int(r["b"]): int(r["c_r"]) for r in counts}
@@ -132,22 +191,57 @@ def dsir_scores(
     ``aggregate`` plan with the FIT table as the weights.  Returns
     ``(id_col, n_tok, lw_micro)``; whitespace-only docs are excluded
     (they carry no feature evidence and would divide the paper's
-    per-token normalization by zero)."""
-    tbl = F.lit(llr)
-    g = grams(F.col(text_col))
-    lw = F.aggregate(
-        g,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc
-        + F.element_at(tbl, (_hash_bucket(t, dim) + 1).cast("int")),
-    )
+    per-token normalization by zero).
+
+    Implementation note (round 6): the scoring runs as ONE Arrow kernel
+    per batch rather than the equivalent JVM ``aggregate`` lambda — the
+    higher-order expression evaluates INTERPRETED with a per-gram
+    md5→conv→element_at subtree (the ngram-engine finding), and the
+    kernel memoizes each gram's llr contribution per task.  Bucket math
+    is the identical 60-bit md5 prefix mod ``dim``, so the scores are
+    bit-identical (pinned by the oracle)."""
+    import hashlib
+
+    llr_local = [int(v) for v in llr]
+
+    @F.pandas_udf("struct<n_tok: bigint, lw_micro: bigint>")
+    def score(texts: pd.Series) -> pd.DataFrame:
+        from .dedup import _java_ws_tokens
+
+        wcache: dict[str, int] = {}
+
+        def w(g: str) -> int:
+            v = wcache.get(g)
+            if v is None:
+                v = llr_local[
+                    int(
+                        hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16
+                    ) % dim
+                ]
+                wcache[g] = v
+            return v
+
+        nt, lw = [], []
+        for t in texts:
+            toks = _java_ws_tokens(t or "")
+            nt.append(len(toks))
+            s = 0
+            for g in toks:
+                s += w(g)
+            for i in range(len(toks) - 1):
+                s += w(toks[i] + " " + toks[i + 1])
+            lw.append(s)
+        return pd.DataFrame({"n_tok": nt, "lw_micro": lw})
+
     return df.where(
         F.col(text_col).isNotNull()
         & (F.length(F.trim(F.col(text_col))) > 0)
     ).select(
+        F.col(id_col), score(F.col(text_col)).alias("__s")
+    ).select(
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tok"),
-        lw.cast("long").alias("lw_micro"),
+        F.col("__s.n_tok").alias("n_tok"),
+        F.col("__s.lw_micro").alias("lw_micro"),
     )
 
 

@@ -277,6 +277,28 @@ def test_simhash_near_pairs_complete(spark):
     assert got == want and len(want) > 0
 
 
+def test_simhash_engines_bit_identical(spark):
+    """The Arrow SimHash kernel (round-6 replacement for the interpreted
+    higher-order expression) must produce bit-identical signatures at
+    both the demo and production widths, including the empty-string and
+    whitespace-edge rows."""
+    from doctor_spark.operators.dedup import with_simhash
+
+    rows = [(i, t) for i, t in enumerate([
+        "the quick brown fox jumps over the lazy dog",
+        "", " ", "\t leading tab", "trailing newline\n",
+        "repeated repeated repeated words words",
+        "UPPER Case MiXeD", "a", "two words",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for bits in (16, 48):
+        arrow = {r.doc_id: r.simhash
+                 for r in with_simhash(df, bits=bits).collect()}
+        expr = {r.doc_id: r.simhash
+                for r in with_simhash(df, bits=bits, engine="expr").collect()}
+        assert arrow == expr, (bits, arrow, expr)
+
+
 def test_dedup_filtered_corpus_invariants(spark):
     """The fused chain keeps exactly one member per duplicate cluster
     (the min id), drops the rest, and passes through every unclustered
