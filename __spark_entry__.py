@@ -1538,7 +1538,7 @@ def q_hll_host_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = hll_distinct(pairs, ["host"], "url")
-    return out.orderBy("host").select(
+    return out.localCheckpoint(eager=False).orderBy("host").select(
         "host",
         F.col("n_regs").cast("bigint").alias("n_regs"),
         F.col("v_zero").cast("bigint").alias("v_zero"),
@@ -2135,7 +2135,7 @@ def q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "head_url",
         F.col("page_index").cast("bigint").alias("page_index"),
         "resolved",
-    ).orderBy("url")
+    ).localCheckpoint(eager=False).orderBy("url")
 
 
 def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2186,7 +2186,7 @@ def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "url", "cluster_key", "is_keeper",
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def q_host_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2219,7 +2219,7 @@ def q_host_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host", "line",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("host_docs").cast("bigint").alias("host_docs"),
-    ).orderBy("host", "line")
+    ).localCheckpoint(eager=False).orderBy("host", "line")
 
 
 # deterministic hreflang synthesis: five arms — a 3-language cluster,
@@ -2269,7 +2269,7 @@ def q_hreflang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = language_pair_counts(pages)
     return out.select(
         "lang_a", "lang_b", F.col("n_pages").cast("bigint").alias("n_pages")
-    ).orderBy("lang_a", "lang_b")
+    ).localCheckpoint(eager=False).orderBy("lang_a", "lang_b")
 
 
 # deterministic bitext synthesis: five arms — a 3-sentence 1-1 run
@@ -2332,7 +2332,7 @@ def q_bitext_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tgt_start").cast("int").alias("tgt_start"),
         F.col("n_tgt").cast("int").alias("n_tgt"),
         "src_text", "tgt_text",
-    ).orderBy("doc_id", "bead")
+    ).localCheckpoint(eager=False).orderBy("doc_id", "bead")
 
 
 # deterministic URL-structure synthesis: five path arms (numeric
@@ -2369,7 +2369,7 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host", "template",
         F.col("n_urls").cast("bigint").alias("n_urls"),
         "sample_url",
-    ).orderBy("host", "template")
+    ).localCheckpoint(eager=False).orderBy("host", "template")
 
 
 # deterministic heading synthesis: four arms — a 4-heading outline
@@ -2412,7 +2412,7 @@ def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("level").cast("int").alias("level"),
         F.col("parent").cast("int").alias("parent"),
         "text", "truncated",
-    ).orderBy("doc_id", "seq")
+    ).localCheckpoint(eager=False).orderBy("doc_id", "seq")
 
 
 def q_bitext_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2446,7 +2446,7 @@ def q_bitext_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bitext_url_pairs(pages)
     return out.select(
         "stem", "src_lang", "src_url", "tgt_lang", "tgt_url"
-    ).orderBy("stem", "src_lang", "tgt_lang")
+    ).localCheckpoint(eager=False).orderBy("stem", "src_lang", "tgt_lang")
 
 
 def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2479,7 +2479,7 @@ def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = host_quality_gate(docs, min_docs=5, max_fail_pct=50)
     return out.select("doc_id", "host", "passes", "host_ok") \
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2501,7 +2501,7 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["n_syllables"].alias("n_syllables"),
         m["fk_grade"].alias("fk_grade"),
         m["flesch_ease"].alias("flesch_ease"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2521,7 +2521,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w1", "w2",
         F.col("n_pair").cast("bigint").alias("n_pair"),
         "pmi_micro",
-    ).orderBy("w1", "w2")
+    ).localCheckpoint(eager=False).orderBy("w1", "w2")
 
 
 # chunking synthesis: four arms — paragraph packing, an oversize
@@ -2560,7 +2560,7 @@ def q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.col("n_tokens").cast("int").alias("n_tokens"),
         "kind", "chunk_text",
-    ).orderBy("doc_id", "chunk_idx")
+    ).localCheckpoint(eager=False).orderBy("doc_id", "chunk_idx")
 
 
 def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2588,7 +2588,7 @@ def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("bigint").alias("df"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "positions",
-    ).orderBy("term", "doc_id")
+    ).localCheckpoint(eager=False).orderBy("term", "doc_id")
 
 
 # quote synthesis: constant-string arms so every offset is a literal
@@ -2625,7 +2625,7 @@ def q_quote_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_off").cast("int").alias("start_off"),
         F.col("end_off").cast("int").alias("end_off"),
         "quote_text",
-    ).orderBy("doc_id", "quote_idx")
+    ).localCheckpoint(eager=False).orderBy("doc_id", "quote_idx")
 
 
 # mirror synthesis: three mirror payloads replicated across four m-hosts
@@ -2671,7 +2671,7 @@ def q_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MIRROR_CONTENT_SQL).alias("text"),
     )
     out = host_mirror_pairs(pages, host_cap=8, min_shared=1)
-    return out.orderBy("host1", "host2")
+    return out.localCheckpoint(eager=False).orderBy("host1", "host2")
 
 
 def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2686,7 +2686,7 @@ def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.concordance import kwic
 
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    return kwic(d, "spark", k=3).orderBy("doc_id", "pos")
+    return kwic(d, "spark", k=3).localCheckpoint(eager=False).orderBy("doc_id", "pos")
 
 
 # citation synthesis: five arms — multi-cite prose, series precedence
@@ -2720,7 +2720,7 @@ def q_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.expr(_CITE_SYNTH_SQL).alias("text"),
     )
-    return citation_spans(pages).orderBy("doc_id", "cite_idx")
+    return citation_spans(pages).localCheckpoint(eager=False).orderBy("doc_id", "cite_idx")
 
 
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2734,7 +2734,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.vocab import vocab_growth
 
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    return vocab_growth(d, bucket_docs=100).orderBy("bucket")
+    return vocab_growth(d, bucket_docs=100).localCheckpoint(eager=False).orderBy("bucket")
 
 
 def q_revisit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2779,7 +2779,7 @@ def q_revisit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "refers_date",
         F.md5(F.col("record")).alias("rec_md5"),
         F.length(F.col("record")).cast("bigint").alias("rec_bytes"),
-    ).orderBy("url", "date_s", "digest")
+    ).localCheckpoint(eager=False).orderBy("url", "date_s", "digest")
 
 
 # RAKE synthesis: four constant arms — the paper-style arithmetic doc,
@@ -2820,7 +2820,7 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_micro").cast("bigint").alias("score_micro"),
         F.col("n_words").cast("int").alias("n_words"),
         F.col("n_occurrences").cast("int").alias("n_occurrences"),
-    ).orderBy("doc_id", "kw_rank")
+    ).localCheckpoint(eager=False).orderBy("doc_id", "kw_rank")
 
 
 def q_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2835,7 +2835,7 @@ def q_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.charcov import char_coverage
 
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    return char_coverage(d).orderBy("rank")
+    return char_coverage(d).localCheckpoint(eager=False).orderBy("rank")
 
 
 # Trap-shaped URL synthesis — one SQL snippet parsed by Spark's F.expr
@@ -2898,7 +2898,7 @@ def q_crawler_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _docs(spark, sf_dir).select(
         F.expr(_TRAP_SYNTH_SQL).alias("url")
     )
-    return host_trap_table(pages).orderBy("host")
+    return host_trap_table(pages).localCheckpoint(eager=False).orderBy("host")
 
 
 # IDN host arms — constant per residue class so the decoded forms are
@@ -2948,7 +2948,7 @@ def q_idn_homographs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "host", "unicode_host", "is_idn", "mixed_script",
             "skeleton", "homograph_of",
         )
-        .orderBy("host")
+        .localCheckpoint(eager=False).orderBy("host")
     )
 
 
@@ -2982,7 +2982,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(enumerate(_BM25_QUERIES)), "query_id long, query_text string"
     )
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    return bm25_topk(d, queries, k=10).orderBy("query_id", "rank")
+    return bm25_topk(d, queries, k=10).localCheckpoint(eager=False).orderBy("query_id", "rank")
 
 
 # HITS edge generators — a different affine family than _PR_EDGE_GENS so
@@ -3020,7 +3020,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("hub_micro").cast("bigint").alias("hub_micro"),
         F.col("auth_micro").cast("bigint").alias("auth_micro"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # TrustRank edge generators + seed rule — distinct affine family from
@@ -3061,7 +3061,7 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("trust_micro").cast("bigint").alias("trust_micro"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # Porter-stemming synthesis arms — a word inventory exercising every
@@ -3159,7 +3159,7 @@ def q_stem_conflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
         F.expr(_STEM_SYNTH_SQL).alias("text")
     )
-    return stem_conflation(d).orderBy("stem")
+    return stem_conflation(d).localCheckpoint(eager=False).orderBy("stem")
 
 
 # Host synthesis for the split query — arms exercise the registrable-
@@ -3193,7 +3193,7 @@ def q_host_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
         F.expr(_SPLIT_HOST_SQL).alias("host")
     )
-    return split_summary(assign_split(d)).orderBy("split")
+    return split_summary(assign_split(d)).localCheckpoint(eager=False).orderBy("split")
 
 
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3217,7 +3217,7 @@ def q_freq_of_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-histogram-sized table."""
     from doctor_spark.operators.zipf import freq_of_freqs
 
-    return freq_of_freqs(_docs(spark, sf_dir)).orderBy("freq")
+    return freq_of_freqs(_docs(spark, sf_dir)).localCheckpoint(eager=False).orderBy("freq")
 
 
 # Content-defined-chunking synthesis — 8 constant payload arms built
@@ -3340,7 +3340,7 @@ def q_layout_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_LAYOUT_SYNTH_SQL).alias("html"),
         F.expr(_LAYOUT_HOST_SQL).alias("host"),
     )
-    return layout_clusters(d).orderBy("layout_fp")
+    return layout_clusters(d).localCheckpoint(eager=False).orderBy("layout_fp")
 
 
 def q_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3364,7 +3364,7 @@ def q_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("bigint").alias("id_b"),
         "lev",
         "sim_micro",
-    ).orderBy("id_a", "id_b")
+    ).localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 def q_temporal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3405,7 +3405,7 @@ def q_best_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(enumerate(_BM25_QUERIES)), "query_id long, query_text string"
     )
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    return best_passages(d, queries, k=5, window=12).orderBy(
+    return best_passages(d, queries, k=5, window=12).localCheckpoint(eager=False).orderBy(
         "query_id", "rank"
     )
 
@@ -3626,7 +3626,7 @@ def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.getField("n_zero_width").alias("n_zero_width"),
         k.getField("n_controls").alias("n_controls"),
         k.getField("changed").alias("changed"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3646,7 +3646,7 @@ def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.encode(F.expr(_JSONLD_SYNTH_SQL), "utf-8").alias("html"),
     )
-    return structured_data(pages).orderBy("doc_id")
+    return structured_data(pages).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # deterministic robots-meta synthesis: six head arms (noindex+nofollow,
@@ -5092,7 +5092,7 @@ def q_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        rev.localCheckpoint(eager=False).orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
         .select(
             F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
