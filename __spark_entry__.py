@@ -3472,7 +3472,7 @@ def q_containment_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctor_spark.operators.dedup import containment_est_pairs
 
     p = containment_est_pairs(
-        _docs(spark, sf_dir), threshold=0.5, min_shingles=5,
+        _docs_spread(spark, sf_dir), threshold=0.5, min_shingles=5,
     )
     return p.select(
         F.col("src_id").cast("bigint").alias("src_id"),

@@ -1710,7 +1710,14 @@ def _minhash_sig_affine_udf(n_perms: int, rows_per_band: int, n: int = 3):
             )
         return pd.DataFrame({"n_sh": ns, "sig": sigs_out, "bands": bands_out})
 
-    return sig_bands
+    # guide §4.4: the caller filters on n_sh (a field of this UDF's
+    # output), and the optimizer pushes that filter below any exchange by
+    # DUPLICATING the UDF — the signature kernel then runs twice, once
+    # below the parallelism-floor exchange on the single input split
+    # (measured: the whole containment_est wall).  Marking it
+    # non-deterministic forbids the duplication; the value is of course
+    # deterministic, only the optimizer's freedom changes.
+    return sig_bands.asNondeterministic()
 
 
 def containment_est_pairs(
