@@ -61,7 +61,7 @@ def _bm25_idf_micro(n_docs: pd.Series, df_t: pd.Series) -> pd.Series:
     )
 
 
-def bm25_topk(
+def _bm25_topk_with_stats(
     docs: DataFrame,
     queries: DataFrame,
     doc_col: str = "doc_id",
@@ -69,15 +69,12 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 10,
-) -> DataFrame:
-    """Top-``k`` documents per query by BM25.
+) -> tuple[DataFrame, int, int]:
+    """:func:`bm25_topk` plus the exact corpus stats it computed —
+    ``(top_df, n_docs, sum_dl)`` — so composite operators (PRF) reuse
+    them instead of paying another corpus pass."""
+    from pyspark.sql import Observation
 
-    ``queries``: (query_id, query_text) — driver-tiny by contract (it is
-    broadcast twice: once to prune the token stream, once to attach
-    idf).  Output: (query_id, rank, doc_id, score_micro, score) — rank
-    1-based by (score_micro DESC, doc_id ASC); ``score`` is
-    score_micro / 1e6 for human eyes, ``score_micro`` the exact key.
-    """
     base = docs.where(
         F.col(text_col).isNotNull()
         & (F.length(F.trim(F.col(text_col))) > 0)
@@ -85,9 +82,18 @@ def bm25_topk(
         F.col(doc_col).alias("doc_id"), _toks(F.col(text_col)).alias("tk")
     )
 
-    # ONE scalar aggregate: corpus size + total token count.
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
+    # Corpus size + total token count piggyback on the tf pass below as
+    # an ``observe()`` aggregate (the connected-components trick): every
+    # base row streams through the checkpoint job exactly once, so a
+    # SEPARATE stats scan of the corpus — a second full tokenize pass —
+    # is gone (guide §1.2: one unavoidable pass, everything measured on
+    # it).  The values are exact integers and enter the score expression
+    # as literals with the identical cast/association shape the oracle
+    # mirrors.
+    obs = Observation()
+    base = base.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("tk")).alias("sum_dl"),
     )
 
@@ -116,9 +122,22 @@ def bm25_topk(
         # explode for each branch (column pruning gives the two
         # subtrees different canonical forms, so ReuseExchange cannot
         # dedupe them).  localCheckpoint pins the query-matching tf
-        # rows — tiny relative to the corpus — exactly once.
+        # rows — tiny relative to the corpus — exactly once (and that
+        # one job populates the stats observation).
         .localCheckpoint(eager=True)
     )
+    try:
+        st = obs.get
+        n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"] or 0)
+    except Exception:
+        # degenerate corpora (zero query-matching rows) can leave the
+        # observation row empty under AQE — fall back to the explicit
+        # scalar aggregate (one extra cheap pass, only on this edge)
+        r = base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("tk")).alias("sum_dl"),
+        ).collect()[0]
+        n_docs, sum_dl = int(r["n_docs"]), int(r["sum_dl"] or 0)
 
     # df per term derived FROM tf (one row per (doc, term-with-tf>0)
     # already exists there) — no second corpus scan, and the keyed
@@ -128,21 +147,23 @@ def bm25_topk(
     # contribution per (query, doc, term): fixed association order —
     # idf_micro * ((tf*(k1+1)) / (tf + k1*(1 - b + b*(dl/avgdl)))) —
     # mirrored exactly in the oracle; floored to int64 micro so the
-    # score SUM below is integer (aggregation-order-free).  stats and
-    # dfs attach via broadcast; idf is quantized inline (the pandas UDF
-    # evaluates per contrib row — df repeats per term, which is cheap,
-    # and saves a separate stats crossJoin subtree).
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    # score SUM below is integer (aggregation-order-free).  The corpus
+    # stats enter as int literals (same casts, same IEEE ops as the
+    # broadcast-column form they replace); dfs attaches via broadcast;
+    # idf is quantized inline.
+    avgdl = (
+        F.lit(sum_dl).cast("long").cast("double")
+        / F.lit(n_docs).cast("long").cast("double")
+    )
     tfd = F.col("tf").cast("double")
     dld = F.col("dl").cast("double")
     tfn = (tfd * (F.lit(k1) + F.lit(1.0))) / (
         tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (dld / avgdl))
     )
-    idf_micro = _bm25_idf_micro(F.col("n_docs"), F.col("df"))
+    idf_micro = _bm25_idf_micro(F.lit(n_docs).cast("long"), F.col("df"))
     contrib = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfs), "term")
-        .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
             "doc_id",
@@ -157,7 +178,7 @@ def bm25_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("doc_id").asc()
     )
-    return (
+    top = (
         scores.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
@@ -168,6 +189,30 @@ def bm25_topk(
             F.round(F.col("score_micro") / MICRO, 6).alias("score"),
         )
     )
+    return top, n_docs, sum_dl
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``queries``: (query_id, query_text) — driver-tiny by contract (it is
+    broadcast twice: once to prune the token stream, once to attach
+    idf).  Output: (query_id, rank, doc_id, score_micro, score) — rank
+    1-based by (score_micro DESC, doc_id ASC); ``score`` is
+    score_micro / 1e6 for human eyes, ``score_micro`` the exact key.
+    """
+    top, _, _ = _bm25_topk_with_stats(
+        docs, queries, doc_col, text_col, k1, b, k
+    )
+    return top
 
 
 def best_passages(
@@ -263,15 +308,17 @@ def prf_expansion(
     aggregates is feedback-sized.  Top-m is a per-query window over
     ≤ vocabulary-of-k-docs rows.
     """
-    top = bm25_topk(
+    # the BM25 fit already streamed the corpus once and observed its
+    # exact size — reuse it instead of a separate count pass
+    top_full, n_docs_v, _sum_dl = _bm25_topk_with_stats(
         docs, queries, doc_col=doc_col, text_col=text_col, k=k_fb
-    ).select("query_id", "doc_id")
+    )
+    top = top_full.select("query_id", "doc_id")
     base = docs.where(
         F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
     ).select(F.col(doc_col).alias("doc_id"), F.col(text_col).alias("__txt"))
     t = base.select("doc_id", _toks(F.col("__txt")).alias("tk"))
     exploded = t.select("doc_id", F.explode("tk").alias("term"))
-    n_docs = base.agg(F.count("*").alias("n_docs"))
 
     # feedback tf: prune to the k_fb·|Q| winning docs BEFORE tokenizing —
     # the broadcast semi-join moves below the tokenizer, so this pass
@@ -307,8 +354,10 @@ def prf_expansion(
     )
     weighted = (
         cand.join(cdf, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn("idf_micro", _bm25_idf_micro(F.col("n_docs"), F.col("df")))
+        .withColumn(
+            "idf_micro",
+            _bm25_idf_micro(F.lit(n_docs_v).cast("long"), F.col("df")),
+        )
         .select(
             "query_id",
             "term",
