@@ -40,10 +40,15 @@ def main() -> None:
     import __spark_entry__ as entry
     from doctor_spark.session import get_spark
 
-    spark = get_spark("doctor_spark-bench-extra", cores=cpus, extra_conf={
+    conf = {
         "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
         "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
-    })
+    }
+    # ad-hoc conf A/B: SPARK_GRAFT_EXTRA_CONF="k1=v1,k2=v2"
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(",")):
+        k, _, v = kv.partition("=")
+        conf[k.strip()] = v.strip()
+    spark = get_spark("doctor_spark-bench-extra", cores=cpus, extra_conf=conf)
     # same warmup as bench.py
     for t in ("documents", "embeddings", "events", "lineitem", "orders"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
