@@ -307,6 +307,15 @@ def prf_expansion(
     candidate-vocabulary tokens; everything downstream of the two
     aggregates is feedback-sized.  Top-m is a per-query window over
     ≤ vocabulary-of-k-docs rows.
+
+    Broadcast bound (r5 advisor note): ``cand_terms`` is the distinct
+    vocabulary of the k_fb·|Q| feedback documents — bounded by the
+    feedback set's total token count, NOT by corpus size, so at the
+    defaults (k_fb=5) it stays a few MB per thousand queries.  If a
+    caller raises k_fb·|Q| to the point where that vocabulary nears the
+    broadcast/driver budget (~10⁷ terms), replace the two
+    ``F.broadcast`` prune hints with plain semi-joins — results are
+    identical, the prune just moves to a keyed exchange.
     """
     # the BM25 fit already streamed the corpus once and observed its
     # exact size — reuse it instead of a separate count pass
